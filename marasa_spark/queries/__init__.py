@@ -1,0 +1,6 @@
+"""Operator inventory (SURVEY.md §2). Importing this package registers every
+query into :mod:`marasa_spark.registry`. One module per §2 group family."""
+
+from marasa_spark.queries import (  # noqa: F401
+    aggregates,
+)

@@ -1,0 +1,96 @@
+"""SparkSession construction and runtime-config hygiene.
+
+Two audiences:
+
+* Our own tests / bench (``get_spark``) — build a local session with the
+  100 TB-posture defaults (AQE on, UTC, Arrow, sane shuffle parallelism).
+* The driver's verify, which constructs its *own* session and merely passes
+  it to ``queries()[name](spark, sf_dir)`` — so every config that affects
+  **correctness** must also be settable at runtime. ``ensure_session_configs``
+  is idempotent, cheap, and called from every query entry point.
+
+Correctness-critical runtime confs (all dynamic SQLConf, safe to set on a
+live session):
+
+* ``spark.sql.legacy.parquet.nanosAsLong`` — the ``events.ts`` column is
+  Parquet INT64 TIMESTAMP(NANOS); Spark 4 refuses it outright without this
+  flag (SURVEY.md §1.4). With it, the column arrives as a raw nanosecond
+  LongType which :mod:`marasa_spark.catalog` converts to a µs-truncated
+  timestamp exactly matching DuckDB's native read.
+* ``spark.sql.session.timeZone=UTC`` — oracle comparisons collect Spark
+  timestamps in session TZ; DuckDB is UTC-naive.
+* ``spark.sql.shuffle.partitions`` — 200 default over-parallelizes the test
+  scale factors ~4× (SURVEY.md §4); sized to cores instead. At real cluster
+  scale AQE coalescing makes the initial number far less critical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime (dynamic) confs — safe on an already-running session.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
+
+
+def ensure_session_configs(spark: SparkSession) -> SparkSession:
+    """Idempotently pin the correctness-critical runtime confs on ``spark``.
+
+    Called at the top of every registered query so the driver's own session
+    (whose build-time configs we don't control) behaves identically to ours.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(key, None) != value:
+                spark.conf.set(key, value)
+        except Exception:
+            # Unknown/static conf on some Spark build: never fail a query
+            # over a tuning knob; correctness confs above are all dynamic.
+            pass
+    # Only resize shuffle parallelism if it's still at the 200 default —
+    # respect an explicit choice by whoever built the session.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(default_parallelism())
+            )
+    except Exception:
+        pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "marasa_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a local SparkSession with engine defaults."""
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cores}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or cores),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_session_configs(spark)

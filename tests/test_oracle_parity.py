@@ -1,0 +1,80 @@
+"""Internal mirror of the driver's t2 check (SURVEY.md §5.2).
+
+For every registered query: run the Spark DataFrame and the DuckDB oracle
+on the same sf0.01 parquet and compare column names + an order-insensitive
+canonicalized multiset of rows, with EXACT value equality (the driver hashes
+values, so anything we'd have to fuzz would fail there too).
+Rows-only queries (oracle=None) are executed and smoke-checked.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+
+import pytest
+
+from marasa_spark.registry import REGISTRY, queries_map
+
+
+def canon_value(v):
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # -0.0 vs 0.0 normalization; exact otherwise
+        return v + 0.0
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon_value(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon_value(x)) for k, x in v.items()))
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_value(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return out
+
+
+queries_map()  # populate REGISTRY
+ALL_IDS = sorted(REGISTRY)
+
+
+@pytest.mark.parametrize("qid", ALL_IDS)
+def test_oracle_parity(qid, spark, duck, sf_dir):
+    spec = REGISTRY[qid]
+    sdf = spec.fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = sdf.collect()
+
+    if spec.oracle is None:
+        # rows-only contract: runs, has a stable schema, row count sane
+        assert len(scols) > 0
+        assert len(srows) >= 0
+        return
+
+    rel = duck.execute(spec.oracle)
+    dcols = [d[0] for d in rel.description]
+    drows = rel.fetchall()
+
+    assert sorted(scols) == sorted(dcols), (
+        f"{qid}: column names differ: spark={sorted(scols)} duck={sorted(dcols)}"
+    )
+    assert len(srows) == len(drows), (
+        f"{qid}: row count differs: spark={len(srows)} duck={len(drows)}"
+    )
+    s = canon_rows(scols, [tuple(r) for r in srows])
+    d = canon_rows(dcols, drows)
+    if s != d:
+        mism = [(a, b) for a, b in zip(s, d) if a != b][:5]
+        raise AssertionError(f"{qid}: value mismatch; first diffs: {mism}")
