@@ -3,4 +3,9 @@ query into :mod:`marasa_spark.registry`. One module per §2 group family."""
 
 from marasa_spark.queries import (  # noqa: F401
     aggregates,
+    functions,
+    joins,
+    relational,
+    scans,
+    windows,
 )

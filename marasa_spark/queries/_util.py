@@ -1,0 +1,31 @@
+"""Cross-engine determinism helpers.
+
+Rounding: Spark's ``round()`` rounds the *shortest decimal representation*
+of a double HALF_UP (Java ``BigDecimal.valueOf``), DuckDB rounds the binary
+double value — for values landing exactly on ``.xx5`` in decimal (common
+for price/quantity divisions) the two differ by one ulp of the target scale
+(measured: round(5198.985, 2) → 5198.99 Spark vs 5198.98 DuckDB).
+
+Fix: round with pure IEEE arithmetic — ``floor(x * 10^n + 0.5) / 10^n`` —
+emitted identically on both engines. Same input bits + same IEEE op
+sequence → bit-identical results, no decimal-string semantics involved.
+(Convention: halves round toward +inf, including for negatives — applied
+consistently on both sides.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def r2(col: Column, n: int = 2) -> Column:
+    """IEEE-deterministic round-half-up of a double column to n decimals."""
+    m = F.lit(float(10**n))
+    return F.floor(col * m + F.lit(0.5)) / m
+
+
+def r2sql(expr: str, n: int = 2) -> str:
+    """The DuckDB/ANSI-SQL twin of :func:`r2` (identical op sequence)."""
+    m = 10**n
+    return f"floor(({expr}) * {m}.0 + 0.5) / {m}.0"

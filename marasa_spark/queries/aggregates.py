@@ -3,8 +3,8 @@
 All pure built-in ``pyspark.sql.functions`` aggregates: Catalyst plans these
 as partial (map-side) + final hash aggregates with an Exchange on the group
 keys — the shape that scales linearly with executors at 100 TB. Float
-aggregates are rounded to 2 decimals on both engine and oracle side
-(SURVEY.md §2 float-determinism note).
+aggregates go through the IEEE-deterministic rounding helper (``_util.r2``)
+on both engine and oracle side.
 """
 
 from __future__ import annotations
@@ -12,25 +12,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from marasa_spark.catalog import load_table
+from marasa_spark.catalog import load_table, register_views
+from marasa_spark.queries._util import r2, r2sql
 from marasa_spark.registry import register
 
 # ---------------------------------------------------------------------------
 # d1_agg_hash — TPC-H Q1 pricing summary (flagship). Exercises scan +
-# filter pushdown + projection + 8-way hash aggregate + sort in one plan.
+# filter pushdown + projection + 8-way hash aggregate in one plan.
 # ---------------------------------------------------------------------------
 
-D1_ORACLE = """
+D1_ORACLE = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  round(sum(l_quantity), 2)                                        AS sum_qty,
-  round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-  round(avg(l_quantity), 2)                                        AS avg_qty,
-  round(avg(l_extendedprice), 2)                                   AS avg_price,
-  round(avg(l_discount), 2)                                        AS avg_disc,
+  {r2sql("sum(l_quantity)")}                                       AS sum_qty,
+  {r2sql("sum(l_extendedprice)")}                                  AS sum_base_price,
+  {r2sql("sum(l_extendedprice * (1 - l_discount))")}               AS sum_disc_price,
+  {r2sql("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))")} AS sum_charge,
+  {r2sql("avg(l_quantity)")}                                       AS avg_qty,
+  {r2sql("avg(l_extendedprice)")}                                  AS avg_price,
+  {r2sql("avg(l_discount)")}                                       AS avg_disc,
   count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -47,13 +48,204 @@ def d1_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r2(F.sum(disc_price)).alias("sum_disc_price"),
+            r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            r2(F.avg("l_quantity")).alias("avg_qty"),
+            r2(F.avg("l_extendedprice")).alias("avg_price"),
+            r2(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d2 — DISTINCT aggregates (planned as expand + two-phase agg by Catalyst)
+# ---------------------------------------------------------------------------
+
+D2_ORACLE = f"""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey)              AS n_parts,
+       count(DISTINCT l_suppkey)              AS n_supps,
+       {r2sql("sum(DISTINCT l_quantity)")}    AS sum_dist_qty,
+       count(*)                               AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("d2_agg_distinct", oracle=D2_ORACLE, group="D")
+def d2_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        r2(F.sum_distinct(F.col("l_quantity"))).alias("sum_dist_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d3/d4/d5 — grouping-set families (Expand operator; one shuffle)
+# ---------------------------------------------------------------------------
+
+D3_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {r2sql("sum(l_extendedprice)")} AS sum_price,
+       count(*)                        AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("d3_agg_rollup", oracle=D3_ORACLE, group="D")
+def d3_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        r2(F.sum("l_extendedprice")).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+D4_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {r2sql("sum(l_quantity)")} AS sum_qty,
+       count(*)                   AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("d4_agg_cube", oracle=D4_ORACLE, group="D")
+def d4_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        r2(F.sum("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# Identical SQL text runs on both engines (Spark SQL front-end = EP3).
+D5_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {r2sql("sum(l_extendedprice)")} AS sum_price,
+       count(*)                        AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@register("d5_agg_gsets", oracle=D5_SQL, group="D")
+def d5_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL front-end (same text as the oracle)."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(D5_SQL)
+
+
+D6_ORACLE = f"""
+SELECT o_custkey, count(*) AS n_orders, {r2sql("sum(o_totalprice)")} AS total
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 10
+"""
+
+
+@register("d6_agg_having", oracle=D6_ORACLE, group="D")
+def d6_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r2(F.sum("o_totalprice")).alias("total"),
+        )
+        .filter(F.col("n_orders") >= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# d7/d8 — statistical + exact-percentile aggregates.
+# Stats computed on bounded-magnitude columns (quantity/discount) so the
+# rounding fully absorbs cross-engine summation-order noise.
+# ---------------------------------------------------------------------------
+
+D7_ORACLE = f"""
+SELECT l_returnflag,
+       {r2sql("stddev_samp(l_quantity)")}                AS std_qty,
+       {r2sql("var_samp(l_quantity)")}                   AS var_qty,
+       {r2sql("corr(l_quantity, l_extendedprice)", 4)}   AS corr_qty_price,
+       {r2sql("covar_samp(l_quantity, l_discount)", 4)}  AS covar_qty_disc
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("d7_agg_stats", oracle=D7_ORACLE, group="D")
+def d7_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r2(F.stddev_samp("l_quantity")).alias("std_qty"),
+        r2(F.var_samp("l_quantity")).alias("var_qty"),
+        r2(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        r2(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_qty_disc"),
+    )
+
+
+D8_ORACLE = f"""
+SELECT l_returnflag,
+       {r2sql("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice)")} AS p25,
+       {r2sql("percentile_cont(0.50) WITHIN GROUP (ORDER BY l_extendedprice)")} AS median,
+       {r2sql("percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice)")} AS p75
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("d8_agg_percentile", oracle=D8_ORACLE, group="D")
+def d8_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ↔ DuckDB
+    `percentile_cont` — verified value-exact in the survey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r2(F.percentile(F.col("l_extendedprice"), F.lit(0.25))).alias("p25"),
+        r2(F.percentile(F.col("l_extendedprice"), F.lit(0.50))).alias("median"),
+        r2(F.percentile(F.col("l_extendedprice"), F.lit(0.75))).alias("p75"),
+    )
+
+
+@register("d9_agg_approx", oracle=None, group="D")
+def d9_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL++ count-distinct, approx percentile).
+
+    Approximate ≠ hashable cross-engine → rows-only contract; accuracy vs the
+    exact values is asserted with tolerance in tests/test_approx.py.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx(F.col("l_extendedprice"), F.lit(0.5), F.lit(10000)).alias(
+            "approx_median"
+        ),
+    )
+
+
+D10_ORACLE = """
+SELECT n_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names
+FROM nation JOIN supplier ON s_nationkey = n_nationkey
+GROUP BY n_nationkey
+"""
+
+
+@register("d10_agg_collect", oracle=D10_ORACLE, group="D")
+def d10_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation, sorted for determinism, joined to a scalar so the
+    value-hash is dialect-proof (list vs array rendering)."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias("names"))
     )

@@ -1,0 +1,239 @@
+"""Group H — scalar function surface (SURVEY.md §2.H).
+
+Dialect-alignment notes (each verified in the parity suite):
+* DuckDB `length`/`len`/`year`/`datediff` return BIGINT where Spark returns
+  INT — oracles cast to match Spark's types.
+* DuckDB `regexp_replace` is first-match by default — oracles pass the 'g'
+  flag to match Spark's replace-all.
+* DuckDB `dayofweek` is 0=Sunday, Spark is 1=Sunday — oracle adds 1.
+* Spark `floor`/`ceil` on DOUBLE return BIGINT — oracle casts.
+* libm functions (ln/log10/sqrt) may differ in the last ulp across
+  runtimes — rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from marasa_spark.catalog import load_table
+from marasa_spark.queries._util import r2, r2sql
+from marasa_spark.registry import register
+
+H1_ORACLE = """
+SELECT c_custkey,
+       upper(c_name)                                  AS uname,
+       lower(c_mktsegment)                            AS lseg,
+       substr(c_name, 1, 8)                           AS pref,
+       trim(concat('  ', c_name, '  '))               AS trimmed,
+       lpad(CAST(c_custkey AS VARCHAR), 9, '0')       AS padkey,
+       replace(c_name, 'Customer', 'Cust')            AS repl,
+       CAST(length(c_name) AS INT)                    AS name_len,
+       concat(c_name, '-', c_mktsegment)              AS tagged
+FROM customer
+"""
+
+
+@register("h1_fn_string", oracle=H1_ORACLE, group="H")
+def h1_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.substring("c_name", 1, 8).alias("pref"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("padkey"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("repl"),
+        F.length("c_name").alias("name_len"),
+        F.concat(F.col("c_name"), F.lit("-"), F.col("c_mktsegment")).alias("tagged"),
+    )
+
+
+H2_ORACLE = """
+SELECT p_partkey,
+       regexp_extract(p_name, '^([a-z]+)', 1)        AS first_word,
+       regexp_replace(p_type, '[AEOU]', '', 'g')     AS devowel
+FROM part
+"""
+
+
+@register("h2_fn_regex", oracle=H2_ORACLE, group="H")
+def h2_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSIX-simple patterns only (Java vs RE2 dialects agree on these)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_type", "[AEOU]", "").alias("devowel"),
+    )
+
+
+H3_ORACLE = """
+SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+"""
+
+
+@register("h3_fn_split_explode", oracle=H3_ORACLE, group="H")
+def h3_fn_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + flatten (explode ↔ unnest)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+H4_ORACLE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT)                          AS yr,
+       CAST(month(o_orderdate) AS INT)                         AS mo,
+       CAST(day(o_orderdate) AS INT)                           AS dy,
+       CAST(dayofweek(o_orderdate) + 1 AS INT)                 AS dow,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)     AS month_start,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE)             AS plus30,
+       CAST(date_diff('day', o_orderdate, DATE '2000-01-01') AS INT) AS days_to_y2k,
+       last_day(CAST(o_orderdate AS DATE))                     AS month_end
+FROM orders
+"""
+
+
+@register("h4_fn_datetime", oracle=H4_ORACLE, group="H")
+def h4_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add("o_orderdate", 30).alias("plus30"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_y2k"
+        ),
+        F.last_day("o_orderdate").alias("month_end"),
+    )
+
+
+H5_ORACLE = f"""
+SELECT l_orderkey, l_linenumber,
+       {r2sql("l_extendedprice / l_quantity")}       AS unit_price,
+       CAST(floor(l_extendedprice) AS BIGINT)        AS floor_price,
+       CAST(ceil(l_extendedprice) AS BIGINT)         AS ceil_price,
+       abs(l_discount - 0.05)                        AS abs_disc_gap,
+       pow(l_quantity, 2)                            AS qty_sq,
+       {r2sql("sqrt(l_quantity)", 6)}                AS qty_sqrt,
+       {r2sql("ln(l_extendedprice)", 6)}             AS ln_price,
+       {r2sql("log10(l_extendedprice)", 6)}          AS log10_price,
+       l_linenumber % 3                              AS mod3,
+       CAST(sign(l_discount - 0.05) AS INT)          AS disc_sign,
+       greatest(l_tax, l_discount)                   AS max_rate,
+       least(l_tax, l_discount)                      AS min_rate
+FROM lineitem
+"""
+
+
+@register("h5_fn_math", oracle=H5_ORACLE, group="H")
+def h5_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r2(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        F.floor("l_extendedprice").alias("floor_price"),
+        F.ceil("l_extendedprice").alias("ceil_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc_gap"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        r2(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        r2(F.log("l_extendedprice"), 6).alias("ln_price"),
+        r2(F.log10("l_extendedprice"), 6).alias("log10_price"),
+        (F.col("l_linenumber") % 3).alias("mod3"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+H6_ORACLE = f"""
+SELECT vec_id,
+       CAST(len(embedding) AS INT)                               AS dim,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT)      AS n_pos,
+       {r2sql("list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))")} AS sum_d,
+       embedding[1]                                              AS elem1
+FROM embeddings
+"""
+
+
+@register("h6_fn_array", oracle=H6_ORACLE, group="H")
+def h6_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/filter/aggregate) on the
+    64-d embedding vectors — sequential fold order is identical on both
+    engines, so the double sum is exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        r2(
+            F.aggregate(
+                F.transform(emb, lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("sum_d"),
+        F.element_at(emb, 1).alias("elem1"),
+    )
+
+
+@register("h7_fn_map", oracle=None, group="H")
+def h7_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (rows-only: DuckDB map rendering differs).
+
+    Builds a map per event, reads it back via element lookup + map_keys.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("value"), F.col("value"), F.lit("uid"), F.col("user_id").cast("double")
+    )
+    return ev.select(
+        "event_id",
+        m.alias("props_map"),
+        F.map_keys(m).alias("keys"),
+        m["value"].alias("value_back"),
+    )
+
+
+H8_ORACLE = f"""
+SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       count(*)                 AS n,
+       {r2sql("sum(value)")}    AS sum_value
+FROM events
+GROUP BY k
+"""
+
+
+@register("h8_fn_json", oracle=H8_ORACLE, group="H")
+def h8_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string extraction (the marasa dynamic-payload pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"), F.col("value")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("sum_value"))
+    )
+
+
+H9_ORACLE = """
+SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256 FROM documents
+"""
+
+
+@register("h9_fn_hash", oracle=H9_ORACLE, group="H")
+def h9_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+    )

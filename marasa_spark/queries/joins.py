@@ -1,0 +1,211 @@
+"""Group C — joins (SURVEY.md §2.C; c9/c10 temporal variants in temporal.py).
+
+Scale posture: dimension tables (region/nation/supplier at realistic scales)
+are broadcast — explicitly hinted with F.broadcast so the plan survives
+stats misestimates at 100 TB; fact-fact joins (orders⋈lineitem) shuffle on
+the join key and benefit from AQE skew splitting (enabled in session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from marasa_spark.catalog import load_table
+from marasa_spark.queries._util import r2, r2sql
+from marasa_spark.registry import register
+
+C1_ORACLE = """
+SELECT c_custkey, c_name, n_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+@register("c1_join_inner", oracle=C1_ORACLE, group="C")
+def c1_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join; nation is broadcast (25 rows at every scale)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner").select(
+        "c_custkey", "c_name", "n_name"
+    )
+
+
+C2_ORACLE = f"""
+SELECT n_name, {r2sql("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+@register("c2_join_multiway", oracle=C2_ORACLE, group="C")
+def c2_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table star join (TPC-H Q5 shape): broadcast dims, shuffle facts.
+
+    The region filter reaches the nation⋈region broadcast before the fact
+    shuffle, so only ASIA customers flow into the big join.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            c.c_custkey == o.o_custkey,
+        )
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+C3_ORACLE = """
+SELECT c_custkey, o_orderkey
+FROM customer LEFT JOIN orders
+  ON c_custkey = o_custkey AND o_totalprice > 300000
+"""
+
+
+@register("c3_join_left", oracle=C3_ORACLE, group="C")
+def c3_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with an extra ON-clause predicate (not a post-filter) —
+    unmatched customers surface with NULL o_orderkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 300000)
+    return c.join(o, cond, "left").select("c_custkey", "o_orderkey")
+
+
+C4_ORACLE = """
+SELECT n_name, s_name
+FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+@register("c4_join_right", oracle=C4_ORACLE, group="C")
+def c4_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer — nations keep a row even with no suppliers."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select("n_name", "s_name")
+
+
+C5_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey, count(*) AS n_cust
+  FROM customer WHERE c_mktsegment = 'MACHINERY' GROUP BY c_nationkey
+), s AS (
+  SELECT s_nationkey, count(*) AS n_supp
+  FROM supplier WHERE s_acctbal > 0 GROUP BY s_nationkey
+)
+SELECT c_nationkey, s_nationkey, n_cust, n_supp
+FROM c FULL JOIN s ON c_nationkey = s_nationkey
+"""
+
+
+@register("c5_join_full", oracle=C5_ORACLE, group="C")
+def c5_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer over two filtered aggregates (asymmetric key sets)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 0)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        "c_nationkey", "s_nationkey", "n_cust", "n_supp"
+    )
+
+
+C6_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000
+)
+"""
+
+
+@register("c6_join_semi", oracle=C6_ORACLE, group="C")
+def c6_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join (no row multiplication, early-out probe)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+C7_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@register("c7_join_anti", oracle=C7_ORACLE, group="C")
+def c7_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+C8_ORACLE = """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+"""
+
+
+@register("c8_join_cross", oracle=C8_ORACLE, group="C")
+def c8_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two bounded dims (5×25) — broadcast NLJ."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+C11_ORACLE = """
+SELECT s_suppkey, count(*) AS n_poorer_cust
+FROM supplier JOIN customer ON s_acctbal > c_acctbal
+GROUP BY s_suppkey
+"""
+
+
+@register("c11_join_theta", oracle=C11_ORACLE, group="C")
+def c11_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure inequality (theta) join → BroadcastNestedLoopJoin with the small
+    side broadcast; aggregated output keeps result bounded.
+
+    100 TB path: band-bucketize both sides on the compared value (histogram
+    equi-buckets), equi-join on bucket pairs where min(a)>max(c) is decidable,
+    NLJ only the boundary buckets.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(s), s.s_acctbal > c.c_acctbal)
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_poorer_cust"))
+    )

@@ -1,0 +1,230 @@
+"""Groups B (project/filter/expressions), F (sort/limit), G (set ops) —
+SURVEY.md §2.B/F/G.
+
+All pure built-in expressions: Catalyst pushes the B-group predicates and
+projections into the Parquet scan (visible as PushedFilters/ReadSchema in
+.explain), f2 plans as TakeOrderedAndProject (no global sort materialized),
+and the G-group set ops are hash-based distincts/unions that scale out on
+the shuffle key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from marasa_spark.catalog import load_table
+from marasa_spark.queries._util import r2, r2sql
+from marasa_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# B — projection / filter / expressions
+# ---------------------------------------------------------------------------
+
+B1_ORACLE = """
+SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal FROM customer
+"""
+
+
+@register("b1_project", oracle=B1_ORACLE, group="B")
+def b1_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning + aliasing — ReadSchema should list exactly 3 cols."""
+    return load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+
+
+B2_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus IN ('F', 'O')
+  AND o_totalprice BETWEEN 50000 AND 300000
+  AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+  AND NOT (o_orderstatus = 'O' AND o_totalprice < 100000)
+"""
+
+
+@register("b2_filter_pred", oracle=B2_ORACLE, group="B")
+def b2_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/NOT, IN, BETWEEN, LIKE — all pushed to the Parquet scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_totalprice").between(50000, 300000)
+        & (F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%"))
+        & ~((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") < 100000))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+B3_ORACLE = """
+SELECT
+  c_custkey,
+  CASE WHEN c_acctbal < 0 THEN 'neg'
+       WHEN c_acctbal < 5000 THEN 'low'
+       ELSE 'high' END                                  AS band,
+  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER')   AS seg2,
+  CAST(c_custkey AS VARCHAR)                            AS key_str
+FROM customer
+"""
+
+
+@register("b3_expr_case", oracle=B3_ORACLE, group="B")
+def b3_expr_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / COALESCE / NULLIF / cast."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg2"
+        ),
+        F.col("c_custkey").cast("string").alias("key_str"),
+    )
+
+
+B4_ORACLE = f"""
+SELECT l_orderkey, l_linenumber,
+       {r2sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS gross
+FROM lineitem
+"""
+
+
+@register("b4_expr_arith", oracle=B4_ORACLE, group="B")
+def b4_expr_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row computed column (identical IEEE op order on both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r2(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("gross"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F — sort / limit
+# ---------------------------------------------------------------------------
+
+F1_ORACLE = """
+SELECT o_orderkey,
+       nullif(o_orderpriority, '5-LOW') AS prio,
+       o_totalprice,
+       row_number() OVER (
+         ORDER BY nullif(o_orderpriority, '5-LOW') DESC NULLS LAST,
+                  o_totalprice DESC, o_orderkey) AS rn
+FROM orders
+WHERE o_totalprice > 450000
+"""
+
+
+@register("f1_sort_multi", oracle=F1_ORACLE, group="F")
+def f1_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit NULLS LAST; rn materializes the order so
+    the order-insensitive hash still verifies ordering semantics."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))
+    w = Window.orderBy(
+        prio.desc_nulls_last(), F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        prio.alias("prio"),
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+    ).orderBy(F.col("prio").desc_nulls_last(), F.col("o_totalprice").desc(), "o_orderkey")
+
+
+F2_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@register("f2_topk_global", oracle=F2_ORACLE, group="F")
+def f2_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (per-partition heap + driver
+    merge, never a full sort — the 100 TB-safe plan). Unique tiebreaker
+    keeps the row set deterministic."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# G — set operations
+# ---------------------------------------------------------------------------
+
+G1_ORACLE = """
+SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+"""
+
+
+@register("g1_union_all", oracle=G1_ORACLE, group="G")
+def g1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union (duplicates preserved — overlapping inputs on purpose)."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("key"))
+    b = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("key"))
+    return a.unionAll(b)
+
+
+G2_ORACLE = """
+SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+"""
+
+
+@register("g2_union_distinct", oracle=G2_ORACLE, group="G")
+def g2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union — union + hash distinct on the shuffle key."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("key"))
+    b = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("key"))
+    return a.union(b).distinct()
+
+
+G3_ORACLE = """
+SELECT c_nationkey AS nk FROM customer
+INTERSECT
+SELECT s_nationkey AS nk FROM supplier
+"""
+
+
+@register("g3_intersect", oracle=G3_ORACLE, group="G")
+def g3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics on both engines)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+G4_ORACLE = """
+SELECT DISTINCT o_custkey AS key FROM orders
+EXCEPT
+SELECT DISTINCT o_custkey AS key FROM orders WHERE o_totalprice > 300000
+"""
+
+
+@register("g4_except", oracle=G4_ORACLE, group="G")
+def g4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers who order but never above 300k."""
+    o = load_table(spark, sf_dir, "orders")
+    all_k = o.select(F.col("o_custkey").alias("key")).distinct()
+    big_k = (
+        o.filter(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("key")).distinct()
+    )
+    return all_k.subtract(big_k)

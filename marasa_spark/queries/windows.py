@@ -1,0 +1,169 @@
+"""Group E — window functions (SURVEY.md §2.E).
+
+Determinism discipline (SURVEY §2 note): rank/dense_rank are deterministic
+under ties, so they may order by the value alone; row_number/ntile/lag/lead
+and frame aggregates always carry a unique tiebreaker in ORDER BY.
+
+Scale posture: windows partitioned by a key shuffle once on that key and
+sort within partitions — fine at 100 TB when partition counts are sane.
+The only global (unpartitioned) window in the engine is f1's order-proof
+rank, flagged there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from marasa_spark.catalog import load_table
+from marasa_spark.queries._util import r2, r2sql
+from marasa_spark.registry import register
+
+E1_ORACLE = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn,
+       rank()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)            AS rnk,
+       dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)            AS drnk,
+       ntile(4)     OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile
+FROM customer
+"""
+
+
+@register("e1_win_rank", oracle=E1_ORACLE, group="E")
+def e1_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w_tie = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    w_val = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w_tie).alias("rn"),
+        F.rank().over(w_val).alias("rnk"),
+        F.dense_rank().over(w_val).alias("drnk"),
+        F.ntile(4).over(w_tie).alias("quartile"),
+    )
+
+
+E2_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       lag(o_totalprice)  OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       first_value(o_totalprice) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+       last_value(o_totalprice) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("e2_win_analytic", oracle=E2_ORACLE, group="E")
+def e2_win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first/last with explicit frames on both sides."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)).alias(
+            "first_price"
+        ),
+        F.last("o_totalprice").over(w.rowsBetween(0, W.unboundedFollowing)).alias(
+            "last_price"
+        ),
+    )
+
+
+_E3_RUNNING = (
+    "sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+_E3_MOVING = (
+    "avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+    " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+)
+E3_ORACLE = f"""
+SELECT o_orderkey, o_custkey,
+       {r2sql(_E3_RUNNING)} AS running_total,
+       {r2sql(_E3_MOVING)}  AS moving_avg3
+FROM orders
+"""
+
+
+@register("e3_win_frame_rows", oracle=E3_ORACLE, group="E")
+def e3_win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + 3-row moving average (ROWS frames)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        r2(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0))).alias(
+            "running_total"
+        ),
+        r2(F.avg("o_totalprice").over(w.rowsBetween(-2, 0))).alias("moving_avg3"),
+    )
+
+
+_E4_NEAR_SUM = (
+    "sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice"
+    " RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)"
+)
+E4_ORACLE = f"""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       {r2sql(_E4_NEAR_SUM)} AS near_sum,
+       count(*) OVER
+         (PARTITION BY o_custkey ORDER BY o_totalprice
+          RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)     AS near_n
+FROM orders
+"""
+
+
+@register("e4_win_frame_range", oracle=E4_ORACLE, group="E")
+def e4_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame (deterministic under ties — the frame is
+    defined by the ordering value, not row position)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-10000, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        r2(F.sum("o_totalprice").over(w)).alias("near_sum"),
+        F.count(F.lit(1)).over(w).alias("near_n"),
+    )
+
+
+E5_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+@register("e5_topk_per_group", oracle=E5_ORACLE, group="E")
+def e5_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (rank + filter; Spark 4 pushes the rank
+    limit into the sort via WindowGroupLimit — no full materialization)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
