@@ -1,0 +1,193 @@
+"""MarasaLog — the append-only, namespaced, seqno-versioned log store.
+
+This is the Spark-native re-expression of the reference's core idea (*the
+log is the database*; SURVEY.md §0.4/§1.1 — ``/root/reference`` is empty, so
+the API shape follows SURVEY's reconstruction of pjz/marasa: ``put``/
+``get``/``history``/namespaces/segments/snapshots):
+
+* every write is an **append** of change records to a Parquet log
+  partitioned by namespace (``log/ns=<ns>/``) — Spark's append mode writes
+  new files only, never rewrites (the Delta/Iceberg slot-in point per
+  BASELINE.json's north star; neither is installed here, so the layout is
+  plain Parquet + a seqno convention that Delta could replace);
+* current state is a fold over the log: last record per (ns, key) by seqno
+  — expressed as a window function, never a driver-side replay;
+* any historical state is a prefix fold: ``filter(seqno <= s)`` + the same
+  window (time travel);
+* **compaction** (= marasa's segment snapshot) materializes the fold into
+  ``snapshot/upto=<S>/`` so reads become snapshot ∪ log-tail — replay cost
+  is bounded by the tail length, not log length.
+
+Record schema (marasa stores JSON payloads keyed by string keys):
+``ns string, key string, seqno long, ts timestamp, value string``.
+
+Scale posture (100 TB):
+* namespace partitioning → partition pruning on every ns-scoped read;
+* ``latest``/``asof`` are one shuffle on (ns, key) — linear scale-out; at
+  real scale the snapshot write would bucket by key so the tail-merge
+  window co-locates without a shuffle;
+* seqno assignment reads ``max(seqno)`` (a Parquet footer-stats scan, not
+  a data scan) and window-numbers only the incoming batch. Like the
+  reference, the store assumes a **single writer** (SURVEY §7.4#2);
+* no driver-side ``collect()`` anywhere in the data path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from marasa_spark.session import ensure_session_configs
+
+LOG_SCHEMA = "ns string, key string, seqno long, ts timestamp, value string"
+
+
+class MarasaLog:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = ensure_session_configs(spark)
+        self.path = path.rstrip("/")
+        self.log_dir = f"{self.path}/log"
+        self.snap_dir = f"{self.path}/snapshot"
+
+    # -- write path ---------------------------------------------------------
+
+    def append(self, records: DataFrame) -> int:
+        """Append change records (``ns,key,ts?,value`` columns); assigns the
+        next contiguous seqnos in the deterministic order (ns, key, ts).
+        Returns the new high-water seqno. Single-writer, like the reference.
+        """
+        base = self.max_seqno()
+        if "ts" not in records.columns:
+            records = records.withColumn("ts", F.current_timestamp())
+        w = Window.orderBy("ns", "key", "ts")
+        batch = records.select(
+            F.col("ns").cast("string"),
+            F.col("key").cast("string"),
+            (F.row_number().over(w) + F.lit(base)).cast("long").alias("seqno"),
+            F.col("ts").cast("timestamp"),
+            F.col("value").cast("string"),
+        )
+        batch.write.mode("append").partitionBy("ns").parquet(self.log_dir)
+        return self.max_seqno()
+
+    def put(self, ns: str, **changes: str) -> int:
+        """marasa ``put(ns, key=value, ...)`` — tiny-batch convenience over
+        :meth:`append`."""
+        rows = [(ns, k, v) for k, v in changes.items()]
+        df = self.spark.createDataFrame(rows, "ns string, key string, value string")
+        return self.append(df)
+
+    # -- metadata -----------------------------------------------------------
+
+    def _read_dir(self, d: str) -> DataFrame | None:
+        if not os.path.isdir(d):
+            return None
+        try:
+            return self.spark.read.schema(LOG_SCHEMA).parquet(d)
+        except Exception:
+            return None
+
+    def max_seqno(self) -> int:
+        whole = self._full_log()
+        if whole is None:
+            return 0
+        row = whole.agg(F.max("seqno").alias("m")).first()
+        return int(row["m"] or 0)
+
+    def _full_log(self) -> DataFrame | None:
+        """The complete retained history. Compaction adds a snapshot but —
+        like marasa's segments — does not delete log files, so history and
+        time travel stay exact."""
+        log = self._read_dir(self.log_dir)
+        return log if log is not None else self._union_snapshot_tail()
+
+    def _latest_snapshot_seq(self) -> int:
+        if not os.path.isdir(self.snap_dir):
+            return 0
+        seqs = [
+            int(name.split("=", 1)[1])
+            for name in os.listdir(self.snap_dir)
+            if name.startswith("upto=")
+        ]
+        return max(seqs, default=0)
+
+    def _union_snapshot_tail(self) -> DataFrame | None:
+        """snapshot(≤S) ∪ log-tail(>S) — the bounded-replay read set."""
+        s = self._latest_snapshot_seq()
+        tail = self._read_dir(self.log_dir)
+        if s == 0:
+            return tail
+        snap = self._read_dir(f"{self.snap_dir}/upto={s}")
+        if tail is not None:
+            tail = tail.filter(F.col("seqno") > s)
+            return snap.unionByName(tail) if snap is not None else tail
+        return snap
+
+    # -- read path ----------------------------------------------------------
+
+    @staticmethod
+    def _fold_latest(log: DataFrame) -> DataFrame:
+        """The log fold: last change per (ns, key) — marasa ``get`` for every
+        key at once, as one window (shuffles once on the state key)."""
+        w = Window.partitionBy("ns", "key").orderBy(F.col("seqno").desc())
+        return (
+            log.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def latest(self, ns: str | None = None) -> DataFrame:
+        """Current state (marasa ``get(ns, key)`` for all keys)."""
+        log = self._union_snapshot_tail()
+        if log is None:
+            return self.spark.createDataFrame([], LOG_SCHEMA)
+        if ns is not None:
+            log = log.filter(F.col("ns") == ns)  # partition-pruned
+        return self._fold_latest(log)
+
+    def get(self, ns: str, key: str, seqno: int | None = None) -> str | None:
+        """Point lookup (latest or as-of). The only collect in the class —
+        it returns a scalar to Python by definition."""
+        df = self.asof(seqno, ns=ns) if seqno is not None else self.latest(ns=ns)
+        row = df.filter(F.col("key") == key).select("value").first()
+        return None if row is None else row["value"]
+
+    def asof(self, seqno: int, ns: str | None = None) -> DataFrame:
+        """Time travel: state as of ``seqno`` (prefix fold over the FULL log
+        — the snapshot can't serve prefixes earlier than its high-water)."""
+        log = self._full_log()
+        if log is None:
+            return self.spark.createDataFrame([], LOG_SCHEMA)
+        if ns is not None:
+            log = log.filter(F.col("ns") == ns)
+        return self._fold_latest(log.filter(F.col("seqno") <= seqno))
+
+    def history(self, ns: str, key: str) -> DataFrame:
+        """Ordered change history for one key (marasa ``history``), from the
+        full retained log."""
+        log = self._full_log()
+        if log is None:
+            return self.spark.createDataFrame([], LOG_SCHEMA)
+        return (
+            log.filter((F.col("ns") == ns) & (F.col("key") == key)).orderBy("seqno")
+        )
+
+    def namespaces(self) -> DataFrame:
+        log = self._union_snapshot_tail()
+        if log is None:
+            return self.spark.createDataFrame([], "ns string")
+        return log.select("ns").distinct()
+
+    # -- maintenance --------------------------------------------------------
+
+    def compact(self) -> int:
+        """Materialize the current fold as a snapshot (marasa's segment
+        checkpoint). Reads after this touch snapshot ∪ tail(>S) only.
+        Returns the snapshot's high-water seqno."""
+        s = self.max_seqno()
+        if s == 0:
+            return 0
+        self.latest().write.mode("overwrite").parquet(f"{self.snap_dir}/upto={s}")
+        return s

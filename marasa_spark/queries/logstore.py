@@ -1,0 +1,201 @@
+"""Group J + a4 — the log-store operator surface (SURVEY.md §2.J).
+
+This is the reference's own capability surface (pjz/marasa's put/get/
+history/time-travel/compaction — reconstructed in SURVEY §0.4; the
+reference directory is empty, so no file:line citations are possible).
+
+Two layers exercised here:
+
+* j2/j3/j4/j6 — the **query semantics** of a log (latest / as-of / history /
+  namespaces) expressed directly over the ``events`` table, which is the
+  driver's stand-in for a marasa log (FIXTURES.md: ns=event_type,
+  key=user_id, seqno=event_id, value=props). Pure window/filter plans.
+* j1/j5 + a4 — the **storage engine** (:class:`marasa_spark.log.MarasaLog`):
+  real Parquet appends, snapshot compaction, and the snapshot∪tail read,
+  run in a scratch directory. j5's oracle is the strongest check: the
+  store is built from events, compacted, and its ``latest()`` must
+  hash-match the plain-SQL fold over the original table.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from marasa_spark.catalog import load_table
+from marasa_spark.log import MarasaLog
+from marasa_spark.registry import register
+
+SCRATCH = "/root/repo/_scratch"
+
+
+def _events_as_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("ns"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("ts"),
+        F.col("props").alias("value"),
+    )
+
+
+def _scratch_dir(kind: str, sf_dir: str) -> str:
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    d = f"{SCRATCH}/{kind}_{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# a4 / j1 — the append path (rows-only: writes real files)
+# ---------------------------------------------------------------------------
+
+
+@register("a4_log_sink", oracle=None, group="A")
+def a4_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only log sink: one batch of change records written via
+    ``mode("append").partitionBy("ns")`` and read back."""
+    store = MarasaLog(spark, _scratch_dir("a4_log", sf_dir))
+    batch = _events_as_log(spark, sf_dir).limit(500)
+    store.append(batch)
+    return store.latest()
+
+
+@register("j1_log_append", oracle=None, group="J")
+def j1_log_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """marasa ``put``/``write``: two successive appends get contiguous,
+    monotonically increasing seqnos (second batch strictly above first)."""
+    store = MarasaLog(spark, _scratch_dir("j1_log", sf_dir))
+    log_df = _events_as_log(spark, sf_dir)
+    hi1 = store.append(log_df.filter(F.col("ns") == "click"))
+    store.append(log_df.filter(F.col("ns") == "purchase"))
+    # surface the monotonicity boundary in the output for the rows check
+    return store._full_log().withColumn(
+        "batch", F.when(F.col("seqno") <= hi1, 1).otherwise(2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# j2/j3 — latest state & time travel (window fold; one shuffle on the key)
+# ---------------------------------------------------------------------------
+
+J2_ORACLE = """
+SELECT event_type AS ns, user_id AS key, event_id AS seqno, value, props
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                               ORDER BY event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("j2_log_latest", oracle=J2_ORACLE, group="J")
+def j2_log_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """marasa ``get(ns, key)`` for every key: last change per (ns, key)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_type").alias("ns"),
+            F.col("user_id").alias("key"),
+            F.col("event_id").alias("seqno"),
+            "value",
+            "props",
+        )
+    )
+
+
+J3_ORACLE = """
+SELECT event_type AS ns, user_id AS key, event_id AS seqno, props AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                               ORDER BY event_id DESC) AS rn
+  FROM events
+  WHERE event_id <= 5000
+)
+WHERE rn = 1
+"""
+
+
+@register("j3_log_asof", oracle=J3_ORACLE, group="J")
+def j3_log_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """marasa ``read(ns, seqno)`` time travel: prefix fold at seqno 5000."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") <= 5000)
+    w = Window.partitionBy("event_type", "user_id").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_type").alias("ns"),
+            F.col("user_id").alias("key"),
+            F.col("event_id").alias("seqno"),
+            F.col("props").alias("value"),
+        )
+    )
+
+
+J4_ORACLE = """
+SELECT event_type AS ns, user_id AS key, event_id AS seqno, props AS value,
+       row_number() OVER (ORDER BY event_id) AS change_idx
+FROM events
+WHERE event_type = 'click' AND user_id = 7
+"""
+
+
+@register("j4_log_history", oracle=J4_ORACLE, group="J")
+def j4_log_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """marasa ``history(ns, key)``: ordered per-key change stream
+    (change_idx materializes the replay order for the hash check)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "click") & (F.col("user_id") == 7)
+    )
+    return ev.select(
+        F.col("event_type").alias("ns"),
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("seqno"),
+        F.col("props").alias("value"),
+        F.row_number().over(Window.orderBy("event_id")).alias("change_idx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# j5 — compaction correctness: snapshot ∪ tail must reproduce the fold
+# ---------------------------------------------------------------------------
+
+J5_ORACLE = """
+SELECT event_type AS ns, CAST(user_id AS VARCHAR) AS key, props AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("j5_log_compact", oracle=J5_ORACLE, group="J")
+def j5_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end storage check: build a real MarasaLog from events, write a
+    snapshot (compaction), then read ``latest()`` through the snapshot path
+    — must hash-match the plain-SQL fold over the original table."""
+    store = MarasaLog(spark, _scratch_dir("j5_log", sf_dir))
+    store.append(_events_as_log(spark, sf_dir))
+    store.compact()
+    return store.latest().select("ns", "key", "value")
+
+
+J6_ORACLE = """
+SELECT DISTINCT event_type AS ns FROM events
+"""
+
+
+@register("j6_log_namespaces", oracle=J6_ORACLE, group="J")
+def j6_log_namespaces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """marasa namespace listing."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(F.col("event_type").alias("ns")).distinct()

@@ -1,0 +1,104 @@
+"""Property-based tests for the MarasaLog store (SURVEY.md §5.4).
+
+The reference's semantics live here: random interleavings of append/compact
+must make ``latest()`` equal a dict-replay model and ``asof()`` equal a
+prefix replay. ts values are strictly increasing so the deterministic
+append order (ns, key, ts) has no ties.
+"""
+
+from __future__ import annotations
+
+import datetime
+import itertools
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from marasa_spark.log import MarasaLog
+
+NS = ["alpha", "beta"]
+KEYS = ["k0", "k1", "k2"]
+
+record = st.tuples(st.sampled_from(NS), st.sampled_from(KEYS), st.integers(0, 99))
+batch = st.lists(record, min_size=1, max_size=5)
+# each step: (batch, compact_after?)
+steps = st.lists(st.tuples(batch, st.booleans()), min_size=1, max_size=4)
+
+_counter = itertools.count()
+
+
+def _ts(i: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=i)
+
+
+@pytest.fixture(scope="module")
+def tmp_base(tmp_path_factory):
+    return tmp_path_factory.mktemp("marasa_log")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(steps=steps)
+def test_log_replay_model(spark, tmp_base, steps):
+    path = str(tmp_base / f"store_{next(_counter)}")
+    store = MarasaLog(spark, path)
+
+    model: dict[tuple[str, str], str] = {}   # (ns,key) -> value
+    journal: list[tuple[int, str, str, str]] = []  # (seqno, ns, key, value)
+    seq = 0
+    t = 0
+
+    for batch_rows, do_compact in steps:
+        # mirror append()'s deterministic ordering: (ns, key, ts); ts is
+        # strictly increasing in input order here
+        rows = []
+        for ns, key, v in batch_rows:
+            rows.append((ns, key, _ts(t), str(v)))
+            t += 1
+        df = spark.createDataFrame(rows, "ns string, key string, ts timestamp, value string")
+        hi = store.append(df)
+        for ns, key, ts, v in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+            seq += 1
+            journal.append((seq, ns, key, v))
+            model[(ns, key)] = v
+        assert hi == seq, f"high-water {hi} != model {seq}"
+        if do_compact:
+            assert store.compact() == seq
+
+    # latest == full replay
+    got = {
+        (r["ns"], r["key"]): r["value"]
+        for r in store.latest().collect()
+    }
+    assert got == model
+
+    # asof == prefix replay at a mid boundary
+    if seq >= 2:
+        cut = seq // 2
+        prefix: dict[tuple[str, str], str] = {}
+        for s, ns, key, v in journal:
+            if s <= cut:
+                prefix[(ns, key)] = v
+        got_asof = {
+            (r["ns"], r["key"]): r["value"] for r in store.asof(cut).collect()
+        }
+        assert got_asof == prefix
+
+    # history of one key == its journal subsequence, in order
+    ns0, key0 = journal[0][1], journal[0][2]
+    expect_hist = [v for s, ns, k, v in journal if ns == ns0 and k == key0]
+    got_hist = [r["value"] for r in store.history(ns0, key0).collect()]
+    assert got_hist == expect_hist
+
+    # namespaces
+    assert {r["ns"] for r in store.namespaces().collect()} == {
+        ns for (ns, _k) in model
+    }
+
+    # point lookup
+    some_ns, some_key = next(iter(model))
+    assert store.get(some_ns, some_key) == model[(some_ns, some_key)]
