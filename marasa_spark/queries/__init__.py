@@ -8,5 +8,7 @@ from marasa_spark.queries import (  # noqa: F401
     logstore,
     relational,
     scans,
+    streaming,
+    temporal,
     windows,
 )

@@ -1,0 +1,253 @@
+"""Group I + a5 — the streaming surface (SURVEY.md §2.I).
+
+Strategy (SURVEY §2.I): every streaming operator is built on a construct
+that runs identically in batch (`window`, `session_window`, `dropDuplicates`,
+stream-static join, cumulative state), so the oracle-checkable entry here is
+the batch run, and actual ``readStream`` execution of the SAME constructs is
+asserted in tests/test_streaming.py (micro-batched file source, availableNow
+trigger, memory sink — batch↔stream equivalence).
+
+Scale posture: tumbling/sliding windows are plain hash aggregates on
+(window, key); session windows shuffle once on the user key; watermarks
+bound state at real scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from marasa_spark.catalog import load_table
+from marasa_spark.queries._util import r2, r2sql
+from marasa_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# a5 — streaming ingestion, actually executed (availableNow → memory sink)
+# ---------------------------------------------------------------------------
+
+# physical schema of events.parquet under nanosAsLong (ts arrives as raw ns)
+_EVENTS_PHYS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+@register("a5_stream_source", oracle=None, group="A")
+def a5_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Structured Streaming run: file source → availableNow trigger →
+    memory sink; returns the materialized per-type counts (rows-only).
+
+    The file source requires a *directory*, so the single events.parquet is
+    staged into a scratch dir first.
+    """
+    import shutil
+
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    stage = f"/root/repo/_scratch/a5_stream_{tag}"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    stream = (
+        spark.readStream.schema(_EVENTS_PHYS_SCHEMA)
+        .parquet(stage)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("sum_value")
+    )
+    name = "a5_mem"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# i1/i2/i3 — tumbling, sliding, session windows (batch-identical constructs)
+# ---------------------------------------------------------------------------
+
+I1_ORACLE = f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+       event_type,
+       count(*)                AS n,
+       {r2sql("sum(value)")}   AS sum_value
+FROM events
+GROUP BY win_start, event_type
+"""
+
+
+@register("i1_win_tumbling", oracle=I1_ORACLE, group="I")
+def i1_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 1-hour windows (epoch-aligned on both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+I2_ORACLE = f"""
+SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS win_start,
+       event_type,
+       count(*)                AS n,
+       {r2sql("sum(value)")}   AS sum_value
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) offsets
+GROUP BY win_start, event_type
+"""
+
+
+@register("i2_win_sliding", oracle=I2_ORACLE, group="I")
+def i2_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min — each event lands in 4 windows
+    (the oracle enumerates the 4 slide offsets explicitly)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+I3_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@register("i3_win_session", oracle=I3_ORACLE, group="I")
+def i3_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30-min gap) per user — `session_window`
+    works identically in batch; oracle is the gaps-and-islands fold."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("user_id"), F.col("win.start").alias("session_start"), "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i4 — watermark (no-op in batch; behavioral check in tests)
+# ---------------------------------------------------------------------------
+
+
+@register("i4_watermark", oracle=None, group="I")
+def i4_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data bound: same tumbling agg with a 10-min watermark attached.
+    Batch ignores the watermark (rows-only); the streaming run in
+    tests/test_streaming.py asserts append-mode emission behavior."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i5 — dedup; i6 — stateful running counters; i7 — stream-static join
+# ---------------------------------------------------------------------------
+
+I5_ORACLE = """
+SELECT DISTINCT event_id, user_id, event_type, value
+FROM (
+  SELECT event_id, user_id, event_type, value FROM events
+  UNION ALL
+  SELECT event_id, user_id, event_type, value FROM events
+)
+"""
+
+
+@register("i5_stream_dedup", oracle=I5_ORACLE, group="I")
+def i5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once-ish dedup: duplicated input, dropDuplicates on the full
+    row (streaming twin: dropDuplicates state across micro-batches)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return ev.unionAll(ev).dropDuplicates()
+
+
+_I6_CUM = (
+    "count(*) OVER (PARTITION BY user_id ORDER BY event_id"
+    " ROWS UNBOUNDED PRECEDING)"
+)
+_I6_SUM = (
+    "sum(value) OVER (PARTITION BY user_id ORDER BY event_id"
+    " ROWS UNBOUNDED PRECEDING)"
+)
+I6_ORACLE = f"""
+SELECT event_id, user_id,
+       {_I6_CUM}            AS n_so_far,
+       {r2sql(_I6_SUM)}     AS sum_so_far
+FROM events
+"""
+
+
+@register("i6_stateful", oracle=I6_ORACLE, group="I")
+def i6_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key running state (event count + value sum in arrival order) —
+    the batch equivalent of an applyInPandasWithState counter (streaming
+    twin exercised in tests/test_streaming.py)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id").rowsBetween(W.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+        r2(F.sum("value").over(w)).alias("sum_so_far"),
+    )
+
+
+I7_ORACLE = """
+SELECT event_id, user_id, c_mktsegment, value
+FROM events JOIN customer ON user_id = c_custkey
+"""
+
+
+@register("i7_stream_static_join", oracle=I7_ORACLE, group="I")
+def i7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-side enrichment against a broadcast dimension (identical
+    construct joins a readStream df in the streaming tests)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    return ev.join(
+        F.broadcast(c), ev.user_id == c.c_custkey
+    ).select("event_id", "user_id", "c_mktsegment", "value")
+
+
+@register("i8_output_modes", oracle=None, group="I")
+def i8_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-mode surface: the complete-mode aggregate (append/update/
+    complete behavior of this same query is asserted in streaming tests)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

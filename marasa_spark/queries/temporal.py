@@ -1,0 +1,93 @@
+"""Temporal joins — c9 range join, c10 as-of join (SURVEY.md §2.C).
+
+c9 keeps an equi key (l_orderkey = o_orderkey) so Catalyst plans a hash /
+sort-merge join with the band as a residual filter — never a nested loop.
+c10 uses the ops.asof operator (band join + latest-prior window; see
+ops/asof.py for the merge_asof scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from marasa_spark.catalog import load_table
+from marasa_spark.ops.asof import asof_join
+from marasa_spark.queries._util import r2, r2sql
+from marasa_spark.registry import register
+
+C9_ORACLE = f"""
+SELECT o_orderpriority,
+       count(*)                                         AS n,
+       {r2sql("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+FROM orders JOIN lineitem
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderpriority
+"""
+
+
+@register("c9_join_range", oracle=C9_ORACLE, group="C")
+def c9_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + band predicate: hash join on the order key, band as residual."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        o.join(li, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# Oracle authored as an explicit latest-prior window (NOT DuckDB ASOF JOIN:
+# its WHERE-on-right-attrs semantics filter after matching — SURVEY §2.C
+# trap — and window SQL is dialect-identical anyway).
+C10_ORACLE = """
+SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+FROM (
+  SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+         p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+)
+WHERE rn = 1
+"""
+
+
+@register("c10_join_asof", oracle=C10_ORACLE, group="C")
+def c10_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest prior click for each purchase, per user."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_seq="click_id",
+        left_seq="purchase_id",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")

@@ -1,0 +1,160 @@
+"""Streaming↔batch equivalence tests (SURVEY.md §5.5).
+
+The I-group oracle entries run their constructs in batch; these tests run
+the same constructs as real micro-batched streams (4 time-ordered file
+chunks, availableNow) and assert the results coincide — the assumption
+behind the I-group oracles.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from marasa_spark.catalog import load_table
+from marasa_spark.streaming.runtime import (
+    read_event_stream,
+    run_to_memory,
+    stage_event_chunks,
+)
+
+SCRATCH = "/root/repo/_scratch/streaming_tests"
+
+
+@pytest.fixture(scope="module")
+def chunk_dir(spark, sf_dir):
+    d = f"{SCRATCH}/chunks"
+    stage_event_chunks(spark, sf_dir, d, n_chunks=4)
+    return d
+
+
+@pytest.fixture(scope="module")
+def dup_chunk_dir(spark, sf_dir):
+    d = f"{SCRATCH}/chunks_dup"
+    stage_event_chunks(spark, sf_dir, d, n_chunks=4, repeat=2)
+    return d
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, chunk_dir):
+    """i1: complete-mode windowed agg over micro-batches == batch agg."""
+    stream = read_event_stream(spark, chunk_dir)
+    agg = lambda df: (
+        df.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+    got = sorted(map(tuple, run_to_memory(agg(stream), "complete").collect()))
+    want = sorted(map(tuple, agg(load_table(spark, sf_dir, "events")).collect()))
+    assert got == want
+
+
+def test_stream_dedup_across_batches(spark, sf_dir, dup_chunk_dir):
+    """i5: dropDuplicates state dedups row replays across micro-batches."""
+    stream = read_event_stream(spark, dup_chunk_dir).select("event_id", "user_id")
+    out = run_to_memory(stream.dropDuplicates(["event_id"]), "append")
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
+
+
+def test_stream_stateful_counter(spark, sf_dir, chunk_dir):
+    """i6: applyInPandasWithState running counter — final per-user count
+    equals the batch groupBy count."""
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        (uid,) = key
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [uid], "n": [n]})
+
+    stream = read_event_stream(spark, chunk_dir)
+    out = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            fn, "user_id long, n long", "n long", "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    sink = run_to_memory(out, "update")
+    # update mode emits one row per (user, batch); the final state is the max
+    got = {
+        r["user_id"]: r["mx"]
+        for r in sink.groupBy("user_id").agg(F.max("n").alias("mx")).collect()
+    }
+    want = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_watermark_append_mode(spark, sf_dir, chunk_dir):
+    """i4/i8: append mode with a watermark emits only finalized windows, and
+    every emitted window matches the batch result exactly."""
+    stream = read_event_stream(spark, chunk_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+    got = {(r["win_start"], r["event_type"]): r["n"] for r in run_to_memory(agg, "append").collect()}
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r["win_start"], r["event_type"]): r["n"]
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+        .collect()
+    }
+    assert got, "append mode emitted nothing — watermark never advanced"
+    assert set(got) <= set(want)
+    assert all(want[k] == v for k, v in got.items())
+
+
+def test_stream_static_join(spark, sf_dir, chunk_dir):
+    """i7: stream⋈static enrichment equals the batch join."""
+    c = load_table(spark, sf_dir, "customer")
+    stream = read_event_stream(spark, chunk_dir)
+    joined = stream.join(F.broadcast(c), stream.user_id == c.c_custkey).select(
+        "event_id", "c_mktsegment"
+    )
+    out = run_to_memory(joined, "append")
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.join(F.broadcast(c), ev.user_id == c.c_custkey).count()
+    assert out.count() == want
+
+
+def test_stream_output_modes(spark, sf_dir, chunk_dir):
+    """i8: complete vs update modes of the same aggregate; complete's final
+    answer equals batch."""
+    stream = read_event_stream(spark, chunk_dir)
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    complete = run_to_memory(agg, "complete")
+    got = {r["event_type"]: r["n"] for r in complete.collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    # update mode re-emits changed keys per batch: cumulative max == final
+    update = run_to_memory(
+        read_event_stream(spark, chunk_dir).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+        "update",
+    )
+    got_update = {
+        r["event_type"]: r["mx"]
+        for r in update.groupBy("event_type").agg(F.max("n").alias("mx")).collect()
+    }
+    assert got_update == want
