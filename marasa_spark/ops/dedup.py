@@ -1,0 +1,188 @@
+"""Deduplication family for training-data pipelines (SURVEY.md §2.K k4/k5;
+north star: exact, MinHash-LSH, SimHash, n-gram Jaccard dedup).
+
+All built-in expressions (hashing via xxhash64/md5, set ops via array
+functions) — no Python in the data path.
+
+Scale notes (100 TB):
+* exact dedup — one shuffle on the content hash; skew-safe (hash keys are
+  uniform by construction).
+* pairwise Jaccard is O(n²) — correct-but-small-scale reference; MinHash-LSH
+  is the scale path: O(n·H) signature pass, candidates only within LSH
+  buckets (banding), exact Jaccard verification on candidates only. With b
+  bands of r rows the match probability curve is 1-(1-s^r)^b — pick
+  (b, r) for the target threshold.
+* SimHash — 64-bit signature per doc in one pass; near-dup = small Hamming
+  distance; bucketing on bit-blocks gives the LSH analogue for cosine-ish
+  token-weight similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column, distinct: bool = True) -> Column:
+    t = F.split(text, " ")
+    return F.array_distinct(t) if distinct else t
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Character n-gram shingle set (the classic MinHash input unit)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: text.substr(i, F.lit(n))))
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct content with the
+    kept representative (min id) and the duplicate count."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """All-pairs exact Jaccard over distinct token sets (O(n²) reference
+    implementation; use minhash_lsh_pairs at scale)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_a"), tokens(F.col(text_col)).alias("toks_a")
+    )
+    toks_b = df.select(
+        F.col(id_col).alias("doc_b"), tokens(F.col(text_col)).alias("toks_b")
+    )
+    pairs = toks.join(toks_b, F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signature(toks: Column, num_hashes: int) -> Column:
+    """MinHash signature: for seed i, min over tokens of xxhash64(i, token).
+    One JVM-side expression — no UDF."""
+    return F.array(
+        *[
+            F.array_min(F.transform(toks, lambda t: F.xxhash64(F.lit(i), t)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + LSH banding + exact-Jaccard verification.
+
+    shingle→minhash→band→bucket-join: candidates are only pairs sharing at
+    least one band bucket; each candidate is verified with exact Jaccard so
+    the output has no false positives (recall is probabilistic, tuned by
+    (bands, rows-per-band))."""
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        tokens(F.col(text_col)).alias("toks"),
+    ).withColumn("sig", minhash_signature(F.col("toks"), num_hashes))
+    banded = sig.select(
+        "doc",
+        "toks",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "toks", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.toks").alias("toks_a"),
+            F.col("b.toks").alias("toks_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(toks: Column, bits: int = 64) -> Column:
+    """64-bit SimHash of a token array: per bit k, sum ±1 over token hashes'
+    bit k; bit k of the result is 1 iff the sum is positive.
+
+    The bit loop unrolls in Python (shift counts must be literals), giving
+    one flat JVM expression — no UDF, no shuffle."""
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_vote(k: int):
+        # closure (not a default arg: pyspark introspects lambda arity and
+        # would bind an extra arg as a lambda variable)
+        def merge(acc, h):
+            return acc + (F.shiftright(h, k).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+
+        return F.aggregate(hashes, F.lit(0), merge)
+
+    out = F.lit(0).cast("long")
+    for k in range(bits):
+        vote = bit_vote(k)
+        bit_val = (1 << k) if k < 63 else -(2**63)  # bit 63 = sign bit of long
+        out = out.bitwiseOR(
+            F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance (reference O(n²) compare;
+    scale path buckets on 16-bit blocks first — a pair within distance d
+    shares at least one of d+1 blocks exactly)."""
+    sigs = df.select(
+        F.col(id_col).alias("doc"), simhash64(tokens(F.col(text_col))).alias("sh")
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -5,6 +5,7 @@ from marasa_spark.queries import (  # noqa: F401
     aggregates,
     functions,
     joins,
+    llm,
     logstore,
     relational,
     scans,

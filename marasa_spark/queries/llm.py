@@ -1,0 +1,498 @@
+"""Group K — LLM-training-data pipeline operators (SURVEY.md §2.K + the
+north star's dedup / similarity / multimodal / text-analysis expansion).
+
+k1-k8 are the SURVEY §2 contract; k9-k17 extend it with the scale-path
+variants (MinHash-LSH, SimHash, embedding near-dup, lang-ID, quality
+scoring, token counting, fingerprinting, IVF ANN, multimodal binary).
+Implementations live in marasa_spark/ops/ — these entries wire them to
+testdata + DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from marasa_spark.catalog import load_table
+from marasa_spark.ops import dedup as D
+from marasa_spark.ops import multimodal as M
+from marasa_spark.ops import similarity as S
+from marasa_spark.ops import text as T
+from marasa_spark.queries._util import r2, r2sql
+from marasa_spark.registry import register
+
+
+def cos_sql(a: str, b: str) -> str:
+    """DuckDB double-precision cosine with the same sequential fold order as
+    ops.similarity.cosine (bit-compatible; the builtin
+    list_cosine_similarity accumulates in float32 and is NOT oracle-safe)."""
+    def sq(v: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({v})+1),"
+            f" i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE)))"
+        )
+
+    dot = (
+        f"list_sum(list_transform(range(1, len({a})+1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    return f"({dot} / (sqrt({sq(a)}) * sqrt({sq(b)})))"
+
+
+# ---------------------------------------------------------------------------
+# k1-k3 — text aggregation / profiling / rule-based classification
+# ---------------------------------------------------------------------------
+
+K1_ORACLE = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+"""
+
+
+@register("k1_word_count", oracle=K1_ORACLE, group="K")
+def k1_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + term frequency (the canonical map-side-combine shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+K2_ORACLE = f"""
+SELECT lang, source, count(*) AS n,
+       {r2sql("avg(n_chars)")} AS avg_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
+@register("k2_lang_stats", oracle=K2_ORACLE, group="K")
+def k2_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language/source corpus profile."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        r2(F.avg("n_chars")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_CLS_JOIN = "(^| )(join|merge)( |$)"
+_CLS_WIN = "(^| )(window|partition)( |$)"
+_CLS_AGG = "(^| )(sum|count|avg)( |$)"
+
+K3_ORACLE = f"""
+SELECT CASE WHEN regexp_matches(text, '{_CLS_JOIN}') THEN 'join-y'
+            WHEN regexp_matches(text, '{_CLS_WIN}') THEN 'window-y'
+            WHEN regexp_matches(text, '{_CLS_AGG}') THEN 'agg-y'
+            ELSE 'other' END AS doc_class,
+       count(*) AS n
+FROM documents
+GROUP BY doc_class
+"""
+
+
+@register("k3_keyword_class", oracle=K3_ORACLE, group="K")
+def k3_keyword_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based text classification (keyword rules, first match wins)."""
+    d = load_table(spark, sf_dir, "documents")
+    cls = (
+        F.when(F.col("text").rlike(_CLS_JOIN), "join-y")
+        .when(F.col("text").rlike(_CLS_WIN), "window-y")
+        .when(F.col("text").rlike(_CLS_AGG), "agg-y")
+        .otherwise("other")
+    )
+    return d.select(cls.alias("doc_class")).groupBy("doc_class").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k4/k5 — dedup (exact + near)
+# ---------------------------------------------------------------------------
+
+K4_ORACLE = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents
+GROUP BY content_hash
+"""
+
+
+@register("k4_dedup_exact", oracle=K4_ORACLE, group="K")
+def k4_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: representative (min id) + copy count.
+    (sf0.1 contains 8 exact dup texts; smaller sfs have none — both states
+    hash-check.)"""
+    return D.exact_dup_groups(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+K5_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / (CAST(na.n + nb.n AS DOUBLE) - CAST(i AS DOUBLE)) AS jaccard
+FROM inter
+JOIN cnt na ON doc_a = na.doc_id
+JOIN cnt nb ON doc_b = nb.doc_id
+WHERE CAST(i AS DOUBLE) / (CAST(na.n + nb.n AS DOUBLE) - CAST(i AS DOUBLE)) >= 0.9
+"""
+
+
+@register("k5_dedup_near", oracle=K5_ORACLE, group="K")
+def k5_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact token-set Jaccard ≥ 0.9 (O(n²) reference;
+    k9 is the MinHash-LSH scale path over the same data)."""
+    return D.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.9
+    )
+
+
+# ---------------------------------------------------------------------------
+# k6/k7 — similarity search + kNN classification
+# ---------------------------------------------------------------------------
+
+_K6_COS_R6 = r2sql(cos_sql("q.embedding", "c.embedding"), 6)
+
+K6_ORACLE = f"""
+SELECT q_id, c_id, sim, rank
+FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         {_K6_COS_R6} AS sim,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_K6_COS_R6} DESC, c.vec_id) AS rank
+  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+  JOIN embeddings c ON c.vec_id <> q.vec_id
+)
+WHERE rank <= 5
+"""
+
+
+@register("k6_sim_cosine_topk", oracle=K6_ORACLE, group="K")
+def k6_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors for each probe vector (brute force; the probe
+    side broadcasts, corpus streams — see ops/similarity.py scale notes)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return S.cosine_topk(queries, corpus, k=5)
+
+
+_K7_COS_R6 = r2sql(cos_sql("q.embedding", "c.embedding"), 6)
+
+K7_ORACLE = f"""
+WITH nn AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_K7_COS_R6} DESC, c.vec_id) AS rank
+    FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+    JOIN embeddings c ON c.vec_id <> q.vec_id
+  ) WHERE rank <= 5
+), votes AS (
+  SELECT q_id, label, count(*) AS votes
+  FROM nn JOIN embeddings ON c_id = vec_id
+  GROUP BY q_id, label
+)
+SELECT q_id, label AS pred_label, votes
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY votes DESC, label) AS vrank
+      FROM votes)
+WHERE vrank = 1
+"""
+
+
+@register("k7_knn_label", oracle=K7_ORACLE, group="K")
+def k7_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-label vote (deterministic tiebreak: min label)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    neighbors = S.cosine_topk(queries, corpus, k=5).select("q_id", "c_id")
+    labels = e.select(F.col("vec_id").alias("c_id"), "label")
+    return S.knn_label_vote(neighbors, labels, "q_id", "c_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# k8 — multimodal struct column (text ⋈ embedding)
+# ---------------------------------------------------------------------------
+
+K8_ORACLE = """
+SELECT doc_id, lang, n_chars, label, CAST(len(embedding) AS INT) AS dim
+FROM documents JOIN embeddings ON doc_id = vec_id
+"""
+
+
+@register("k8_multimodal", oracle=K8_ORACLE, group="K")
+def k8_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal record: text + vector in one struct column; the oracle
+    checks the projected scalar fields (struct rendering is dialect-bound)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id).withColumn(
+        "record",
+        F.struct("text", "embedding", "lang", "label"),
+    )
+    return joined.select(
+        "doc_id",
+        F.col("record.lang").alias("lang"),
+        "n_chars",
+        F.col("record.label").alias("label"),
+        F.size("record.embedding").alias("dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k9/k10 — the dedup scale paths (engine-hash-based → rows-only oracles;
+# recall/precision vs exact Jaccard asserted in tests/test_llm_ops.py)
+# ---------------------------------------------------------------------------
+
+
+@register("k9_dedup_minhash_lsh", oracle=None, group="K")
+def k9_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates, exact-Jaccard-verified (xxhash64
+    signatures aren't reproducible in DuckDB → rows-only; tests assert
+    parity with k5's exact pairs)."""
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=32,
+        bands=16,
+        threshold=0.9,
+    )
+
+
+@register("k10_dedup_simhash", oracle=None, group="K")
+def k10_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures per document (rows-only: xxhash64-based)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", D.simhash64(D.tokens(F.col("text"))).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# k11 — embedding-cosine near-dup pairs (hash oracle, double math)
+# ---------------------------------------------------------------------------
+
+_K11_COS = r2sql(cos_sql("a.embedding", "b.embedding"), 6)
+
+K11_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_K11_COS} AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_K11_COS} >= 0.35
+"""
+
+
+@register("k11_embed_neardup", oracle=K11_ORACLE, group="K")
+def k11_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold picked to be
+    non-trivial on N(0,1)-ish vectors; LSH bucketing is the scale path)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    sim = r2(S.cosine(F.col("ea"), F.col("eb")), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= 0.35)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k12-k15 — text analysis (lang-ID, quality, token counting, fingerprints)
+# ---------------------------------------------------------------------------
+
+_ZH = "[一-鿿]"
+_FR = "(^| )(le|la|les|et|des|une?)( |$)"
+_ES = "(^| )(el|los|las|y|una?)( |$)"
+_DE = "(^| )(der|die|das|und|eine?)( |$)"
+
+K12_ORACLE = f"""
+SELECT doc_id, lang AS declared_lang,
+       CASE WHEN regexp_matches(text, '{_ZH}') THEN 'zh'
+            WHEN regexp_matches(text, '{_FR}') THEN 'fr'
+            WHEN regexp_matches(text, '{_ES}') THEN 'es'
+            WHEN regexp_matches(text, '{_DE}') THEN 'de'
+            ELSE 'en' END AS guessed_lang
+FROM documents
+"""
+
+
+@register("k12_lang_id", oracle=K12_ORACLE, group="K")
+def k12_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based language ID (charset + stopword markers)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        T.lang_id(F.col("text")).alias("guessed_lang"),
+    )
+
+
+_QF_TOKS = "string_split(text, ' ')"
+K13_ORACLE = f"""
+SELECT doc_id,
+       CAST(length(text) AS DOUBLE)                   AS n_chars,
+       CAST(len({_QF_TOKS}) AS DOUBLE)                AS n_tokens,
+       {r2sql("(CAST(length(text) AS DOUBLE) - (CAST(len(" + _QF_TOKS + ") AS DOUBLE) - 1)) / CAST(len(" + _QF_TOKS + ") AS DOUBLE)", 4)} AS avg_token_len,
+       {r2sql("CAST(len(list_filter(" + _QF_TOKS + ", t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / CAST(len(" + _QF_TOKS + ") AS DOUBLE)", 4)} AS stopword_ratio,
+       {r2sql("CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)", 4)} AS digit_ratio
+FROM documents
+"""
+
+
+@register("k13_quality_score", oracle=K13_ORACLE, group="K")
+def k13_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap quality signals (the standard corpus pre-filter features)."""
+    d = load_table(spark, sf_dir, "documents")
+    q = T.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        r2(q["avg_token_len"], 4).alias("avg_token_len"),
+        r2(q["stopword_ratio"], 4).alias("stopword_ratio"),
+        r2(q["digit_ratio"], 4).alias("digit_ratio"),
+    )
+
+
+K14_ORACLE = f"""
+SELECT doc_id,
+       CAST(len({_QF_TOKS}) AS BIGINT) AS n_ws_tokens,
+       CAST(list_sum(list_transform({_QF_TOKS},
+            t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_est
+FROM documents
+"""
+
+
+@register("k14_token_count", oracle=K14_ORACLE, group="K")
+def k14_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish subword token counting."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = T.token_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        tc["n_ws_tokens"].cast("long").alias("n_ws_tokens"),
+        tc["n_subword_est"].cast("long").alias("n_subword_est"),
+    )
+
+
+K15_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT doc_id, md5(string_agg(w, ' ' ORDER BY w)) AS bow_fp
+FROM tok
+GROUP BY doc_id
+"""
+
+
+@register("k15_fingerprint", oracle=K15_ORACLE, group="K")
+def k15_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words document fingerprint (order/multiplicity-invariant
+    near-dup pre-key); the char-level rolling hash lives in ops.text with
+    unit tests (no SQL-expressible oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.bow_fingerprint(F.col("text")).alias("bow_fp"))
+
+
+# ---------------------------------------------------------------------------
+# k16 — IVF-style ANN (cluster-pruned similarity search, hash oracle)
+# ---------------------------------------------------------------------------
+
+_ASG_COS = r2sql(cos_sql("e.embedding", "cent.c"), 6)
+_PROBE_COS = r2sql(cos_sql("p.qe", "m.me"), 6)
+
+K16_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < 4
+), asg AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, cent.cent_id AS cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_ASG_COS} DESC, cent.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE rn = 1
+), probes AS (
+  SELECT e.vec_id AS q_id, e.embedding AS qe, asg.cluster AS q_cluster
+  FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id
+  WHERE e.vec_id < 10
+), members AS (
+  SELECT e.vec_id AS c_id, e.embedding AS me, asg.cluster
+  FROM embeddings e JOIN asg ON e.vec_id = asg.vec_id
+)
+SELECT q_id, cluster, c_id, sim, rank FROM (
+  SELECT p.q_id, m.cluster, m.c_id,
+         {_PROBE_COS} AS sim,
+         row_number() OVER (PARTITION BY p.q_id
+                            ORDER BY {_PROBE_COS} DESC, m.c_id) AS rank
+  FROM probes p JOIN members m
+    ON m.cluster = p.q_cluster AND m.c_id <> p.q_id
+) WHERE rank <= 3
+"""
+
+
+@register("k16_ann_ivf", oracle=K16_ORACLE, group="K")
+def k16_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign vectors to nearest of 4 fixed centroids, probe only
+    the query's own cluster for top-3 — the partition-pruned search shape
+    (recall vs k6 brute force asserted in tests)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    centroids = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    assigned = S.ivf_assign(corpus, centroids)
+    probes = (
+        assigned.filter(F.col("c_id") < 10)
+        .select(
+            F.col("c_id").alias("q_id"),
+            F.col("c_vec").alias("q_vec"),
+            F.col("cluster").alias("q_cluster"),
+        )
+    )
+    members = assigned.select("c_id", "c_vec", "cluster")
+    pairs = members.join(
+        F.broadcast(probes),
+        (F.col("cluster") == F.col("q_cluster")) & (F.col("q_id") != F.col("c_id")),
+    ).withColumn("sim", r2(S.cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "cluster", "c_id", "sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k17 — multimodal binary plumbing (stubbed codec, real Spark shape)
+# ---------------------------------------------------------------------------
+
+
+@register("k17_multimodal_binary", oracle=None, group="K")
+def k17_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + mapInPandas 'decode' (deterministic stub —
+    real codecs aren't installed; Spark-side schema/batching is real)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = M.attach_binary_payload(d, "doc_id", "text")
+    return M.decode_media(media)
