@@ -9,7 +9,9 @@ from marasa_spark.queries import (  # noqa: F401
     logstore,
     relational,
     scans,
+    sinks,
     streaming,
     temporal,
+    udx,
     windows,
 )

@@ -1,0 +1,64 @@
+"""Group A (source/sink part) — text-format ingestion + parquet sink
+(SURVEY.md §2 a2/a3). Rows-only contracts (no oracle views exist for
+scratch files); round-trip integrity is asserted in tests/test_sources.py.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from marasa_spark.catalog import load_table
+from marasa_spark.registry import register
+
+SCRATCH = "/root/repo/_scratch"
+
+
+def _fresh(kind: str, sf_dir: str) -> str:
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    d = f"{SCRATCH}/{kind}_{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
+@register("a2_source_csv_json", oracle=None, group="A")
+def a2_source_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON ingestion with explicit schemas (no inference in prod —
+    a schema mismatch should fail loudly, not silently coerce): documents
+    round-trip through both formats, joined back together."""
+    d = _fresh("a2_text", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").option("header", True).csv(f"{d}/csv")
+    load_table(spark, sf_dir, "documents").select("doc_id", "text").write.mode(
+        "overwrite"
+    ).json(f"{d}/json")
+
+    from_csv = spark.read.schema("doc_id long, lang string, source string, n_chars long").csv(
+        f"{d}/csv", header=True
+    )
+    from_json = spark.read.schema("doc_id long, text string").json(f"{d}/json")
+    return from_csv.join(from_json, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars", F.length("text").alias("text_len")
+    )
+
+
+@register("a3_sink_parquet", oracle=None, group="A")
+def a3_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink: append twice, read back — append mode must add files,
+    never rewrite (the log-structured write discipline)."""
+    d = _fresh("a3_parquet", sf_dir)
+    result = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    result.write.mode("append").parquet(d)
+    result.write.mode("append").parquet(d)  # second append → doubled rows
+    back = spark.read.parquet(d)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("n").alias("total")
+    )
