@@ -206,12 +206,23 @@ GROUP BY l_returnflag
 @register("d8_agg_percentile", oracle=D8_ORACLE, group="D")
 def d8_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark `percentile` ↔ DuckDB
-    `percentile_cont` — verified value-exact in the survey)."""
+    `percentile_cont` — verified value-exact in the survey).
+
+    All three percentiles come from ONE aggregation buffer (array form) —
+    one sort of the group's values instead of three."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        r2(F.percentile(F.col("l_extendedprice"), F.lit(0.25))).alias("p25"),
-        r2(F.percentile(F.col("l_extendedprice"), F.lit(0.50))).alias("median"),
-        r2(F.percentile(F.col("l_extendedprice"), F.lit(0.75))).alias("p75"),
+    ps = F.percentile(
+        F.col("l_extendedprice"), F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(ps.alias("_ps"))
+        .select(
+            "l_returnflag",
+            r2(F.col("_ps")[0]).alias("p25"),
+            r2(F.col("_ps")[1]).alias("median"),
+            r2(F.col("_ps")[2]).alias("p75"),
+        )
     )
 
 

@@ -47,27 +47,38 @@ GROUP BY n_name
 
 @register("c2_join_multiway", oracle=C2_ORACLE, group="C")
 def c2_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-table star join (TPC-H Q5 shape): broadcast dims, shuffle facts.
+    """5-table star join (TPC-H Q5 shape), structured so the BIGGEST fact
+    (lineitem) streams and never builds a hash side.
 
-    The region filter reaches the nation⋈region broadcast before the fact
-    shuffle, so only ASIA customers flow into the big join.
+    The filtered order side (orders⋈customer⋈nation⋈region — region/date
+    predicates applied first) collapses to a narrow (o_orderkey, n_name)
+    relation that joins into the lineitem scan; left to its own file-size
+    stats Catalyst would happily broadcast the whole lineitem table at
+    small scale factors, which inverts build/stream and dies at 100 TB.
+    The big-side aggregate is partial before the final 25-key shuffle.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        c.join(
-            o.filter(
-                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-            ),
-            c.c_custkey == o.o_custkey,
+    order_side = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("o_orderkey", "n_name")
+    )
+    # Broadcast the narrow filtered side so the fact NEVER builds the hash
+    # table (measured: Catalyst's file-size stats otherwise build lineitem).
+    # If the filtered side outgrows broadcast size at extreme scale, drop
+    # the hint — AQE falls back to a shuffle join; the structure (narrow
+    # filtered side vs streaming fact) is what carries to 100 TB.
+    return (
+        li.join(F.broadcast(order_side), li.l_orderkey == F.col("o_orderkey"))
         .groupBy("n_name")
         .agg(
             r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
