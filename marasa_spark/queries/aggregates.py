@@ -242,6 +242,64 @@ def d9_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# d11/d12 — pivot / unpivot (Expand + agg; oracle = conditional aggregation)
+# ---------------------------------------------------------------------------
+
+D11_ORACLE = f"""
+SELECT l_returnflag,
+       {r2sql("sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)")} AS qty_O,
+       {r2sql("sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)")} AS qty_F
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("d11_pivot", oracle=D11_ORACLE, group="D")
+def d11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (never let pivot scan for distinct
+    values at scale — that's an extra full pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(r2(F.sum("l_quantity")))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_O"),
+            F.col("F").alias("qty_F"),
+        )
+    )
+
+
+D12_ORACLE = f"""
+SELECT l_returnflag, 'O' AS linestatus,
+       {r2sql("sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)")} AS qty
+FROM lineitem GROUP BY l_returnflag
+UNION ALL
+SELECT l_returnflag, 'F' AS linestatus,
+       {r2sql("sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)")} AS qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("d12_unpivot", oracle=D12_ORACLE, group="D")
+def d12_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the d11 pivot back to long form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(r2(F.sum("l_quantity")))
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["O", "F"],
+        variableColumnName="linestatus",
+        valueColumnName="qty",
+    )
+
+
 D10_ORACLE = """
 SELECT n_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS names
 FROM nation JOIN supplier ON s_nationkey = n_nationkey

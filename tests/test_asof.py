@@ -1,0 +1,49 @@
+"""Equivalence of the two as-of join implementations (ops/asof.py): the
+band-join+window variant (the oracle-checked c10 path) and the
+merge_asof-per-group cogroup variant (the linear-time 100 TB path) must
+agree row-for-row."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from marasa_spark.catalog import load_table
+from marasa_spark.ops.asof import asof_join, asof_join_grouped
+
+
+def test_grouped_asof_matches_window_asof(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    window_rows = {
+        (r["purchase_id"], r["click_id"])
+        for r in asof_join(
+            purchases,
+            clicks,
+            on="user_id",
+            left_ts="purchase_ts",
+            right_ts="click_ts",
+            right_seq="click_id",
+            left_seq="purchase_id",
+        ).collect()
+    }
+    grouped_rows = {
+        (r["purchase_id"], r["click_id"])
+        for r in asof_join_grouped(
+            purchases,
+            clicks,
+            on="user_id",
+            left_ts="purchase_ts",
+            right_ts="click_ts",
+        ).collect()
+    }
+    assert window_rows == grouped_rows
+    assert len(window_rows) > 0

@@ -1,0 +1,82 @@
+"""Plan audits: the 100 TB posture encoded as assertions on .explain output
+(SURVEY.md §4). A passing correctness suite with a wrong plan shape is a
+latent scale bug — these tests pin the shapes we designed for:
+
+* predicates/projections reach the Parquet scan (PushedFilters/ReadSchema);
+* dimension joins broadcast, and the BIG fact is never the build side;
+* global top-k plans as TakeOrderedAndProject (no full sort);
+* no BroadcastNestedLoop/Cartesian outside the ops that mean it (c8/c11);
+* whole-stage codegen covers the relational hot paths.
+"""
+
+from __future__ import annotations
+
+from marasa_spark.registry import REGISTRY, queries_map
+
+queries_map()
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, qid: str, execute: bool = False) -> str:
+    df = REGISTRY[qid].fn(spark, SF)
+    if execute:
+        # AQE reveals the final (codegen-annotated) plan only after running
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "b2_filter_pred")
+    assert "PushedFilters: [" in plan
+    assert "In(o_orderstatus" in plan or "o_orderstatus" in plan.split("PushedFilters")[1][:400]
+
+
+def test_projection_pruning(spark):
+    plan = plan_of(spark, "b1_project")
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_custkey" in read and "c_acctbal" in read
+    assert "c_mktsegment" not in read, "unused column not pruned from scan"
+
+
+def test_dim_join_broadcasts(spark):
+    plan = plan_of(spark, "c1_join_inner")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_multiway_join_streams_the_fact(spark):
+    """lineitem must never be a broadcast build side."""
+    plan = plan_of(spark, "c2_join_multiway")
+    for frag in plan.split("BroadcastExchange")[1:]:
+        built = frag.split("BroadcastHashJoin")[0] if "BroadcastHashJoin" in frag else frag
+        assert "lineitem.parquet" not in built.split("Exchange")[0], (
+            "the big fact is being broadcast/built — build/stream inversion"
+        )
+
+
+def test_global_topk_avoids_full_sort(spark):
+    plan = plan_of(spark, "f2_topk_global")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_no_unintended_nested_loops(spark):
+    intended = {"c8_join_cross", "c11_join_theta", "k5_dedup_near", "k11_embed_neardup"}
+    for qid, spec in REGISTRY.items():
+        if spec.group not in {"B", "C", "D", "E", "F", "G"} or qid in intended:
+            continue
+        plan = plan_of(spark, qid)
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+            f"{qid}: unintended nested-loop join"
+        )
+
+
+def test_codegen_covers_hot_paths(spark):
+    for qid in ["d1_agg_hash", "c2_join_multiway", "b4_expr_arith"]:
+        plan = plan_of(spark, qid, execute=True)
+        assert "*(" in plan, f"{qid}: no WholeStageCodegen spans in plan"
+
+
+def test_session_window_single_shuffle(spark):
+    plan = plan_of(spark, "i3_win_session")
+    assert plan.count("Exchange hashpartitioning") == 1, "session windows should shuffle once"
