@@ -26,6 +26,11 @@ def r2(col: Column, n: int = 2) -> Column:
 
 
 def r2sql(expr: str, n: int = 2) -> str:
-    """The DuckDB/ANSI-SQL twin of :func:`r2` (identical op sequence)."""
-    m = 10**n
-    return f"floor(({expr}) * {m}.0 + 0.5) / {m}.0"
+    """The DuckDB/ANSI-SQL twin of :func:`r2` (identical op sequence).
+
+    The scale factor is CAST to DOUBLE explicitly: a bare ``100.0`` literal
+    parses as DECIMAL in both engines — DuckDB still computes the division
+    in double, but Spark's SQL front-end would switch to decimal division
+    and change the result type (breaking DataFrame↔SQL parity)."""
+    m = f"CAST({10**n} AS DOUBLE)"
+    return f"floor(({expr}) * {m} + CAST(0.5 AS DOUBLE)) / {m}"

@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) for the ops library against pure-Python
+reference models — random inputs, not just the testdata distributions."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from marasa_spark.ops.asof import asof_join
+from marasa_spark.ops.dedup import char_shingles, jaccard_pairs
+
+# -- as-of join ------------------------------------------------------------
+
+event = st.tuples(
+    st.integers(0, 2),      # key
+    st.integers(0, 1000),   # ts offset (seconds; may collide → seq breaks tie)
+)
+events_list = st.lists(event, min_size=1, max_size=20)
+
+
+def _ts(offset: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=offset)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lefts=events_list, rights=events_list)
+def test_asof_join_matches_reference(spark, lefts, rights):
+    l_rows = [(i, k, _ts(t)) for i, (k, t) in enumerate(lefts)]
+    r_rows = [(i, k, _ts(t)) for i, (k, t) in enumerate(rights)]
+    l_df = spark.createDataFrame(l_rows, "l_id long, key long, l_ts timestamp")
+    r_df = spark.createDataFrame(r_rows, "r_id long, key long, r_ts timestamp")
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in asof_join(
+            l_df, r_df, on="key", left_ts="l_ts", right_ts="r_ts",
+            right_seq="r_id", left_seq="l_id",
+        ).collect()
+    }
+    # reference: for each left row, the right row with max (r_ts, r_id)
+    # among r_ts <= l_ts on the same key
+    want = set()
+    for l_id, lk, lts in l_rows:
+        cands = [(rts, r_id) for r_id, rk, rts in r_rows if rk == lk and rts <= lts]
+        if cands:
+            want.add((l_id, max(cands)[1]))
+    assert got == want
+
+
+# -- jaccard pairs ---------------------------------------------------------
+
+doc_text = st.lists(
+    st.sampled_from(["join", "filter", "scan", "sort", "agg", "map"]),
+    min_size=1,
+    max_size=6,
+).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(doc_text, min_size=2, max_size=8))
+def test_jaccard_pairs_matches_reference(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    want = {}
+    for i, ta in rows:
+        for j, tb in rows:
+            if i >= j:
+                continue
+            sa, sb = set(ta.split(" ")), set(tb.split(" "))
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= 0.5:
+                want[(i, j)] = round(jac, 9)
+    assert got == want
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([(1, "abcdefg"), (2, "abc")], "id long, t string")
+    got = {
+        r["id"]: r["sh"]
+        for r in df.select("id", char_shingles(F.col("t"), 5).alias("sh")).collect()
+    }
+    assert got[1] == ["abcde", "bcdef", "cdefg"]
+    assert got[2] == ["abc"]  # shorter than n → the single truncated shingle
