@@ -42,14 +42,20 @@ from pyspark.sql import functions as F
 from marasa_spark.session import ensure_session_configs
 
 LOG_SCHEMA = "ns string, key string, seqno long, ts timestamp, value string"
+# on disk, records carry a segment partition column: segment = the starting
+# seqno of the fixed-width seqno range the record falls in (marasa's "log
+# files split every N writes, named by starting seqno"). Partition pruning
+# on it turns time travel into a bounded read.
+DISK_SCHEMA = LOG_SCHEMA + ", segment long"
 
 
 class MarasaLog:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, segment_size: int = 100_000):
         self.spark = ensure_session_configs(spark)
         self.path = path.rstrip("/")
         self.log_dir = f"{self.path}/log"
         self.snap_dir = f"{self.path}/snapshot"
+        self.segment_size = segment_size
 
     # -- write path ---------------------------------------------------------
 
@@ -68,8 +74,11 @@ class MarasaLog:
             (F.row_number().over(w) + F.lit(base)).cast("long").alias("seqno"),
             F.col("ts").cast("timestamp"),
             F.col("value").cast("string"),
+        ).withColumn(
+            "segment",
+            (F.floor(F.col("seqno") / self.segment_size) * self.segment_size).cast("long"),
         )
-        batch.write.mode("append").partitionBy("ns").parquet(self.log_dir)
+        batch.write.mode("append").partitionBy("ns", "segment").parquet(self.log_dir)
         return self.max_seqno()
 
     def put(self, ns: str, **changes: str) -> int:
@@ -81,11 +90,11 @@ class MarasaLog:
 
     # -- metadata -----------------------------------------------------------
 
-    def _read_dir(self, d: str) -> DataFrame | None:
+    def _read_dir(self, d: str, schema: str = DISK_SCHEMA) -> DataFrame | None:
         if not os.path.isdir(d):
             return None
         try:
-            return self.spark.read.schema(LOG_SCHEMA).parquet(d)
+            return self.spark.read.schema(schema).parquet(d)
         except Exception:
             return None
 
@@ -145,7 +154,7 @@ class MarasaLog:
             return self.spark.createDataFrame([], LOG_SCHEMA)
         if ns is not None:
             log = log.filter(F.col("ns") == ns)  # partition-pruned
-        return self._fold_latest(log)
+        return self._fold_latest(log).drop("segment")
 
     def get(self, ns: str, key: str, seqno: int | None = None) -> str | None:
         """Point lookup (latest or as-of). The only collect in the class —
@@ -162,7 +171,10 @@ class MarasaLog:
             return self.spark.createDataFrame([], LOG_SCHEMA)
         if ns is not None:
             log = log.filter(F.col("ns") == ns)
-        return self._fold_latest(log.filter(F.col("seqno") <= seqno))
+        # segment pruning: the prefix can only live in segments whose start
+        # is <= seqno (null segment = pre-segmentation snapshot rows)
+        log = log.filter(F.col("segment").isNull() | (F.col("segment") <= seqno))
+        return self._fold_latest(log.filter(F.col("seqno") <= seqno)).drop("segment")
 
     def history(self, ns: str, key: str) -> DataFrame:
         """Ordered change history for one key (marasa ``history``), from the
@@ -171,7 +183,9 @@ class MarasaLog:
         if log is None:
             return self.spark.createDataFrame([], LOG_SCHEMA)
         return (
-            log.filter((F.col("ns") == ns) & (F.col("key") == key)).orderBy("seqno")
+            log.filter((F.col("ns") == ns) & (F.col("key") == key))
+            .orderBy("seqno")
+            .drop("segment")
         )
 
     def namespaces(self) -> DataFrame:

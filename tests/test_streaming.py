@@ -94,6 +94,65 @@ def test_stream_stateful_counter(spark, sf_dir, chunk_dir):
     assert got == want
 
 
+def test_stream_transform_with_state(spark, sf_dir, chunk_dir):
+    """i6 via the Spark-4-native transformWithStateInPandas API.
+
+    Requires google.protobuf for the state-server protocol — not installed
+    in this container (environment constraint, no pip) → skipped here;
+    runs wherever protobuf exists. applyInPandasWithState above is the
+    working stateful path either way.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not available; transformWithState needs it")
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class Counter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self.n = handle.getValueState("n", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self.n.get()[0] if self.n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self.n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+        def close(self):
+            pass
+
+    stream = read_event_stream(spark, chunk_dir)
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Counter(),
+        outputStructType="user_id long, n long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    sink = run_to_memory(out, "update")
+    got = {
+        r["user_id"]: r["mx"]
+        for r in sink.groupBy("user_id").agg(F.max("n").alias("mx")).collect()
+    }
+    want = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_stream_watermark_append_mode(spark, sf_dir, chunk_dir):
     """i4/i8: append mode with a watermark emits only finalized windows, and
     every emitted window matches the batch result exactly."""
