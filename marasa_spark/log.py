@@ -88,6 +88,11 @@ class MarasaLog:
         df = self.spark.createDataFrame(rows, "ns string, key string, value string")
         return self.append(df)
 
+    def write(self, ns: str, **changes: str) -> int:
+        """marasa ``write(ns, **changes)`` — alias of :meth:`put` (SURVEY
+        §0.4 lists both call shapes)."""
+        return self.put(ns, **changes)
+
     # -- metadata -----------------------------------------------------------
 
     def _read_dir(self, d: str, schema: str = DISK_SCHEMA) -> DataFrame | None:
@@ -175,6 +180,11 @@ class MarasaLog:
         # is <= seqno (null segment = pre-segmentation snapshot rows)
         log = log.filter(F.col("segment").isNull() | (F.col("segment") <= seqno))
         return self._fold_latest(log.filter(F.col("seqno") <= seqno)).drop("segment")
+
+    def read(self, ns: str, seqno: int) -> DataFrame:
+        """marasa ``read(ns, seqno)`` — namespace state as of a seqno
+        (alias of :meth:`asof` with the reference's argument shape)."""
+        return self.asof(seqno, ns=ns)
 
     def history(self, ns: str, key: str) -> DataFrame:
         """Ordered change history for one key (marasa ``history``), from the
