@@ -102,3 +102,17 @@ def test_log_replay_model(spark, tmp_base, steps):
     # point lookup
     some_ns, some_key = next(iter(model))
     assert store.get(some_ns, some_key) == model[(some_ns, some_key)]
+
+
+def test_marasa_call_shapes(spark, tmp_base):
+    """The reference's call shapes (SURVEY §0.4): put/write/get/read."""
+    store = MarasaLog(spark, str(tmp_base / "shapes"))
+    s1 = store.put("cfg", color="red", size="large")
+    assert s1 == 2
+    s2 = store.write("cfg", color="blue")
+    assert s2 == 3
+    assert store.get("cfg", "color") == "blue"
+    assert store.get("cfg", "size") == "large"
+    assert store.get("cfg", "color", seqno=s1) == "red"  # as-of read
+    asof_rows = {r["key"]: r["value"] for r in store.read("cfg", s1).collect()}
+    assert asof_rows["color"] == "red"
