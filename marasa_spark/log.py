@@ -61,13 +61,18 @@ class MarasaLog:
 
     def append(self, records: DataFrame) -> int:
         """Append change records (``ns,key,ts?,value`` columns); assigns the
-        next contiguous seqnos in the deterministic order (ns, key, ts).
-        Returns the new high-water seqno. Single-writer, like the reference.
+        next contiguous seqnos in the deterministic order (ns, key, ts,
+        value) — the value tiebreaker makes same-(key, ts) batches
+        order-deterministic too (identical full rows are interchangeable).
+        Returns the new high-water seqno (base + batch size — no re-scan).
+        Single-writer, like the reference.
         """
         base = self.max_seqno()
         if "ts" not in records.columns:
+            # current_timestamp() is a per-query constant, so rows in one
+            # batch tie on ts — the value tiebreaker below still orders them
             records = records.withColumn("ts", F.current_timestamp())
-        w = Window.orderBy("ns", "key", "ts")
+        w = Window.orderBy("ns", "key", "ts", "value")
         batch = records.select(
             F.col("ns").cast("string"),
             F.col("key").cast("string"),
@@ -78,8 +83,9 @@ class MarasaLog:
             "segment",
             (F.floor(F.col("seqno") / self.segment_size) * self.segment_size).cast("long"),
         )
+        n = records.count()  # batch size (cheap; avoids re-scanning the log)
         batch.write.mode("append").partitionBy("ns", "segment").parquet(self.log_dir)
-        return self.max_seqno()
+        return base + n
 
     def put(self, ns: str, **changes: str) -> int:
         """marasa ``put(ns, key=value, ...)`` — tiny-batch convenience over
@@ -96,12 +102,12 @@ class MarasaLog:
     # -- metadata -----------------------------------------------------------
 
     def _read_dir(self, d: str, schema: str = DISK_SCHEMA) -> DataFrame | None:
+        """None only when the directory doesn't exist (an empty store).
+        A directory that exists but can't be read RAISES — a corrupt log
+        must never be indistinguishable from an empty one."""
         if not os.path.isdir(d):
             return None
-        try:
-            return self.spark.read.schema(schema).parquet(d)
-        except Exception:
-            return None
+        return self.spark.read.schema(schema).parquet(d)
 
     def max_seqno(self) -> int:
         whole = self._full_log()

@@ -35,8 +35,11 @@ def asof_join(
     how: str = "inner",
 ) -> DataFrame:
     """Band-join + latest-prior window. Right columns keep their names;
-    every left column is preserved. ``left_seq`` (a unique left row id,
-    default ``left_ts`` — only safe if unique) keys the top-1 window.
+    every left column is preserved. ``left_seq`` (a unique left row id)
+    keys the top-1 window; without it the window falls back to
+    (key, left_ts) — correct only when (key, left_ts) identifies left rows
+    (the key must be included: partitioning on left_ts alone would collapse
+    same-timestamp rows of DIFFERENT keys into one survivor).
 
     Sides are aliased internally so self-joins (left and right carved from
     the same source) resolve unambiguously.
@@ -54,7 +57,8 @@ def asof_join(
     if tolerance is not None:
         cond = cond & (rcol(right_ts) >= lcol(left_ts) - tolerance)
     joined = l_df.join(r_df, cond, how).drop(rcol(on))
-    w = Window.partitionBy(lcol(left_seq or left_ts)).orderBy(
+    part = [lcol(left_seq)] if left_seq else [lcol(on), lcol(left_ts)]
+    w = Window.partitionBy(*part).orderBy(
         rcol(right_ts).desc(), rcol(right_seq).desc()
     )
     return (
@@ -70,12 +74,16 @@ def asof_join_grouped(
     on: str,
     left_ts: str,
     right_ts: str,
+    right_seq: str | None = None,
 ) -> DataFrame:
     """merge_asof per key group (the linear-time scale path).
 
     Column names of ``left`` and ``right`` must be disjoint apart from
     ``on``. Inner semantics: left rows without a prior right row are
     dropped. Output: all left columns + right columns except ``on``.
+    ``right_seq`` makes right_ts ties deterministic (max seq wins, matching
+    :func:`asof_join`) — merge_asof picks the LAST tied row, so a stable
+    sort on (right_ts, right_seq) pins the winner.
     """
     lcols = left.columns
     rcols = [c for c in right.columns if c != on]
@@ -87,13 +95,14 @@ def asof_join_grouped(
         for f in list(left.schema.fields)
         + [f for f in right.schema.fields if f.name != on]
     )
+    r_sort = [right_ts, right_seq] if right_seq else [right_ts]
 
     def merge(_key, pdf_l: pd.DataFrame, pdf_r: pd.DataFrame) -> pd.DataFrame:
         if len(pdf_l) == 0 or len(pdf_r) == 0:
             return pd.DataFrame(columns=lcols + rcols)
         merged = pd.merge_asof(
             pdf_l.sort_values(left_ts, kind="mergesort"),
-            pdf_r.drop(columns=[on]).sort_values(right_ts, kind="mergesort"),
+            pdf_r.drop(columns=[on]).sort_values(r_sort, kind="mergesort"),
             left_on=left_ts,
             right_on=right_ts,
             direction="backward",

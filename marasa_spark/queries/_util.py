@@ -15,8 +15,25 @@ consistently on both sides.)
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+SCRATCH = "/root/repo/_scratch"
+
+
+def fresh_scratch(kind: str, sf_dir: str, create: bool = False) -> str:
+    """A clean per-(operator, scale-factor) scratch directory for the
+    file-writing operators (log sinks, csv/json round-trips, stream
+    staging). Removes any previous contents so re-runs are idempotent."""
+    tag = sf_dir.rstrip("/").split("/")[-1]
+    d = f"{SCRATCH}/{kind}_{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    if create:
+        os.makedirs(d)
+    return d
 
 
 def r2(col: Column, n: int = 2) -> Column:

@@ -230,8 +230,9 @@ def d8_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d9_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL++ count-distinct, approx percentile).
 
-    Approximate ≠ hashable cross-engine → rows-only contract; accuracy vs the
-    exact values is asserted with tolerance in tests/test_approx.py.
+    Approximate ≠ hashable cross-engine → rows-only contract; accuracy vs
+    the exact values is asserted with tolerance in
+    tests/test_llm_ops.py::test_approx_aggs_within_tolerance.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(

@@ -19,16 +19,13 @@ Two layers exercised here:
 
 from __future__ import annotations
 
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from marasa_spark.catalog import load_table
 from marasa_spark.log import MarasaLog
+from marasa_spark.queries._util import fresh_scratch
 from marasa_spark.registry import register
-
-SCRATCH = "/root/repo/_scratch"
 
 
 def _events_as_log(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,13 +38,6 @@ def _events_as_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _scratch_dir(kind: str, sf_dir: str) -> str:
-    tag = sf_dir.rstrip("/").split("/")[-1]
-    d = f"{SCRATCH}/{kind}_{tag}"
-    shutil.rmtree(d, ignore_errors=True)
-    return d
-
-
 # ---------------------------------------------------------------------------
 # a4 / j1 — the append path (rows-only: writes real files)
 # ---------------------------------------------------------------------------
@@ -57,7 +47,7 @@ def _scratch_dir(kind: str, sf_dir: str) -> str:
 def a4_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-only log sink: one batch of change records written via
     ``mode("append").partitionBy("ns")`` and read back."""
-    store = MarasaLog(spark, _scratch_dir("a4_log", sf_dir))
+    store = MarasaLog(spark, fresh_scratch("a4_log", sf_dir))
     batch = _events_as_log(spark, sf_dir).limit(500)
     store.append(batch)
     return store.latest()
@@ -67,7 +57,7 @@ def a4_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j1_log_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """marasa ``put``/``write``: two successive appends get contiguous,
     monotonically increasing seqnos (second batch strictly above first)."""
-    store = MarasaLog(spark, _scratch_dir("j1_log", sf_dir))
+    store = MarasaLog(spark, fresh_scratch("j1_log", sf_dir))
     log_df = _events_as_log(spark, sf_dir)
     hi1 = store.append(log_df.filter(F.col("ns") == "click"))
     store.append(log_df.filter(F.col("ns") == "purchase"))
@@ -183,7 +173,7 @@ def j5_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end storage check: build a real MarasaLog from events, write a
     snapshot (compaction), then read ``latest()`` through the snapshot path
     — must hash-match the plain-SQL fold over the original table."""
-    store = MarasaLog(spark, _scratch_dir("j5_log", sf_dir))
+    store = MarasaLog(spark, fresh_scratch("j5_log", sf_dir))
     store.append(_events_as_log(spark, sf_dir))
     store.compact()
     return store.latest().select("ns", "key", "value")

@@ -5,22 +5,12 @@ scratch files); round-trip integrity is asserted in tests/test_sources.py.
 
 from __future__ import annotations
 
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from marasa_spark.catalog import load_table
+from marasa_spark.queries._util import fresh_scratch
 from marasa_spark.registry import register
-
-SCRATCH = "/root/repo/_scratch"
-
-
-def _fresh(kind: str, sf_dir: str) -> str:
-    tag = sf_dir.rstrip("/").split("/")[-1]
-    d = f"{SCRATCH}/{kind}_{tag}"
-    shutil.rmtree(d, ignore_errors=True)
-    return d
 
 
 @register("a2_source_csv_json", oracle=None, group="A")
@@ -28,7 +18,7 @@ def a2_source_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV + JSON ingestion with explicit schemas (no inference in prod —
     a schema mismatch should fail loudly, not silently coerce): documents
     round-trip through both formats, joined back together."""
-    d = _fresh("a2_text", sf_dir)
+    d = fresh_scratch("a2_text", sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
@@ -50,7 +40,7 @@ def a2_source_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a3_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet sink: append twice, read back — append mode must add files,
     never rewrite (the log-structured write discipline)."""
-    d = _fresh("a3_parquet", sf_dir)
+    d = fresh_scratch("a3_parquet", sf_dir)
     result = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")

@@ -14,13 +14,11 @@ bound state at real scale.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from marasa_spark.catalog import load_table
-from marasa_spark.queries._util import r2, r2sql
+from marasa_spark.queries._util import fresh_scratch, r2, r2sql
 from marasa_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -43,10 +41,7 @@ def a5_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import shutil
 
-    tag = sf_dir.rstrip("/").split("/")[-1]
-    stage = f"/root/repo/_scratch/a5_stream_{tag}"
-    shutil.rmtree(stage, ignore_errors=True)
-    os.makedirs(stage)
+    stage = fresh_scratch("a5_stream", sf_dir, create=True)
     shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
     stream = (
         spark.readStream.schema(_EVENTS_PHYS_SCHEMA)
@@ -122,7 +117,7 @@ def i2_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 I3_ORACLE = """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
@@ -130,7 +125,7 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )

@@ -47,3 +47,28 @@ def test_grouped_asof_matches_window_asof(spark, sf_dir):
     }
     assert window_rows == grouped_rows
     assert len(window_rows) > 0
+
+
+def test_asof_default_left_seq_keeps_distinct_keys(spark):
+    """Regression: without left_seq, the top-1 window must key on
+    (join key, left_ts) — two left rows of DIFFERENT keys sharing a
+    timestamp both keep their match (a left_ts-only window collapsed them
+    to one surviving row)."""
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t), (2, t)], "key long, l_ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, 1, t - datetime.timedelta(minutes=1)),
+         (20, 2, t - datetime.timedelta(minutes=2))],
+        "r_id long, key long, r_ts timestamp",
+    )
+    got = {
+        (r["key"], r["r_id"])
+        for r in asof_join(
+            left, right, on="key", left_ts="l_ts", right_ts="r_ts", right_seq="r_id"
+        ).collect()
+    }
+    assert got == {(1, 10), (2, 20)}
