@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from marasa_spark.catalog import load_table
+from marasa_spark.catalog import load_table, register_views
 from marasa_spark.queries._util import r2, r2sql
 from marasa_spark.registry import register
 
@@ -195,6 +195,40 @@ def c8_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+# Portable SQL: runs verbatim on Spark (EP3) and DuckDB.
+C12_SQL = """
+SELECT c_custkey, c_name,
+       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+       (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price
+FROM customer
+WHERE c_acctbal > 9000
+"""
+
+
+@register("c12_scalar_subquery", oracle=C12_SQL, group="C")
+def c12_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries — Catalyst decorrelates both into one
+    left-outer aggregate join over orders (no per-row subquery execution;
+    the same rewrite a hand-planned engine would need is free)."""
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(C12_SQL)
+
+
+C13_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+  AND o_totalprice > 400000
+"""
+
+
+@register("c13_in_subquery", oracle=C13_SQL, group="C")
+def c13_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → decorrelated to a left-semi join by Catalyst."""
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(C13_SQL)
 
 
 C11_ORACLE = """

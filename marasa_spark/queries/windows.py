@@ -140,6 +140,36 @@ def e4_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+E6_ORACLE = f"""
+SELECT c_custkey, c_mktsegment,
+       {r2sql("percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)", 6)} AS pct_rank,
+       {r2sql("cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)", 6)} AS cdist,
+       nth_value(c_custkey, 3) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_richest
+FROM customer
+"""
+
+
+@register("e6_win_distribution", oracle=E6_ORACLE, group="E")
+def e6_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank/cume_dist (value-ordered,
+    tie-deterministic) + nth_value with an explicit frame and tiebreak."""
+    c = load_table(spark, sf_dir, "customer")
+    w_val = W.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    w_tie = (
+        W.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        r2(F.percent_rank().over(w_val), 6).alias("pct_rank"),
+        r2(F.cume_dist().over(w_val), 6).alias("cdist"),
+        F.nth_value("c_custkey", 3).over(w_tie).alias("third_richest"),
+    )
+
+
 E5_ORACLE = """
 SELECT o_custkey, o_orderkey, o_totalprice, rn
 FROM (
