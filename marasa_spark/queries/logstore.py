@@ -43,14 +43,34 @@ def _events_as_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("a4_log_sink", oracle=None, group="A")
+A4_ORACLE = """
+SELECT event_type AS ns, CAST(user_id AS VARCHAR) AS key, props AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE event_id < 500
+)
+WHERE rn = 1
+"""
+
+
+@register("a4_log_sink", oracle=A4_ORACLE, group="A")
 def a4_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Append-only log sink: one batch of change records written via
-    ``mode("append").partitionBy("ns")`` and read back."""
+    ``mode("append").partitionBy(ns, segment)`` and folded back — the hash
+    check passes only if the physical write/read round-trip preserves the
+    change stream (a deterministic event_id<500 slice, not limit())."""
     store = MarasaLog(spark, fresh_scratch("a4_log", sf_dir))
-    batch = _events_as_log(spark, sf_dir).limit(500)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    batch = ev.select(
+        F.col("event_type").alias("ns"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("ts"),
+        F.col("props").alias("value"),
+    )
     store.append(batch)
-    return store.latest()
+    return store.latest().select("ns", "key", "value")
 
 
 @register("j1_log_append", oracle=None, group="J")

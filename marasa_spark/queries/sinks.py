@@ -1,6 +1,9 @@
 """Group A (source/sink part) — text-format ingestion + parquet sink
-(SURVEY.md §2 a2/a3). Rows-only contracts (no oracle views exist for
-scratch files); round-trip integrity is asserted in tests/test_sources.py.
+(SURVEY.md §2 a2/a3). Both round-trips are deterministic, so they carry
+full hash oracles phrased over the ORIGINAL tables: the check passes only
+if the data survives the format round-trip byte-exact. Write-path
+mechanics (append adds files, never rewrites) are additionally asserted in
+tests/test_sources.py.
 """
 
 from __future__ import annotations
@@ -13,7 +16,12 @@ from marasa_spark.queries._util import fresh_scratch
 from marasa_spark.registry import register
 
 
-@register("a2_source_csv_json", oracle=None, group="A")
+A2_ORACLE = """
+SELECT doc_id, lang, source, n_chars, n_chars AS text_len FROM documents
+"""
+
+
+@register("a2_source_csv_json", oracle=A2_ORACLE, group="A")
 def a2_source_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV + JSON ingestion with explicit schemas (no inference in prod —
     a schema mismatch should fail loudly, not silently coerce): documents
@@ -32,11 +40,24 @@ def a2_source_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from_json = spark.read.schema("doc_id long, text string").json(f"{d}/json")
     return from_csv.join(from_json, "doc_id").select(
-        "doc_id", "lang", "source", "n_chars", F.length("text").alias("text_len")
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length("text").cast("long").alias("text_len"),
     )
 
 
-@register("a3_sink_parquet", oracle=None, group="A")
+A3_ORACLE = """
+SELECT o_orderpriority,
+       CAST(2 AS BIGINT) AS n_rows,
+       CAST(2 * count(*) AS BIGINT) AS total
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("a3_sink_parquet", oracle=A3_ORACLE, group="A")
 def a3_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet sink: append twice, read back — append mode must add files,
     never rewrite (the log-structured write discipline)."""
@@ -50,5 +71,5 @@ def a3_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     result.write.mode("append").parquet(d)  # second append → doubled rows
     back = spark.read.parquet(d)
     return back.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_rows"), F.sum("n").alias("total")
+        F.count(F.lit(1)).alias("n_rows"), F.sum("n").cast("long").alias("total")
     )

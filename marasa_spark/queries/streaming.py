@@ -31,15 +31,25 @@ _EVENTS_PHYS_SCHEMA = (
 )
 
 
-@register("a5_stream_source", oracle=None, group="A")
+A5_ORACLE = f"""
+SELECT event_type, count(*) AS n, {r2sql("sum(value)")} AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("a5_stream_source", oracle=A5_ORACLE, group="A")
 def a5_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real Structured Streaming run: file source → availableNow trigger →
-    memory sink; returns the materialized per-type counts (rows-only).
+    memory sink; the hash oracle checks the STREAMED aggregate against the
+    batch SQL over the same events (stream≡batch, oracle-enforced).
 
     The file source requires a *directory*, so the single events.parquet is
     staged into a scratch dir first.
     """
     import shutil
+
+    from marasa_spark.streaming.runtime import run_to_memory
 
     stage = fresh_scratch("a5_stream", sf_dir, create=True)
     shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
@@ -51,17 +61,7 @@ def a5_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = stream.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("sum_value")
     )
-    name = "a5_mem"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
-    return spark.table(name)
+    return run_to_memory(agg, "complete")
 
 
 # ---------------------------------------------------------------------------
@@ -152,11 +152,19 @@ def i3_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("i4_watermark", oracle=None, group="I")
+I4_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type, count(*) AS n
+FROM events
+GROUP BY win_start, event_type
+"""
+
+
+@register("i4_watermark", oracle=I4_ORACLE, group="I")
 def i4_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data bound: same tumbling agg with a 10-min watermark attached.
-    Batch ignores the watermark (rows-only); the streaming run in
-    tests/test_streaming.py asserts append-mode emission behavior."""
+    In batch the watermark is a correctness no-op (the oracle pins that);
+    the append-mode emission behavior it exists for is asserted in
+    tests/test_streaming.py."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.withWatermark("ts", "10 minutes")
@@ -240,7 +248,12 @@ def i7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "c_mktsegment", "value")
 
 
-@register("i8_output_modes", oracle=None, group="I")
+I8_ORACLE = """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+"""
+
+
+@register("i8_output_modes", oracle=I8_ORACLE, group="I")
 def i8_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Output-mode surface: the complete-mode aggregate (append/update/
     complete behavior of this same query is asserted in streaming tests)."""
