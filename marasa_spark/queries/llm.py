@@ -485,6 +485,91 @@ def k16_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k18 — TF-IDF scoring (the classic corpus-weighting pipeline op)
+# ---------------------------------------------------------------------------
+
+K18_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+), total AS (
+  SELECT count(*) AS n_docs FROM documents
+)
+SELECT doc_id, token, tf,
+       {r2sql("tf * ln(CAST(n_docs AS DOUBLE) / df)", 4)} AS tfidf
+FROM tf JOIN dfreq USING (token) CROSS JOIN total
+"""
+
+
+@register("k18_tfidf", oracle=K18_ORACLE, group="K")
+def k18_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: term frequency ⋈ document frequency ⋈ corpus size — two
+    shuffles (doc,term / term) + a broadcast scalar; the standard
+    feature-weighting pass of a text pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            r2(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k19 — character-n-gram Jaccard near-dup (the shingle-level dedup variant)
+# ---------------------------------------------------------------------------
+
+_K19_SH = (
+    "list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),"
+    " i -> substring(text, i, 5)))"
+)
+_K19_I = "CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)"
+_K19_U = f"(CAST(len(a.g) + len(b.g) AS DOUBLE) - {_K19_I})"
+
+K19_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_K19_SH} AS g FROM documents WHERE doc_id < 200
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       {r2sql(f"{_K19_I} / {_K19_U}", 4)} AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE {_K19_I} / {_K19_U} >= 0.8
+"""
+
+
+@register("k19_ngram_jaccard", oracle=K19_ORACLE, group="K")
+def k19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by character-5-gram shingle Jaccard ≥ 0.8 (bounded to
+    a doc_id slice; at scale the shingle sets feed MinHash-LSH (k9) instead
+    of the O(n²) pair join)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = d.select("doc_id", D.char_shingles(F.col("text"), 5).alias("g"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = (F.size("ga") + F.size("gb")).cast("double") - inter
+    jac = inter / union
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", r2(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # k17 — multimodal binary plumbing (stubbed codec, real Spark shape)
 # ---------------------------------------------------------------------------
 
