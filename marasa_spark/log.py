@@ -83,9 +83,14 @@ class MarasaLog:
             "segment",
             (F.floor(F.col("seqno") / self.segment_size) * self.segment_size).cast("long"),
         )
-        n = records.count()  # batch size (cheap; avoids re-scanning the log)
+        from pyspark.sql import Observation
+
+        # single-pass batch count: observed during the write job itself (a
+        # separate count() would re-evaluate the input lineage)
+        obs = Observation()
+        batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
         batch.write.mode("append").partitionBy("ns", "segment").parquet(self.log_dir)
-        return base + n
+        return base + int(obs.get["n"])
 
     def put(self, ns: str, **changes: str) -> int:
         """marasa ``put(ns, key=value, ...)`` — tiny-batch convenience over

@@ -512,7 +512,9 @@ def k18_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # tf already has one row per distinct (doc, token): document frequency
+    # is a plain count over it — no second corpus explode, no countDistinct
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     total = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.join(dfreq, "token")

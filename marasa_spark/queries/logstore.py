@@ -28,8 +28,13 @@ from marasa_spark.queries._util import fresh_scratch
 from marasa_spark.registry import register
 
 
-def _events_as_log(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+def _events_as_log(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """The canonical events→log-record mapping (ns=event_type, key=user_id,
+    value=props). ``events`` lets callers pre-filter before the projection
+    drops event_id."""
+    ev = events if events is not None else load_table(spark, sf_dir, "events")
     return ev.select(
         F.col("event_type").alias("ns"),
         F.col("user_id").cast("string").alias("key"),
@@ -43,11 +48,15 @@ def _events_as_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# tiebreak mirrors MarasaLog.append's seqno order (ns, key, ts, value):
+# on a (key, ts) tie the stored winner is the lexicographically greatest
+# VALUE — event_id is never stored, so an event_id tiebreak here would
+# diverge from the engine on any ts collision.
 A4_ORACLE = """
 SELECT event_type AS ns, CAST(user_id AS VARCHAR) AS key, props AS value
 FROM (
   SELECT *, row_number() OVER (PARTITION BY event_type, user_id
-                               ORDER BY ts DESC, event_id DESC) AS rn
+                               ORDER BY ts DESC, props DESC) AS rn
   FROM events
   WHERE event_id < 500
 )
@@ -63,13 +72,7 @@ def a4_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     change stream (a deterministic event_id<500 slice, not limit())."""
     store = MarasaLog(spark, fresh_scratch("a4_log", sf_dir))
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
-    batch = ev.select(
-        F.col("event_type").alias("ns"),
-        F.col("user_id").cast("string").alias("key"),
-        F.col("ts"),
-        F.col("props").alias("value"),
-    )
-    store.append(batch)
+    store.append(_events_as_log(spark, sf_dir, events=ev))
     return store.latest().select("ns", "key", "value")
 
 
@@ -177,11 +180,12 @@ def j4_log_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # j5 — compaction correctness: snapshot ∪ tail must reproduce the fold
 # ---------------------------------------------------------------------------
 
+# same tiebreak note as A4_ORACLE: (ts DESC, value DESC) mirrors append
 J5_ORACLE = """
 SELECT event_type AS ns, CAST(user_id AS VARCHAR) AS key, props AS value
 FROM (
   SELECT *, row_number() OVER (PARTITION BY event_type, user_id
-                               ORDER BY ts DESC, event_id DESC) AS rn
+                               ORDER BY ts DESC, props DESC) AS rn
   FROM events
 )
 WHERE rn = 1

@@ -43,6 +43,7 @@ def test_grouped_asof_matches_window_asof(spark, sf_dir):
             on="user_id",
             left_ts="purchase_ts",
             right_ts="click_ts",
+            right_seq="click_id",
         ).collect()
     }
     assert window_rows == grouped_rows
