@@ -76,17 +76,49 @@ def a4_log_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.latest().select("ns", "key", "value")
 
 
-@register("j1_log_append", oracle=None, group="J")
+# The oracle replays the store's deterministic seqno assignment in SQL:
+# batch 1 (clicks) numbered in (key-as-string, ts, value) order, batch 2
+# (purchases) numbered the same way offset by batch 1's size — checking
+# contiguity AND cross-batch monotonicity value-exactly.
+J1_ORACLE = """
+WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+     purch  AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT 'click' AS ns, CAST(user_id AS VARCHAR) AS key, ts, props AS value,
+         row_number() OVER (ORDER BY CAST(user_id AS VARCHAR), ts, props) AS seqno,
+         1 AS batch
+  FROM clicks
+),
+p AS (
+  SELECT 'purchase' AS ns, CAST(user_id AS VARCHAR) AS key, ts, props AS value,
+         (SELECT count(*) FROM clicks)
+           + row_number() OVER (ORDER BY CAST(user_id AS VARCHAR), ts, props) AS seqno,
+         2 AS batch
+  FROM purch
+)
+SELECT ns, key, seqno, ts, value, batch FROM c
+UNION ALL
+SELECT ns, key, seqno, ts, value, batch FROM p
+"""
+
+
+@register("j1_log_append", oracle=J1_ORACLE, group="J")
 def j1_log_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """marasa ``put``/``write``: two successive appends get contiguous,
-    monotonically increasing seqnos (second batch strictly above first)."""
+    monotonically increasing seqnos (second batch strictly above first) —
+    the oracle replays the assignment order in SQL, hash-checking the
+    store's write path end to end."""
     store = MarasaLog(spark, fresh_scratch("j1_log", sf_dir))
     log_df = _events_as_log(spark, sf_dir)
     hi1 = store.append(log_df.filter(F.col("ns") == "click"))
     store.append(log_df.filter(F.col("ns") == "purchase"))
-    # surface the monotonicity boundary in the output for the rows check
-    return store._full_log().withColumn(
-        "batch", F.when(F.col("seqno") <= hi1, 1).otherwise(2)
+    return store._full_log().select(
+        "ns",
+        "key",
+        "seqno",
+        "ts",
+        "value",
+        F.when(F.col("seqno") <= hi1, 1).otherwise(2).alias("batch"),
     )
 
 
