@@ -572,6 +572,35 @@ def k19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k20 — edit-distance near-dup (character-level; completes the dedup family)
+# ---------------------------------------------------------------------------
+
+K20_ORACLE = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+WHERE a.doc_id < 50 AND b.doc_id < 50
+  AND levenshtein(a.text, b.text) <= 100
+"""
+
+
+@register("k20_edit_distance", oracle=K20_ORACLE, group="K")
+def k20_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs by Levenshtein distance (bounded doc
+    slice — edit distance is O(len²) per pair; at scale it's the verify
+    step AFTER an LSH/fingerprint candidate pass (k9/k15), never all-pairs)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    dist = F.levenshtein("ta", "tb")
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(dist <= 100)
+        .select("doc_a", "doc_b", dist.cast("int").alias("edit_dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # k17 — multimodal binary plumbing (stubbed codec, real Spark shape)
 # ---------------------------------------------------------------------------
 
