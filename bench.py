@@ -71,6 +71,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark(app_name="marasa_spark_bench")
+    # bench-box tuning: at sf0.1 the default 64 MB advisory coalesces
+    # post-shuffle stages to 1 partition, serializing e.g. the session-window
+    # merge on a 32-core machine; 8 MB keeps cores busy (measured ~20% on
+    # q_session). A real cluster at real scale wants the default or larger.
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
     qmap = queries_map()
 
     results: dict[str, float] = {}
