@@ -243,6 +243,30 @@ def d9_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+D13_ORACLE = """
+SELECT c_mktsegment,
+       min_by(c_custkey, c_acctbal) AS poorest_cust,
+       max_by(c_custkey, c_acctbal) AS richest_cust,
+       min(c_acctbal)               AS min_bal,
+       max(c_acctbal)               AS max_bal
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register("d13_agg_minmax_by", oracle=D13_ORACLE, group="D")
+def d13_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-min/arg-max aggregates (min_by/max_by) — ordering values are
+    continuous doubles so ties (the nondeterministic case) don't occur."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.min_by("c_custkey", "c_acctbal").alias("poorest_cust"),
+        F.max_by("c_custkey", "c_acctbal").alias("richest_cust"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # d11/d12 — pivot / unpivot (Expand + agg; oracle = conditional aggregation)
 # ---------------------------------------------------------------------------

@@ -202,6 +202,62 @@ def h7_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+H10_ORACLE = """
+SELECT p_partkey,
+       reverse(p_name)                       AS rev_name,
+       split_part(p_name, ' ', 1)            AS adjective,
+       split_part(p_name, ' ', 2)            AS noun,
+       repeat(p_brand, 2)                    AS brand2,
+       contains(p_type, 'ECONOMY')           AS is_economy,
+       starts_with(p_name, 'cold')           AS is_cold,
+       ends_with(p_name, 'bolt')             AS is_bolt,
+       translate(p_brand, '#', '-')          AS brand_dash
+FROM part
+"""
+
+
+@register("h10_fn_string2", oracle=H10_ORACLE, group="H")
+def h10_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string batch: reverse/split_part/repeat/contains/starts_with/
+    ends_with/translate."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.reverse("p_name").alias("rev_name"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("adjective"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+        F.repeat(F.col("p_brand"), 2).alias("brand2"),
+        F.contains(F.col("p_type"), F.lit("ECONOMY")).alias("is_economy"),
+        F.startswith(F.col("p_name"), F.lit("cold")).alias("is_cold"),
+        F.endswith(F.col("p_name"), F.lit("bolt")).alias("is_bolt"),
+        F.translate(F.col("p_brand"), "#", "-").alias("brand_dash"),
+    )
+
+
+H11_ORACLE = """
+SELECT o_orderkey,
+       CAST(weekofyear(o_orderdate) AS INT)   AS iso_week,
+       CAST(dayofyear(o_orderdate) AS INT)    AS doy,
+       CAST(quarter(o_orderdate) AS INT)      AS qtr,
+       CAST(epoch(o_orderdate) AS BIGINT)     AS epoch_s
+FROM orders
+"""
+
+
+@register("h11_fn_datetime2", oracle=H11_ORACLE, group="H")
+def h11_fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second datetime batch: ISO week, day-of-year, quarter, epoch seconds
+    (session TZ pinned UTC so unix_timestamp ≡ DuckDB epoch)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
 H8_ORACLE = f"""
 SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
        count(*)                 AS n,
