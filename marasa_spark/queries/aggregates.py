@@ -243,6 +243,28 @@ def d9_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+D14_ORACLE = """
+SELECT l_returnflag,
+       count_if(l_discount > 0.05)  AS n_discounted,
+       bool_and(l_quantity >= 1)    AS all_positive_qty,
+       bool_or(l_tax > 0.07)        AS any_high_tax
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("d14_agg_bool", oracle=D14_ORACLE, group="D")
+def d14_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregates: count_if, bool_and (every), bool_or
+    (any)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") >= 1).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+    )
+
+
 D13_ORACLE = """
 SELECT c_mktsegment,
        min_by(c_custkey, c_acctbal) AS poorest_cust,

@@ -184,6 +184,36 @@ def h6_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+H12_ORACLE = """
+SELECT vec_id,
+       list_max(embedding)                                        AS max_elem,
+       list_min(embedding)                                        AS min_elem,
+       CAST(list_position(embedding, list_max(embedding)) AS INT) AS argmax_pos,
+       list_sort(embedding)[1]                                    AS sorted_first,
+       list_reverse(embedding)[1]                                 AS last_elem,
+       list_has_any(embedding[1:8], embedding[5:12])              AS slices_overlap
+FROM embeddings
+"""
+
+
+@register("h12_fn_array2", oracle=H12_ORACLE, group="H")
+def h12_fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second array batch: max/min, argmax position, sort, reverse,
+    overlap — float32 values compare exactly on both engines (same stored
+    bits, widened identically)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.array_max(emb).alias("max_elem"),
+        F.array_min(emb).alias("min_elem"),
+        F.array_position(emb, F.array_max(emb)).cast("int").alias("argmax_pos"),
+        F.element_at(F.array_sort(emb), 1).alias("sorted_first"),
+        F.element_at(F.reverse(emb), 1).alias("last_elem"),
+        F.arrays_overlap(F.slice(emb, 1, 8), F.slice(emb, 5, 8)).alias("slices_overlap"),
+    )
+
+
 @register("h7_fn_map", oracle=None, group="H")
 def h7_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface (rows-only: DuckDB map rendering differs).

@@ -170,6 +170,38 @@ def e6_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+E7_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       last_value(big_price IGNORE NULLS) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_big_price
+FROM (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CASE WHEN o_totalprice > 300000 THEN o_totalprice END AS big_price
+  FROM orders
+)
+"""
+
+
+@register("e7_win_ignore_nulls", oracle=E7_ORACLE, group="E")
+def e7_win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window fill-forward: the most recent 'big order' price
+    carried forward per customer (the classic last-observation-carried-
+    forward pattern over sparse observations)."""
+    o = load_table(spark, sf_dir, "orders")
+    big = F.when(F.col("o_totalprice") > 300000, F.col("o_totalprice"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.last(big, ignorenulls=True).over(w).alias("last_big_price"),
+    )
+
+
 E5_ORACLE = """
 SELECT o_custkey, o_orderkey, o_totalprice, rn
 FROM (
