@@ -86,21 +86,37 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """MinHash + LSH banding + exact-Jaccard verification.
 
     shingle→minhash→band→bucket-join: candidates are only pairs sharing at
     least one band bucket; each candidate is verified with exact Jaccard so
     the output has no false positives (recall is probabilistic, tuned by
-    (bands, rows-per-band))."""
+    (bands, rows-per-band)).
+
+    Scale posture (100 TB): the band explode and the bucket self-join carry
+    ONLY (doc, band, bucket) — token arrays are re-attached per candidate
+    pair after dedup, so the bands× shuffle amplification applies to ~20
+    bytes/row, not the document payload. Degenerate buckets (e.g. millions
+    of near-empty docs hashing identically) are dropped at
+    ``max_bucket_size`` docs — a documented recall cut on pathological keys
+    instead of an O(bucket²) blowup; members of a dropped bucket still pair
+    through their other bands.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "trailing signature hashes would be silently ignored"
+        )
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    toks_df = df.select(
         F.col(id_col).alias("doc"),
         tokens(F.col(text_col)).alias("toks"),
-    ).withColumn("sig", minhash_signature(F.col("toks"), num_hashes))
+    )
+    sig = toks_df.withColumn("sig", minhash_signature(F.col("toks"), num_hashes))
     banded = sig.select(
         "doc",
-        "toks",
         F.explode(
             F.array(
                 *[
@@ -114,7 +130,14 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "toks", "bb.band", "bb.bucket")
+    ).select("doc", "bb.band", "bb.bucket")
+    from pyspark.sql import Window as W
+
+    # one shuffle on (band, bucket); the self-join below reuses the same key
+    bucket_w = W.partitionBy("band", "bucket")
+    banded = banded.withColumn("bucket_size", F.count(F.lit(1)).over(bucket_w)).filter(
+        F.col("bucket_size") <= max_bucket_size
+    ).drop("bucket_size")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -124,13 +147,16 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.toks").alias("toks_a"),
-            F.col("b.toks").alias("toks_b"),
-        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # token payloads join in only now — once per unique candidate pair
+    cand = cand.join(
+        toks_df.select(F.col("doc").alias("doc_a"), F.col("toks").alias("toks_a")),
+        "doc_a",
+    ).join(
+        toks_df.select(F.col("doc").alias("doc_b"), F.col("toks").alias("toks_b")),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter

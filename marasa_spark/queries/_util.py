@@ -27,9 +27,13 @@ SCRATCH = "/root/repo/_scratch"
 def fresh_scratch(kind: str, sf_dir: str, create: bool = False) -> str:
     """A clean per-(operator, scale-factor) scratch directory for the
     file-writing operators (log sinks, csv/json round-trips, stream
-    staging). Removes any previous contents so re-runs are idempotent."""
+    staging). Removes any previous contents so re-runs are idempotent.
+
+    The path carries the process id so a concurrent test run and a
+    driver/bench run executing the same operator never clobber each other's
+    half-written files."""
     tag = sf_dir.rstrip("/").split("/")[-1]
-    d = f"{SCRATCH}/{kind}_{tag}"
+    d = f"{SCRATCH}/{kind}_{tag}_p{os.getpid()}"
     shutil.rmtree(d, ignore_errors=True)
     if create:
         os.makedirs(d)

@@ -245,7 +245,7 @@ def d9_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D14_ORACLE = """
 SELECT l_returnflag,
-       count_if(l_discount > 0.05)  AS n_discounted,
+       CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
        bool_and(l_quantity >= 1)    AS all_positive_qty,
        bool_or(l_tax > 0.07)        AS any_high_tax
 FROM lineitem
@@ -266,24 +266,30 @@ def d14_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 D13_ORACLE = """
-SELECT c_mktsegment,
-       min_by(c_custkey, c_acctbal) AS poorest_cust,
-       max_by(c_custkey, c_acctbal) AS richest_cust,
-       min(c_acctbal)               AS min_bal,
-       max(c_acctbal)               AS max_bal
-FROM customer
-GROUP BY c_mktsegment
+WITH m AS (
+  SELECT c_mktsegment, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT m.c_mktsegment,
+       min(CASE WHEN c.c_acctbal = m.min_bal THEN c.c_custkey END) AS poorest_cust,
+       max(CASE WHEN c.c_acctbal = m.max_bal THEN c.c_custkey END) AS richest_cust,
+       m.min_bal, m.max_bal
+FROM customer c JOIN m USING (c_mktsegment)
+GROUP BY m.c_mktsegment, m.min_bal, m.max_bal
 """
 
 
 @register("d13_agg_minmax_by", oracle=D13_ORACLE, group="D")
 def d13_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """arg-min/arg-max aggregates (min_by/max_by) — ordering values are
-    continuous doubles so ties (the nondeterministic case) don't occur."""
+    """arg-min/arg-max aggregates, tie-proof: c_acctbal is a 2-decimal value so
+    (segment, acctbal) collisions DO occur; struct min/max makes the custkey
+    pick deterministic (lowest key at the min balance, highest at the max),
+    mirrored in the oracle's CASE-filtered min/max."""
     c = load_table(spark, sf_dir, "customer")
+    pair = F.struct(F.col("c_acctbal"), F.col("c_custkey"))
     return c.groupBy("c_mktsegment").agg(
-        F.min_by("c_custkey", "c_acctbal").alias("poorest_cust"),
-        F.max_by("c_custkey", "c_acctbal").alias("richest_cust"),
+        F.min(pair)["c_custkey"].alias("poorest_cust"),
+        F.max(pair)["c_custkey"].alias("richest_cust"),
         F.min("c_acctbal").alias("min_bal"),
         F.max("c_acctbal").alias("max_bal"),
     )

@@ -49,8 +49,10 @@ def a5_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import shutil
 
+    from marasa_spark.session import ensure_session_configs
     from marasa_spark.streaming.runtime import run_to_memory
 
+    ensure_session_configs(spark)
     stage = fresh_scratch("a5_stream", sf_dir, create=True)
     shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
     stream = (

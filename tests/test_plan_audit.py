@@ -107,6 +107,27 @@ def test_bucketed_join_is_exchange_free(spark):
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
 
 
+def test_lsh_band_shuffle_carries_no_token_payload(spark):
+    """minhash_lsh_pairs' bands× amplified shuffles (the (band, bucket)
+    exchange feeding the bucket self-join) must carry only (doc, band,
+    bucket) — token arrays re-attach per candidate AFTER dedup. A `toks`
+    attribute inside any band-keyed exchange is the 100 TB payload-
+    amplification bug the design forbids."""
+    from marasa_spark.catalog import load_table
+    from marasa_spark.ops.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, SF, "documents")
+    df = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    frags = plan.split("Exchange hashpartitioning(band")
+    assert len(frags) > 1, "expected a (band, bucket)-keyed exchange in the plan"
+    for frag in frags[1:]:
+        child = frag[:400]
+        assert "toks" not in child, (
+            "token payload rides the band-bucket shuffle:\n" + child
+        )
+
+
 def test_session_window_single_shuffle(spark):
     plan = plan_of(spark, "i3_win_session")
     assert plan.count("Exchange hashpartitioning") == 1, "session windows should shuffle once"
