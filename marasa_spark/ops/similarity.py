@@ -96,6 +96,158 @@ def ivf_assign(
     )
 
 
+def _rh_signs(num_bits: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane matrix (num_bits × dim), derived
+    from sha256 so every executor/plan-build sees identical planes without
+    shipping state. Rademacher (±1) projections satisfy the same
+    Johnson-Lindenstrauss/SimHash guarantees as Gaussian planes."""
+    import hashlib
+
+    signs = []
+    for b in range(num_bits):
+        row = []
+        for i in range(dim):
+            h = hashlib.sha256(f"rh:{seed}:{b}:{i}".encode()).digest()
+            row.append(1.0 if h[0] & 1 else -1.0)
+        signs.append(row)
+    return signs
+
+
+def rh_signature_bits(vec: Column, signs: list[list[float]]) -> list[Column]:
+    """One boolean-as-int column per hyperplane: bit_b = [⟨signs_b, v⟩ > 0].
+    Pure zip_with/aggregate — JVM-side, one pass over the array per bit."""
+    bits = []
+    for row in signs:
+        plane = F.array(*[F.lit(s) for s in row])
+        proj = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)))
+    return bits
+
+
+def rh_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.35,
+    num_bits: int = 32,
+    bands: int = 16,
+    seed: int = 7,
+    max_bucket_size: int = 5000,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs over an embedding column — the
+    bucketed scale path for embedding-cosine dedup (the all-pairs variant is
+    the bounded reference).
+
+    sign-bit signature → band over r = num_bits/bands bits → bucket join →
+    exact-cosine verification, so the output has no false positives; recall
+    is 1-(1-p^r)^b with p = 1 - θ/π per SimHash/Charikar.
+
+    Scale posture mirrors minhash_lsh_pairs: the bands× amplified shuffle
+    carries ONLY (id, band, bucket) — embedding arrays re-attach per unique
+    candidate pair after dedup; degenerate buckets are dropped at
+    ``max_bucket_size`` (documented recall cut, members still pair via
+    their other bands)."""
+    if num_bits % bands != 0:
+        raise ValueError(
+            f"num_bits ({num_bits}) must be divisible by bands ({bands})"
+        )
+    r = num_bits // bands
+    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    bits = rh_signature_bits(F.col("vec"), _rh_signs(num_bits, dim, seed))
+    band_structs = []
+    for j in range(bands):
+        bucket = F.lit(0)
+        for p, b in enumerate(range(j * r, (j + 1) * r)):
+            bucket = bucket + F.shiftleft(bits[b], p)
+        band_structs.append(
+            F.struct(F.lit(j).alias("band"), bucket.alias("bucket"))
+        )
+    banded = vecs.select(
+        "vid", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vid", "bb.band", "bb.bucket")
+    bucket_w = Window.partitionBy("band", "bucket")
+    banded = (
+        banded.withColumn("bucket_size", F.count(F.lit(1)).over(bucket_w))
+        .filter(F.col("bucket_size") <= max_bucket_size)
+        .drop("bucket_size")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cand = cand.join(
+        vecs.select(F.col("vid").alias("vec_a"), F.col("vec").alias("ea")), "vec_a"
+    ).join(
+        vecs.select(F.col("vid").alias("vec_b"), F.col("vec").alias("eb")), "vec_b"
+    )
+    return (
+        cand.withColumn("sim", r2(cosine(F.col("ea"), F.col("eb")), sim_decimals))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    iters: int = 5,
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, cosine assignment +
+    elementwise-mean update. Returns a centroids DataFrame
+    (cent_id, cent_vec) for ivf_assign.
+
+    Init is deterministic (the k lowest-id vectors). Per iteration: one
+    broadcast-join assignment pass over the corpus + a groupBy(cluster)
+    with dim avg() aggregates. The ONLY driver-side data per iteration is
+    the k×dim centroid model (what MLlib's KMeans also collects) — the
+    corpus itself never leaves the executors, so the pass scales linearly.
+    Empty clusters keep their previous centroid."""
+    spark = corpus.sparkSession
+    w = Window.orderBy(c_id)
+    init = (
+        corpus.orderBy(c_id)
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).alias("cent_id"),
+            F.col(c_vec).cast("array<double>").alias("cent_vec"),
+        )
+    )
+    cents = {r["cent_id"]: list(r["cent_vec"]) for r in init.collect()}
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(
+            [(cid, vec) for cid, vec in sorted(cents.items())],
+            "cent_id long, cent_vec array<double>",
+        )
+        assigned = ivf_assign(corpus, cent_df, c_id=c_id, c_vec=c_vec)
+        means = (
+            assigned.groupBy("cluster")
+            .agg(*[F.avg(F.col(c_vec)[i].cast("double")).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        for row in means:
+            cents[row["cluster"]] = [row[f"m{i}"] for i in range(dim)]
+    return spark.createDataFrame(
+        [(cid, vec) for cid, vec in sorted(cents.items())],
+        "cent_id long, cent_vec array<double>",
+    )
+
+
 def knn_label_vote(neighbors: DataFrame, labels: DataFrame, q_id: str, c_id: str, label: str) -> DataFrame:
     """Majority label among each query's neighbors (deterministic: max
     count, then min label)."""

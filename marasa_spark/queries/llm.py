@@ -601,6 +601,54 @@ def k20_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k21/k22 — embedding-space LSH + trained-IVF: the ANN scale paths
+# ---------------------------------------------------------------------------
+
+
+@register("k21_embed_lsh_neardup", oracle=None, group="K")
+def k21_embed_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane-LSH near-dup pairs over embeddings — the bucketed
+    scale path for k11 (whose all-pairs crossJoin is the bounded reference).
+    Exact-cosine verification means zero false positives; recall vs k11 is
+    asserted in tests/test_llm_ops.py. Rows-only: replicating the sha-derived
+    hyperplane matrix in SQL is not practical."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.rh_lsh_pairs(
+        e, "vec_id", "embedding", dim=64, threshold=0.35, num_bits=32, bands=16
+    )
+
+
+@register("k22_ann_ivf_kmeans", oracle=None, group="K")
+def k22_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over Lloyd's-trained centroids (k16 uses fixed seed vectors;
+    this is the real-data path: 3 k-means iterations, then probe only the
+    query's own cluster). Rows-only: iterative float means aren't
+    reproducible cross-engine; in-cluster exactness is asserted in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    centroids = S.kmeans_centroids(corpus, k=8, dim=64, iters=3)
+    assigned = S.ivf_assign(corpus, centroids)
+    probes = assigned.filter(F.col("c_id") < 10).select(
+        F.col("c_id").alias("q_id"),
+        F.col("c_vec").alias("q_vec"),
+        F.col("cluster").alias("q_cluster"),
+    )
+    members = assigned.select("c_id", "c_vec", "cluster")
+    pairs = members.join(
+        F.broadcast(probes),
+        (F.col("cluster") == F.col("q_cluster")) & (F.col("q_id") != F.col("c_id")),
+    ).withColumn("sim", r2(S.cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "cluster", "c_id", "sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # k17 — multimodal binary plumbing (stubbed codec, real Spark shape)
 # ---------------------------------------------------------------------------
 

@@ -89,6 +89,65 @@ def test_ivf_equals_brute_force_within_cluster(spark, sf_dir):
         assert got_ids == want_ids, f"q={q}: {got_ids} != {want_ids}"
 
 
+def test_rh_lsh_recall_vs_brute_force(spark, sf_dir):
+    """Random-hyperplane LSH (k11's scale path) mirrors the k9-vs-k5
+    pattern: verified output must be a subset of the exact all-pairs set
+    (zero false positives), with recall ≥ the banding curve's floor.
+    At threshold 0.35 (θ ≈ 69°, p ≈ 0.617) with 16 bands × 2 bits the
+    theoretical recall is 1-(1-p²)^16 ≈ 0.999 — and the planes are a fixed
+    sha-derived matrix, so the observed recall is deterministic."""
+    from marasa_spark.queries.llm import k11_embed_neardup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in k11_embed_neardup(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.rh_lsh_pairs(
+            e, "vec_id", "embedding", dim=64, threshold=0.35, num_bits=32, bands=16
+        ).collect()
+    }
+    assert lsh <= exact, "RH-LSH produced a false positive despite verification"
+    assert exact, "test needs a non-empty exact pair set"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"RH-LSH recall {recall:.3f} below banding-curve floor"
+
+
+def test_kmeans_ivf_in_cluster_exactness(spark, sf_dir):
+    """k22: Lloyd's centroids must produce a valid partition (every vector
+    assigned, k clusters at most) and the IVF probe must return exactly the
+    brute-force top-3 within the query's own cluster."""
+    import math
+
+    from marasa_spark.queries.llm import k22_ann_ivf_kmeans
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    centroids = S.kmeans_centroids(corpus, k=8, dim=64, iters=3)
+    assert centroids.count() == 8
+    assigned = S.ivf_assign(corpus, centroids)
+    assert assigned.count() == corpus.count(), "every vector must be assigned"
+    clusters = {r["c_id"]: r["cluster"] for r in assigned.select("c_id", "cluster").collect()}
+    vecs = {r["c_id"]: r["c_vec"] for r in corpus.collect()}
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return math.floor(dot / (na * nb) * 1e6 + 0.5) / 1e6
+
+    got = {}
+    for r in k22_ann_ivf_kmeans(spark, sf_dir).collect():
+        got.setdefault(r["q_id"], []).append((r["rank"], r["c_id"]))
+    for q in range(10):
+        members = [c for c, cl in clusters.items() if cl == clusters[q] and c != q]
+        want_ids = [c for _s, c in sorted(((-cos(vecs[q], vecs[c]), c) for c in members))[:3]]
+        got_ids = [c for _rk, c in sorted(got[q])]
+        assert got_ids == want_ids, f"q={q}: {got_ids} != {want_ids}"
+
+
 def test_rolling_hash_reference(spark):
     texts = ["hello world", "a", "join filter window group"]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")

@@ -1,0 +1,86 @@
+"""Regenerate COVERAGE.md from the live registry.
+
+Usage: python tools/gen_coverage.py          # rewrites COVERAGE.md
+       python tools/gen_coverage.py --check  # exit 1 if out of date
+
+Every row is a registered query id; 'DuckDB value-hash' means it has an
+oracle_sql() entry (the driver hash-checks it), 'rows-only' means the
+driver records a rows>0 check and the behavior is pinned in tests/.
+The summary column is the first line of the operator's docstring.
+"""
+
+from __future__ import annotations
+
+import inspect
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from marasa_spark.registry import REGISTRY, queries_map  # noqa: E402
+
+HEADER = """# COVERAGE — SURVEY.md §2 operator inventory → implementation map
+
+Generated from `marasa_spark.registry` (every row below is a key in
+`queries()`; 'DuckDB value-hash' rows also have an `oracle_sql()` entry;
+rows-only entries are behaviorally tested in `tests/` as noted in their
+docstrings). SURVEY §2's inventory is fully covered; ids beyond §2
+(c12+, d11+, e6, k9+) are the north-star extensions (subqueries,
+pivot/unpivot, distribution windows, dedup/similarity/multimodal/
+text-analysis scale paths).
+
+| id | group | module | check | summary |
+| --- | --- | --- | --- | --- |
+"""
+
+FOOTER = """
+Supporting operator library (used by the entries above, each with its
+own tests): `ops/asof.py` (window + merge_asof scale path),
+`ops/dedup.py` (exact, Jaccard, MinHash-LSH, SimHash, shingles),
+`ops/similarity.py` (cosine top-k, IVF ANN, random-hyperplane LSH,
+Lloyd's k-means, kNN vote), `ops/text.py`
+(lang-ID, quality, token counts, fingerprints, rolling hash),
+`ops/multimodal.py` (binary columns + stubbed codec), `ops/skew.py`
+(salted agg / hot-key join), `log.py` (MarasaLog store),
+`streaming/runtime.py` (micro-batch equivalence harness).
+"""
+
+
+def render() -> str:
+    queries_map()
+    rows = []
+    n_hash = 0
+    for qid in sorted(REGISTRY):
+        spec = REGISTRY[qid]
+        mod = inspect.getsourcefile(spec.fn)
+        mod = mod.split("marasa_spark/")[-1]
+        check = "DuckDB value-hash" if spec.oracle else "rows-only"
+        n_hash += spec.oracle is not None
+        doc = (inspect.getdoc(spec.fn) or "").splitlines()
+        summary = doc[0].strip() if doc else ""
+        rows.append(f"| {qid} | {spec.group} | {mod} | {check} | {summary} |")
+    total = len(REGISTRY)
+    counts = (
+        f"\nTotal: {total} operators; {n_hash} hash-checked,"
+        f" {total - n_hash} rows-only.\n"
+    )
+    return HEADER + "\n".join(rows) + "\n" + counts + FOOTER
+
+
+def main() -> None:
+    out = render()
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md")
+    if "--check" in sys.argv:
+        with open(path) as f:
+            if f.read() != out:
+                print("COVERAGE.md is out of date — run python tools/gen_coverage.py")
+                sys.exit(1)
+        print("COVERAGE.md up to date")
+        return
+    with open(path, "w") as f:
+        f.write(out)
+    print(f"wrote {path}: {out.count(chr(10))} lines")
+
+
+if __name__ == "__main__":
+    main()
