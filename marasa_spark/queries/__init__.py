@@ -7,6 +7,7 @@ from marasa_spark.queries import (  # noqa: F401
     joins,
     llm,
     logstore,
+    pipeline,
     relational,
     scans,
     sinks,

@@ -323,3 +323,36 @@ def h9_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("h_md5"),
         F.sha2("text", 256).alias("h_sha256"),
     )
+
+
+H13_ORACLE = """
+SELECT o_orderkey,
+       greatest(o_totalprice, CAST(100000 AS DOUBLE)) AS floor_price,
+       least(o_totalprice, CAST(100000 AS DOUBLE))    AS cap_price,
+       nullif(o_orderstatus, 'O')                     AS closed_status,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN')   AS status_label,
+       CASE WHEN o_orderstatus = 'F' AND o_totalprice > CAST(150000 AS DOUBLE)
+            THEN o_totalprice END                     AS big_final_price
+FROM orders
+"""
+
+
+@register("h13_fn_conditional", oracle=H13_ORACLE, group="H")
+def h13_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar surface: greatest/least clamping, NULLIF
+    sentinel-to-null, COALESCE defaulting, guarded projection — all
+    codegen'd row expressions, no shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("floor_price"),
+        F.least("o_totalprice", F.lit(100000.0)).alias("cap_price"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("closed_status"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_label"
+        ),
+        F.when(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000.0),
+            F.col("o_totalprice"),
+        ).alias("big_final_price"),
+    )

@@ -10,7 +10,7 @@ testdata + DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from marasa_spark.catalog import load_table
@@ -598,6 +598,104 @@ def k20_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 100)
         .select("doc_a", "doc_b", dist.cast("int").alias("edit_dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# k23 — text normalization (the canonical pre-dedup canonicalization pass)
+# ---------------------------------------------------------------------------
+
+_K23_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+K23_ORACLE = f"""
+SELECT doc_id,
+       {_K23_NORM} AS norm_text,
+       CAST(len(string_split({_K23_NORM}, ' ')) AS INT) AS n_norm_tokens
+FROM documents
+"""
+
+
+@register("k23_text_normalize", oracle=K23_ORACLE, group="K")
+def k23_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization before dedup/fingerprinting: lowercase, strip
+    non-alphanumerics, collapse runs of spaces, trim — pure codegen'd
+    string expressions; the pass every exact/near-dup key should run on
+    so 'Hello, World!' and 'hello world' collide."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).alias("n_norm_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k24 — the composed corpus filter (lang ∧ quality ∧ dedup): the pipeline op
+# ---------------------------------------------------------------------------
+
+K24_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN regexp_matches(text, '{_ZH}') THEN 'zh'
+              WHEN regexp_matches(text, '{_FR}') THEN 'fr'
+              WHEN regexp_matches(text, '{_ES}') THEN 'es'
+              WHEN regexp_matches(text, '{_DE}') THEN 'de'
+              ELSE 'en' END AS guessed,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the','a','of','and','to','in','is','on','for','with')))
+              AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sw,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, {r2sql("sw", 4)} AS stopword_ratio
+FROM feat
+WHERE guessed = lang
+  AND n_tokens BETWEEN 20 AND 2000
+  AND (lang <> 'en' OR sw >= 0.05)
+  AND doc_id = keep_id
+"""
+
+
+@register("k24_quality_filter", oracle=K24_ORACLE, group="K")
+def k24_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining corpus filter: language consistency
+    (declared = guessed), token-count bounds, stopword floor for English,
+    and exact-dedup survivorship — one pass of row expressions plus a
+    single window on the content hash (no join): the shape of a real
+    corpus-cleaning stage at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sw_list = F.filter(
+        toks,
+        lambda t: t.isin(
+            "the", "a", "of", "and", "to", "in", "is", "on", "for", "with"
+        ),
+    )
+    n_tokens = F.size(toks).cast("long")
+    sw = F.size(sw_list).cast("double") / F.size(toks).cast("double")
+    keep_id = F.min("doc_id").over(W.partitionBy(F.md5(F.col("text"))))
+    feat = d.select(
+        "doc_id",
+        "lang",
+        T.lang_id(F.col("text")).alias("guessed"),
+        n_tokens.alias("n_tokens"),
+        sw.alias("sw"),
+        keep_id.alias("keep_id"),
+    )
+    return feat.filter(
+        (F.col("guessed") == F.col("lang"))
+        & F.col("n_tokens").between(20, 2000)
+        & ((F.col("lang") != "en") | (F.col("sw") >= 0.05))
+        & (F.col("doc_id") == F.col("keep_id"))
+    ).select("doc_id", "lang", "n_tokens", r2(F.col("sw"), 4).alias("stopword_ratio"))
 
 
 # ---------------------------------------------------------------------------

@@ -235,6 +235,70 @@ def j5_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.latest().select("ns", "key", "value")
 
 
+J7_ORACLE = """
+WITH base AS (
+  SELECT event_type AS ns, user_id AS key, props AS value FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                                 ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id <= 8000
+  ) WHERE rn = 1
+), batch AS (
+  SELECT event_type AS ns, user_id AS key, props AS value FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                                 ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_id > 8000
+  ) WHERE rn = 1
+)
+SELECT coalesce(b.ns, u.ns) AS ns,
+       coalesce(b.key, u.key) AS key,
+       coalesce(u.value, b.value) AS value,
+       CASE WHEN b.ns IS NULL THEN 'insert'
+            WHEN u.ns IS NULL THEN 'keep'
+            ELSE 'update' END AS action
+FROM base b FULL OUTER JOIN batch u ON b.ns = u.ns AND b.key = u.key
+"""
+
+
+@register("j7_log_merge", oracle=J7_ORACLE, group="J")
+def j7_log_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics over the log's latest-state view: a change
+    batch (event_id > 8000) is merged into the base state (event_id ≤ 8000)
+    — matched keys take the batch value ('update'), unmatched batch keys
+    insert, unmatched base keys keep. One full-outer join on the folded
+    states; at scale both folds and the merge share the (ns, key)
+    partitioning so the merge adds no extra shuffle. This is the Delta/
+    Iceberg MERGE INTO seam expressed engine-side (marasa `put` batching)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def fold(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("event_type", "user_id").orderBy(
+            F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("event_type").alias("ns"),
+                F.col("user_id").alias("key"),
+                F.col("props").alias("value"),
+            )
+        )
+
+    base = fold(ev.filter(F.col("event_id") <= 8000)).alias("b")
+    batch = fold(ev.filter(F.col("event_id") > 8000)).alias("u")
+    return base.join(
+        batch, (F.col("b.ns") == F.col("u.ns")) & (F.col("b.key") == F.col("u.key")), "full_outer"
+    ).select(
+        F.coalesce(F.col("u.ns"), F.col("b.ns")).alias("ns"),
+        F.coalesce(F.col("u.key"), F.col("b.key")).alias("key"),
+        F.coalesce(F.col("u.value"), F.col("b.value")).alias("value"),
+        F.when(F.col("b.ns").isNull(), "insert")
+        .when(F.col("u.ns").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+
+
 J6_ORACLE = """
 SELECT DISTINCT event_type AS ns FROM events
 """

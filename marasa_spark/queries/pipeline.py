@@ -1,0 +1,302 @@
+"""Group M — data-pipeline management operators (north-star extensions
+beyond SURVEY.md §2: the operations a large-scale training-data pipeline
+runs around its queries — deterministic sampling, profiling, histograms,
+integrity audits, partitioned layout, time-grid gap fill).
+
+Scale notes (100 TB):
+* hash sampling — stateless per-row predicate, no shuffle at all; rates
+  compose with partition pruning (the sample of a partition = the
+  partition of a sample).
+* profiling — one pass per metric family; distinct counts are the only
+  shuffle and are per-column independent (run in one job via unioned
+  aggregates; swap exact distinct for HLL at real scale — d9 shows the
+  tolerance harness).
+* partitioned sink — directory-partitioned parquet is THE layout lever:
+  a filter on the partition key prunes entire directories before any IO
+  (plan-audited in tests/test_plan_audit.py).
+* gap fill — grid size is users × hours, generated from per-user bounds
+  (sequence + explode), never a global cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from marasa_spark.catalog import load_table
+from marasa_spark.queries._util import fresh_scratch, r2, r2sql
+from marasa_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# a6 — directory-partitioned parquet sink + pruned read-back
+# ---------------------------------------------------------------------------
+
+A6_ORACLE = f"""
+SELECT o_orderpriority, count(*) AS n, {r2sql("sum(o_totalprice)")} AS sum_price
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+"""
+
+
+@register("a6_sink_partitioned", oracle=A6_ORACLE, group="A")
+def a6_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-partitioned parquet sink: write orders partitioned by
+    o_orderpriority, read back with a partition filter — the filter must
+    prune directories (PartitionFilters in the scan, plan-audited), which
+    at 100 TB is the difference between scanning 2/5 and 5/5 of the table."""
+    d = fresh_scratch("a6_part", sf_dir)
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.partitionBy("o_orderpriority").mode("overwrite").parquet(d)
+    back = spark.read.parquet(d).filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        r2(F.sum("o_totalprice")).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m1/m2 — deterministic hash sampling (reproducible across engines & runs)
+# ---------------------------------------------------------------------------
+
+M1_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+"""
+
+
+@register("m1_sample_hash", oracle=M1_ORACLE, group="M")
+def m1_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/16 sample: first hex digit of md5(key) — stateless,
+    shuffle-free, identical on every engine and every run (unlike
+    df.sample, whose seed is partitioning-dependent). The sampling
+    predicate composes with pushdown: Catalyst evaluates it at the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+M2_ORACLE = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
+      < CASE WHEN c_mktsegment = 'BUILDING' THEN '8' ELSE '2' END
+"""
+
+
+@register("m2_stratified_sample", oracle=M2_ORACLE, group="M")
+def m2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum rates (1/2 for the
+    over-sampled BUILDING segment, 1/8 elsewhere) via a rate lookup on the
+    same md5 ordering — the class-rebalancing primitive of a training-data
+    pipeline, still stateless and shuffle-free."""
+    c = load_table(spark, sf_dir, "customer")
+    rate = F.when(F.col("c_mktsegment") == "BUILDING", F.lit("8")).otherwise(
+        F.lit("2")
+    )
+    return c.filter(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) < rate
+    ).select("c_custkey", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# m3 — column profiling (the data-quality pass before any training run)
+# ---------------------------------------------------------------------------
+
+M3_ORACLE = """
+SELECT 'o_orderkey' AS col_name, count(*) AS n,
+       CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_orderkey) AS DOUBLE) AS min_val,
+       CAST(max(o_orderkey) AS DOUBLE) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*),
+       CAST(count(*) - count(o_custkey) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', count(*),
+       CAST(count(*) - count(o_totalprice) AS BIGINT),
+       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+       CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+FROM orders
+"""
+
+
+@register("m3_profile_stats", oracle=M3_ORACLE, group="M")
+def m3_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile (count / nulls / distinct / min / max per column) in
+    long form — the schema-audit pass. Exact distinct per column is the
+    only shuffle; at real scale swap in approx_count_distinct (d9 shows
+    the tolerance harness)."""
+    o = load_table(spark, sf_dir, "orders")
+    parts = []
+    for col in ["o_orderkey", "o_custkey", "o_totalprice"]:
+        parts.append(
+            o.agg(
+                F.lit(col).alias("col_name"),
+                F.count(F.lit(1)).alias("n"),
+                (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+                F.countDistinct(col).alias("n_distinct"),
+                F.min(col).cast("double").alias("min_val"),
+                F.max(col).cast("double").alias("max_val"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# m4 — fixed-width histogram (distribution sketch for feature columns)
+# ---------------------------------------------------------------------------
+
+_M4_W = "CAST(30000 AS DOUBLE)"
+
+M4_ORACLE = f"""
+SELECT CAST(least(floor(o_totalprice / {_M4_W}), 19) AS BIGINT) AS bin,
+       CAST(least(floor(o_totalprice / {_M4_W}), 19) AS DOUBLE) * {_M4_W} AS bin_lo,
+       count(*) AS n,
+       {r2sql("sum(o_totalprice)")} AS sum_val
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("m4_histogram", oracle=M4_ORACLE, group="M")
+def m4_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 bins of 30k, top bin open) of order value —
+    a single hash aggregate over a computed bin key; the profile-pass
+    shape for numeric feature columns."""
+    o = load_table(spark, sf_dir, "orders")
+    w = F.lit(30000.0)
+    bin_ = F.least(F.floor(F.col("o_totalprice") / w), F.lit(19)).cast("long")
+    return (
+        o.select(
+            bin_.alias("bin"),
+            (bin_.cast("double") * w).alias("bin_lo"),
+            "o_totalprice",
+        )
+        .groupBy("bin", "bin_lo")
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("o_totalprice")).alias("sum_val"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# m5 — referential-integrity audit (anti joins as a data-quality gate)
+# ---------------------------------------------------------------------------
+
+M5_ORACLE = """
+SELECT 'orders->customer' AS relation,
+       (SELECT count(*) FROM orders) AS n_child,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+       ) AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'supplier->nation',
+       (SELECT count(*) FROM supplier),
+       (SELECT count(*) FROM supplier s
+        WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+"""
+
+
+@register("m5_ri_audit", oracle=M5_ORACLE, group="M")
+def m5_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts via left-anti joins for
+    three foreign keys — the ingestion gate that catches broken upstream
+    extracts. Anti joins broadcast the parent key set when small; counts
+    are map-side partials."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def audit(label: str, child: DataFrame, parent: DataFrame, ck: str, pk: str):
+        orphans = child.join(parent, child[ck] == parent[pk], "left_anti")
+        return (
+            child.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(F.lit(label).alias("relation"), "n_child", "n_orphans")
+        )
+
+    return (
+        audit("orders->customer", o, c, "o_custkey", "c_custkey")
+        .unionAll(audit("lineitem->orders", li, o, "l_orderkey", "o_orderkey"))
+        .unionAll(audit("supplier->nation", s, n, "s_nationkey", "n_nationkey"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# m6 — time-grid gap fill (resample + forward fill for sparse telemetry)
+# ---------------------------------------------------------------------------
+
+M6_ORACLE = f"""
+WITH hr AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+         {r2sql("sum(value)")} AS v
+  FROM events GROUP BY user_id, h
+), rng AS (
+  SELECT user_id, min(h) AS lo, max(h) AS hi FROM hr GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hour
+  FROM rng
+)
+SELECT g.user_id, g.hour,
+       last_value(hr.v IGNORE NULLS) OVER
+         (PARTITION BY g.user_id ORDER BY g.hour
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+FROM grid g LEFT JOIN hr ON hr.user_id = g.user_id AND hr.h = g.hour
+"""
+
+
+@register("m6_gap_fill", oracle=M6_ORACLE, group="M")
+def m6_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample + last-observation-carried-forward per user: the
+    dense time grid comes from per-user (min, max) bounds via
+    sequence+explode — never a global time × user cross join — then one
+    window pass fills gaps. Grid and fill share the user_id partitioning,
+    so the whole op is two shuffles (agg, window) regardless of scale."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(r2(F.sum("value")).alias("v"))
+    )
+    grid = (
+        hr.groupBy("user_id")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            F.col("user_id").alias("g_user"),
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    joined = grid.join(
+        hr,
+        (F.col("g_user") == F.col("user_id")) & (F.col("hour") == F.col("h")),
+        "left",
+    ).select(F.col("g_user").alias("user_id"), "hour", "v")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )

@@ -128,6 +128,23 @@ def test_lsh_band_shuffle_carries_no_token_payload(spark):
         )
 
 
+def test_partitioned_sink_prunes_directories(spark):
+    """a6: the read-back filter on the partition key must become a
+    PartitionFilters entry (directory pruning before IO) — not a post-scan
+    Filter over all partitions."""
+    plan = plan_of(spark, "a6_sink_partitioned")
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters:")[1][:300]
+    assert "o_orderpriority" in pf, f"partition filter not pushed: {pf}"
+
+
+def test_hash_sample_predicate_at_scan(spark):
+    """m1: the md5 sampling predicate is stateless and must evaluate in the
+    scan stage (single WholeStageCodegen, no exchange at all)."""
+    plan = plan_of(spark, "m1_sample_hash")
+    assert "Exchange" not in plan, "hash sampling must be shuffle-free"
+
+
 def test_session_window_single_shuffle(spark):
     plan = plan_of(spark, "i3_win_session")
     assert plan.count("Exchange hashpartitioning") == 1, "session windows should shuffle once"
