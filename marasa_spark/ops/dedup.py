@@ -167,6 +167,58 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Group near-dup pairs into clusters: every node gets the minimum
+    reachable id as its ``cluster`` label (min-label propagation to a
+    fixpoint) — the step that turns a pair list into keep/drop decisions.
+
+    Iterative: per round, each node takes min(own label, neighbors'
+    labels); rounds needed = cluster diameter (near-dup clusters are
+    shallow — a handful of rounds). The ONLY driver-side value per round is
+    the converged? count (one scalar), the standard pattern for iterative
+    graph algorithms on Spark; labels are localCheckpoint'ed so lineage
+    stays flat. At 100 TB scale the per-round cost is two shuffles on the
+    edge key — switch to large-star/small-star if diameters grow."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "cluster", F.col("node")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                ).alias("cluster"),
+                (F.col("nmin") < F.col("cluster")).alias("_changed"),
+            )
+        )
+        try:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        except Exception:
+            new_labels.cache().count()
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash64(toks: Column, bits: int = 64) -> Column:
     """64-bit SimHash of a token array: per bit k, sum ±1 over token hashes'
     bit k; bit k of the result is 1 iff the sum is positive.

@@ -601,6 +601,101 @@ def k20_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k25 — dup-pair clustering (connected components → keep/drop decisions)
+# ---------------------------------------------------------------------------
+
+K25_ORACLE = """
+WITH RECURSIVE tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pr AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN cnt na ON doc_a = na.doc_id
+  JOIN cnt nb ON doc_b = nb.doc_id
+  WHERE CAST(i AS DOUBLE) / (CAST(na.n + nb.n AS DOUBLE) - CAST(i AS DOUBLE)) >= 0.9
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pr
+  UNION
+  SELECT doc_b, doc_a FROM pr
+), reach AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT node AS doc_id, least(node, min(r)) AS cluster
+FROM reach GROUP BY node
+"""
+
+
+@register("k25_dup_clusters", oracle=K25_ORACLE, group="K")
+def k25_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → clusters: min-label propagation over the k5 pair
+    graph assigns every clustered doc its minimum reachable doc_id (the
+    canonical representative — everything else is a drop candidate). The
+    oracle computes the same closure with a recursive CTE. At scale the
+    pair list comes from k9's LSH instead of k5's all-pairs; the
+    propagation cost per round is two shuffles on the edge key."""
+    pairs = D.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.9
+    )
+    return D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster"
+    )
+
+
+# ---------------------------------------------------------------------------
+# k26 — n-gram frequency tables (the language-model counting pass)
+# ---------------------------------------------------------------------------
+
+K26_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t
+)
+SELECT bigram,
+       count(*) AS n_total,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM bg
+GROUP BY bigram
+HAVING count(*) >= 3
+"""
+
+
+@register("k26_ngram_counts", oracle=K26_ORACLE, group="K")
+def k26_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table (count ≥ 3): zip-shifted token arrays
+    → explode → one hash aggregate — the n-gram LM counting pass. The
+    zip_with of two slices builds bigrams without a self-join; single-token
+    docs yield an empty slice, not an error."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    return (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_total") >= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
 # k23 — text normalization (the canonical pre-dedup canonicalization pass)
 # ---------------------------------------------------------------------------
 

@@ -300,3 +300,48 @@ def m6_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m7 — salted aggregation (explicit hot-key skew mitigation, result-exact)
+# ---------------------------------------------------------------------------
+
+M7_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       count(*)                        AS cnt,
+       CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+       CAST(max(l_quantity) AS DOUBLE) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("m7_salted_agg", oracle=M7_ORACLE, group="M")
+def m7_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a deliberately low-cardinality key
+    (3 return flags over the whole fact table — exactly the shape where one
+    reducer would own a third of 100 TB): a random salt fans each key over
+    16 partitions for the partial phase, a second tiny aggregate removes
+    the salt. The oracle pins that salting is RESULT-exact for algebraic
+    aggregates (sum over integral doubles, count, min, max)."""
+    from marasa_spark.ops.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": F.sum("l_quantity"),
+            "cnt": F.count(F.lit(1)),
+            "min_qty": F.min("l_quantity"),
+            "max_qty": F.max("l_quantity"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("long").alias("sum_qty"),
+        "cnt",
+        F.col("min_qty").cast("double").alias("min_qty"),
+        F.col("max_qty").cast("double").alias("max_qty"),
+    )

@@ -250,6 +250,40 @@ def i7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "c_mktsegment", "value")
 
 
+I9_ORACLE = """
+SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("i9_stream_stream_join", oracle=I9_ORACLE, group="I")
+def i9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases within 1 hour after a click,
+    per user — the construct Structured Streaming runs with watermarks on
+    BOTH sides bounding the join state (the streaming twin with real
+    watermarked readStreams is asserted in tests/test_streaming.py).
+    In batch the same plan is an equi join on user_id with the time band
+    as a residual predicate — one shuffle, no nested loop."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+
+
 I8_ORACLE = """
 SELECT event_type, count(*) AS n FROM events GROUP BY event_type
 """

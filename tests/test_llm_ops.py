@@ -148,6 +148,20 @@ def test_kmeans_ivf_in_cluster_exactness(spark, sf_dir):
         assert got_ids == want_ids, f"q={q}: {got_ids} != {want_ids}"
 
 
+def test_connected_components_reference(spark):
+    """Min-label propagation on a known graph: two chains and an isolated
+    pair — every node must get its component's minimum id, including
+    through multi-hop chains (the case a single propagation round misses)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["node"]: r["cluster"] for r in D.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
 def test_rolling_hash_reference(spark):
     texts = ["hello world", "a", "join filter window group"]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")

@@ -190,6 +190,42 @@ def test_stream_static_join(spark, sf_dir, chunk_dir):
     assert out.count() == want
 
 
+def test_stream_stream_interval_join(spark, sf_dir, chunk_dir):
+    """i9: watermarked stream⋈stream interval join (purchases within 1h
+    after a click) equals the batch interval join over the same events —
+    the watermarks bound both sides' join state, which is what makes the
+    construct runnable unbounded."""
+    def sides(df):
+        c = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        p = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        return c, p
+
+    cond = lambda: (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    sc, sp = sides(read_event_stream(spark, chunk_dir))
+    joined = sc.withWatermark("c_ts", "2 hours").join(
+        sp.withWatermark("p_ts", "2 hours"), cond()
+    ).select("click_id", "purchase_id")
+    got = sorted(map(tuple, run_to_memory(joined, "append").collect()))
+
+    bc, bp = sides(load_table(spark, sf_dir, "events"))
+    want = sorted(
+        map(tuple, bc.join(bp, cond()).select("click_id", "purchase_id").collect())
+    )
+    assert got == want
+
+
 def test_stream_output_modes(spark, sf_dir, chunk_dir):
     """i8: complete vs update modes of the same aggregate; complete's final
     answer equals batch."""
