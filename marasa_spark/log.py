@@ -89,8 +89,26 @@ class MarasaLog:
         # separate count() would re-evaluate the input lineage)
         obs = Observation()
         batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
-        batch.write.mode("append").partitionBy("ns", "segment").parquet(self.log_dir)
+        self._write_log_batch(batch)
         return base + int(obs.get["n"])
+
+    # -- storage seam --------------------------------------------------------
+    # Every physical read/write goes through these three methods and nothing
+    # else. A Delta/Iceberg backend (BASELINE.json's north star — neither is
+    # installed in this sandbox) is a subclass overriding exactly these:
+    # _write_log_batch -> df.write.format("delta").mode("append"),
+    # _write_snapshot  -> a MERGE/OVERWRITE transaction,
+    # _read_dir        -> spark.read.format("delta") (+ time travel replaces
+    # the seqno prefix filter). The fold/seqno/namespace logic above the seam
+    # is storage-agnostic by construction.
+
+    def _write_log_batch(self, batch: DataFrame) -> None:
+        """Physical append of one seqno-stamped batch: new files only."""
+        batch.write.mode("append").partitionBy("ns", "segment").parquet(self.log_dir)
+
+    def _write_snapshot(self, state: DataFrame, upto: int) -> None:
+        """Physical snapshot materialization at high-water ``upto``."""
+        state.write.mode("overwrite").parquet(f"{self.snap_dir}/upto={upto}")
 
     def put(self, ns: str, **changes: str) -> int:
         """marasa ``put(ns, key=value, ...)`` — tiny-batch convenience over
@@ -224,5 +242,5 @@ class MarasaLog:
         s = self.max_seqno()
         if s == 0:
             return 0
-        self.latest().write.mode("overwrite").parquet(f"{self.snap_dir}/upto={s}")
+        self._write_snapshot(self.latest(), s)
         return s
