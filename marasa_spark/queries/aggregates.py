@@ -371,3 +371,71 @@ def d10_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_nationkey")
         .agg(F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias("names"))
     )
+
+
+# ---------------------------------------------------------------------------
+# d15/d16/d17 — bitwise aggregates, exact median, ordered group-concat
+# ---------------------------------------------------------------------------
+
+D15_ORACLE = """
+SELECT l_returnflag,
+       bit_and(l_linenumber) AS all_bits,
+       bit_or(l_linenumber)  AS any_bits,
+       bit_xor(l_linenumber) AS parity_bits
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("d15_agg_bitwise", oracle=D15_ORACLE, group="D")
+def d15_agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise fold aggregates (bit_and/bit_or/bit_xor) — algebraic, so
+    partial+final aggregation applies like any sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").alias("all_bits"),
+        F.bit_or("l_linenumber").alias("any_bits"),
+        F.bit_xor("l_linenumber").alias("parity_bits"),
+    )
+
+
+D16_ORACLE = f"""
+SELECT o_orderpriority,
+       {r2sql("median(o_totalprice)")} AS med_price,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("d16_agg_median", oracle=D16_ORACLE, group="D")
+def d16_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group (interpolated at even counts on both
+    engines). Like d8, the exact form buffers group values — at 100 TB use
+    the mergeable approx_percentile (d9) unless exactness is contractual."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        r2(F.median("o_totalprice")).alias("med_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+D17_ORACLE = """
+SELECT c_mktsegment,
+       string_agg(c_name, ',' ORDER BY c_name) AS names
+FROM customer
+WHERE c_custkey <= 200
+GROUP BY c_mktsegment
+"""
+
+
+@register("d17_group_concat", oracle=D17_ORACLE, group="D")
+def d17_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered group concatenation (string_agg / listagg): collect, sort,
+    join — the ORDER BY inside the aggregate is what makes the result
+    deterministic; bounded to a key slice because a group-concat's output
+    row grows with the group (at scale: always bound or sketch it)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names")
+    )

@@ -356,3 +356,61 @@ def h13_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice"),
         ).alias("big_final_price"),
     )
+
+
+H14_ORACLE = """
+SELECT o_orderkey,
+       o_orderkey & 255                       AS low_byte,
+       o_orderkey | 4096                      AS with_flag,
+       xor(o_orderkey, o_custkey)             AS key_xor,
+       o_orderkey << 2                        AS shifted_l,
+       o_orderkey >> 3                        AS shifted_r,
+       CAST(bit_count(o_orderkey) AS INT)     AS popcount
+FROM orders
+"""
+
+
+@register("h14_fn_bitwise", oracle=H14_ORACLE, group="H")
+def h14_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface: and/or/xor, shifts, popcount — pure codegen
+    integer ops (the building blocks the SimHash/LSH family uses)."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.shiftleft(k, 2).alias("shifted_l"),
+        F.shiftright(k, 3).alias("shifted_r"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+H15_ORACLE = f"""
+SELECT l_orderkey, l_linenumber,
+       {r2sql("sin(l_discount)", 6)}                   AS sin_d,
+       {r2sql("cos(l_discount)", 6)}                   AS cos_d,
+       {r2sql("atan2(l_discount, l_tax + CAST(0.01 AS DOUBLE))", 6)} AS at2,
+       {r2sql("degrees(l_discount)", 6)}               AS deg,
+       {r2sql("exp(l_discount)", 6)}                   AS exp_d
+FROM lineitem
+WHERE l_orderkey < 1000
+"""
+
+
+@register("h15_fn_trig", oracle=H15_ORACLE, group="H")
+def h15_fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric/transcendental batch (libm last-ulp differences across
+    runtimes absorbed by 6-decimal rounding, like h5)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    d = F.col("l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r2(F.sin(d), 6).alias("sin_d"),
+        r2(F.cos(d), 6).alias("cos_d"),
+        r2(F.atan2(d, F.col("l_tax") + F.lit(0.01)), 6).alias("at2"),
+        r2(F.degrees(d), 6).alias("deg"),
+        r2(F.exp(d), 6).alias("exp_d"),
+    )

@@ -345,3 +345,36 @@ def m7_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_qty").cast("double").alias("min_qty"),
         F.col("max_qty").cast("double").alias("max_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m8 — shuffle reuse: one exchange feeding two aggregations (plan-audited)
+# ---------------------------------------------------------------------------
+
+M8_ORACLE = f"""
+WITH daily AS (
+  SELECT o_orderpriority, o_orderdate, {r2sql("sum(o_totalprice)")} AS rev
+  FROM orders GROUP BY o_orderpriority, o_orderdate
+)
+SELECT a.o_orderpriority,
+       {r2sql("max(a.rev)")} AS peak_day,
+       {r2sql("avg(a.rev)", 4)} AS avg_day
+FROM daily a
+GROUP BY a.o_orderpriority
+"""
+
+
+@register("m8_exchange_reuse", oracle=M8_ORACLE, group="M")
+def m8_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aggregations over the same shuffled base (peak and average daily
+    revenue per priority) written as separate branches joined back — Spark
+    must compute the base exchange ONCE and reuse it (ReusedExchange,
+    plan-audited): the 100 TB pattern for fan-out analytics over one
+    expensive shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderpriority", "o_orderdate").agg(
+        r2(F.sum("o_totalprice")).alias("rev")
+    )
+    peak = daily.groupBy("o_orderpriority").agg(r2(F.max("rev")).alias("peak_day"))
+    avg = daily.groupBy("o_orderpriority").agg(r2(F.avg("rev"), 4).alias("avg_day"))
+    return peak.join(avg, "o_orderpriority")

@@ -228,3 +228,37 @@ def g4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("key")).distinct()
     )
     return all_k.subtract(big_k)
+
+
+G5_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@register("g5_except_all", oracle=G5_ORACLE, group="G")
+def g5_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (bag semantics: per-row multiplicity subtraction,
+    not the set-difference of g4) — plans as a count-propagating aggregate,
+    one shuffle on the row key."""
+    o = load_table(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    final = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.exceptAll(final)
+
+
+G6_ORACLE = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@register("g6_intersect_all", oracle=G6_ORACLE, group="G")
+def g6_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL (min of per-side multiplicities)."""
+    o = load_table(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    final = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.intersectAll(final)

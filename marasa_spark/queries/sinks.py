@@ -73,3 +73,29 @@ def a3_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_rows"), F.sum("n").cast("long").alias("total")
     )
+
+
+A7_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("a7_sink_orc", oracle=A7_ORACLE, group="A")
+def a7_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip (the second columnar format Spark ships natively):
+    lineitem keys/measures written to ORC and read back — the oracle is
+    phrased over the ORIGINAL table, so it passes only if the format
+    round-trip is value-exact."""
+    d = fresh_scratch("a7_orc", sf_dir)
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    ).write.mode("overwrite").orc(d)
+    back = spark.read.schema(
+        "l_returnflag string, l_linestatus string, l_quantity double"
+    ).orc(d)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").cast("long").alias("qty"),
+    )

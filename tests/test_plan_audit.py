@@ -145,6 +145,13 @@ def test_hash_sample_predicate_at_scan(spark):
     assert "Exchange" not in plan, "hash sampling must be shuffle-free"
 
 
+def test_exchange_reuse_in_fanout_agg(spark):
+    """m8: two aggregation branches over the same shuffled base must share
+    one exchange (ReusedExchange), not recompute the scan+shuffle twice."""
+    plan = plan_of(spark, "m8_exchange_reuse", execute=True)
+    assert "ReusedExchange" in plan, "fan-out branches recompute the base exchange"
+
+
 def test_session_window_single_shuffle(spark):
     plan = plan_of(spark, "i3_win_session")
     assert plan.count("Exchange hashpartitioning") == 1, "session windows should shuffle once"
