@@ -853,3 +853,187 @@ def k17_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = M.attach_binary_payload(d, "doc_id", "text")
     return M.decode_media(media)
+
+
+# ---------------------------------------------------------------------------
+# k27-k30 — training-data prep: chunking, repetition filter, benchmark
+# decontamination, domain mixture sampling
+# ---------------------------------------------------------------------------
+
+K27_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks), 6)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) // 6 AS INT) AS chunk_id,
+       array_to_string(list_slice(toks, start, start + 7), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, start, start + 7)) AS INT) AS n_tokens
+FROM s
+WHERE len(list_slice(toks, start, start + 7)) >= 3
+"""
+
+
+@register("k27_doc_chunk", oracle=K27_ORACLE, group="K")
+def k27_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 8, stride 6, tail chunks kept
+    when >= 3 tokens) — the context-window prep step of a training pipeline.
+    sequence + explode + slice: per-doc work is linear, no shuffle at all
+    (narrow transform), so it scales embarrassingly."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    out = (
+        d.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks"), F.lit(6))).alias("start"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / F.lit(6)).cast("int").alias("chunk_id"),
+            F.slice("toks", F.col("start"), F.lit(8)).alias("chunk"),
+        )
+    )
+    return out.filter(F.size("chunk") >= 3).select(
+        "doc_id",
+        "chunk_id",
+        F.array_join("chunk", " ").alias("chunk_text"),
+        F.size("chunk").alias("n_tokens"),
+    )
+
+
+K28_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), tri AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS g
+  FROM t WHERE len(toks) >= 3
+)
+SELECT doc_id,
+       CAST(len(g) AS INT) AS n_tri,
+       CAST(len(g) - len(list_distinct(g)) AS INT) AS n_dup,
+       {r2sql("(len(g) - len(list_distinct(g))) / CAST(len(g) AS DOUBLE)", 4)} AS dup_ratio
+FROM tri
+"""
+
+
+@register("k28_repetition_filter", oracle=K28_ORACLE, group="K")
+def k28_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score (duplicate-trigram ratio, the
+    Gopher-style quality rule): three shifted slices zip_with'ed into
+    trigrams, distinct-count per row — all array expressions, zero shuffle,
+    one linear pass whatever the corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    m = n - F.lit(2)
+    s1 = F.slice(toks, 1, m)
+    s2 = F.slice(toks, 2, m)
+    s3 = F.slice(toks, 3, m)
+    pair = F.zip_with(s1, s2, lambda x, y: F.concat(x, F.lit(" "), y))
+    tri = F.zip_with(pair, s3, lambda xy, z: F.concat(xy, F.lit(" "), z))
+    base = d.filter(n >= 3).select("doc_id", tri.alias("g"))
+    n_tri = F.size("g")
+    n_dup = F.size("g") - F.size(F.array_distinct("g"))
+    return base.select(
+        "doc_id",
+        n_tri.alias("n_tri"),
+        n_dup.alias("n_dup"),
+        r2(n_dup.cast("double") / n_tri.cast("double"), 4).alias("dup_ratio"),
+    )
+
+
+K29_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 2),
+                i -> array_to_string(list_slice(toks, i, i + 3), ' '))) AS shingle
+  FROM t
+), bench AS (
+  SELECT DISTINCT shingle FROM g WHERE doc_id % 100 = 7
+)
+SELECT g.doc_id, CAST(count(DISTINCT g.shingle) AS BIGINT) AS n_hits
+FROM g JOIN bench USING (shingle)
+WHERE g.doc_id % 100 <> 7
+GROUP BY g.doc_id
+"""
+
+
+@register("k29_contamination", oracle=K29_ORACLE, group="K")
+def k29_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any 4-gram
+    shingle with a (small) benchmark set. The benchmark's distinct shingles
+    BROADCAST to every executor — the 100-TB corpus never shuffles, it
+    stream-probes the hash set and aggregates hits per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = F.size(toks) - F.lit(3)
+    quad = F.zip_with(
+        F.zip_with(
+            F.slice(toks, 1, m), F.slice(toks, 2, m),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+        F.zip_with(
+            F.slice(toks, 3, m), F.slice(toks, 4, m),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = d.select("doc_id", F.explode(quad).alias("shingle"))
+    bench = grams.filter(F.col("doc_id") % 100 == 7).select("shingle").distinct()
+    corpus = grams.filter(F.col("doc_id") % 100 != 7)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_hits"))
+    )
+
+
+K30_ORACLE = f"""
+WITH sel AS (
+  SELECT source,
+         CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 8
+              WHEN source IN ('src5','src6','src7','src8','src9') THEN 4
+              WHEN source IN ('src10','src11','src12','src13','src14') THEN 2
+              ELSE 1 END AS thresh,
+         strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS rank
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_total,
+       CAST(count(CASE WHEN rank < thresh THEN 1 END) AS BIGINT) AS n_sel,
+       {r2sql("count(CASE WHEN rank < thresh THEN 1 END) / CAST(count(*) AS DOUBLE)", 4)} AS sel_share
+FROM sel
+GROUP BY source
+"""
+
+
+@register("k30_domain_mix", oracle=K30_ORACLE, group="K")
+def k30_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: per-source target rates (1/2, 1/4, 1/8,
+    1/16) applied as a deterministic md5-digit threshold — the m1 hash
+    sampler parameterized per domain. Stateless per-row predicate, no
+    shuffle before the per-source audit aggregate; rerunning at any scale
+    selects the same documents."""
+    d = load_table(spark, sf_dir, "documents")
+    thresh = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 8)
+        .when(F.col("source").isin("src5", "src6", "src7", "src8", "src9"), 4)
+        .when(F.col("source").isin("src10", "src11", "src12", "src13", "src14"), 2)
+        .otherwise(1)
+    )
+    rank = F.expr("instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1")
+    sel = d.select("source", thresh.alias("thresh"), rank.alias("rank"))
+    hit = F.when(F.col("rank") < F.col("thresh"), F.lit(1))
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(hit).alias("n_sel"),
+        r2(F.count(hit).cast("double") / F.count(F.lit(1)).cast("double"), 4).alias("sel_share"),
+    )

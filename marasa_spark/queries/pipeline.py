@@ -378,3 +378,198 @@ def m8_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     peak = daily.groupBy("o_orderpriority").agg(r2(F.max("rev")).alias("peak_day"))
     avg = daily.groupBy("o_orderpriority").agg(r2(F.avg("rev"), 4).alias("avg_day"))
     return peak.join(avg, "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# m9-m12 — event analytics over the pipeline: funnel, cohort retention,
+# snapshot diff, SCD2 dimension build
+# ---------------------------------------------------------------------------
+
+M9_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM p) AS n_purchase
+"""
+
+
+@register("m9_funnel", oracle=M9_ORACLE, group="M")
+def m9_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): per user, the first view,
+    the first click strictly after it, the first purchase strictly after
+    that. ONE shuffle: collect each user's (ts, event) list, sort, fold with
+    a 3-slot state struct (`aggregate`, JVM codegen) — versus the oracle's
+    three cascaded join+min CTEs. Per-user arrays bound memory by max user
+    activity; at 100 TB hyperactive users would be windowed first."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    evs = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    nullts = F.lit(None).cast("timestamp")
+    state = F.struct(nullts.alias("v"), nullts.alias("c"), nullts.alias("p"))
+
+    def step(acc, x):
+        take_v = acc["v"].isNull() & (x["event_type"] == "view")
+        take_c = (
+            acc["v"].isNotNull() & acc["c"].isNull()
+            & (x["event_type"] == "click") & (x["ts"] > acc["v"])
+        )
+        take_p = (
+            acc["c"].isNotNull() & acc["p"].isNull()
+            & (x["event_type"] == "purchase") & (x["ts"] > acc["c"])
+        )
+        return F.struct(
+            F.when(take_v, x["ts"]).otherwise(acc["v"]).alias("v"),
+            F.when(take_c, x["ts"]).otherwise(acc["c"]).alias("c"),
+            F.when(take_p, x["ts"]).otherwise(acc["p"]).alias("p"),
+        )
+
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.aggregate(evs, state, step).alias("f"))
+        .select("f.v", "f.c", "f.p")
+    )
+    return per_user.agg(
+        F.count("v").alias("n_view"),
+        F.count("c").alias("n_click"),
+        F.count("p").alias("n_purchase"),
+    )
+
+
+M10_ORACLE = """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+),
+coh AS (
+  SELECT user_id, wk, min(wk) OVER (PARTITION BY user_id) AS cohort_week FROM uw
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, wk) // 7 AS INT) AS week_offset,
+       count(*) AS n_users
+FROM coh
+GROUP BY cohort_week, week_offset
+"""
+
+
+@register("m10_retention_cohort", oracle=M10_ORACLE, group="M")
+def m10_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week, counted
+    in each later week they return. Dedup to (user, week) FIRST — the window
+    and final aggregate then run over the tiny deduped set, so the raw-event
+    shuffle happens exactly once (count(*), not count(distinct), thereafter)."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    ).distinct()
+    coh = uw.withColumn("cohort_week", F.min("wk").over(W.partitionBy("user_id")))
+    return (
+        coh.withColumn(
+            "week_offset", (F.datediff("wk", "cohort_week") / F.lit(7)).cast("int")
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+M11_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, event_type, event_id FROM (
+    SELECT user_id, event_type, event_id,
+           row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts <= TIMESTAMP '2024-01-03 00:00:00'
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT user_id, event_type, event_id FROM (
+    SELECT user_id, event_type, event_id,
+           row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT CASE WHEN s1.user_id IS NULL THEN 'added'
+            WHEN s1.event_id <> s2.event_id THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       count(*) AS n_keys
+FROM s2 LEFT JOIN s1 USING (user_id, event_type)
+GROUP BY change_type
+"""
+
+
+@register("m11_snapshot_diff", oracle=M11_ORACLE, group="M")
+def m11_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC-style): latest state per (user, event_type) key at
+    an early cutoff vs now, classified added/changed/unchanged. Both
+    snapshots are argmax-by-(ts, event_id) aggregates — max(struct), not a
+    sort — and the diff join is co-partitioned on the same grouping key."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def latest(df: DataFrame, prefix: str) -> DataFrame:
+        top = F.max(F.struct("ts", "event_id")).alias("t")
+        return df.groupBy("user_id", "event_type").agg(top).select(
+            "user_id", "event_type", F.col("t.event_id").alias(f"{prefix}_event_id")
+        )
+
+    s1 = latest(ev.filter(F.col("ts") <= F.lit("2024-01-03 00:00:00").cast("timestamp")), "s1")
+    s2 = latest(ev, "s2")
+    diff = s2.join(s1, ["user_id", "event_type"], "left")
+    return (
+        diff.withColumn(
+            "change_type",
+            F.when(F.col("s1_event_id").isNull(), F.lit("added"))
+            .when(F.col("s1_event_id") != F.col("s2_event_id"), F.lit("changed"))
+            .otherwise(F.lit("unchanged")),
+        )
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+M12_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events WHERE user_id < 20
+),
+changes AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type AS state, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+FROM changes
+"""
+
+
+@register("m12_scd2_build", oracle=M12_ORACLE, group="M")
+def m12_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from an event stream: keep state-change
+    rows (lag filter), then close each interval with the next change's
+    timestamp (lead; NULL = current). One shuffle on user_id serves both
+    windows and survives to the output partitioning. Bounded to a user
+    slice only to keep oracle rows reviewable."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    changes = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", prev)
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+    )

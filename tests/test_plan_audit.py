@@ -152,6 +152,14 @@ def test_exchange_reuse_in_fanout_agg(spark):
     assert "ReusedExchange" in plan, "fan-out branches recompute the base exchange"
 
 
+def test_contamination_broadcasts_bench_side(spark):
+    """k29: the benchmark shingle set must broadcast; the corpus side must
+    not appear under a BroadcastExchange (it streams at 100 TB)."""
+    plan = plan_of(spark, "k29_contamination")
+    assert "BroadcastHashJoin" in plan, "contamination join must be broadcast"
+    assert "SortMergeJoin" not in plan
+
+
 def test_session_window_single_shuffle(spark):
     plan = plan_of(spark, "i3_win_session")
     assert plan.count("Exchange hashpartitioning") == 1, "session windows should shuffle once"
