@@ -439,3 +439,38 @@ def d17_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_mktsegment").agg(
         F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names")
     )
+
+
+D18_ORACLE = """
+WITH counts AS (
+  SELECT o_orderpriority, o_orderstatus, count(*) AS n
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+), ranked AS (
+  SELECT o_orderpriority, o_orderstatus, n,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY n DESC, o_orderstatus DESC) AS rn
+  FROM counts
+)
+SELECT o_orderpriority, o_orderstatus AS mode_status, n
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("d18_agg_mode", oracle=D18_ORACLE, group="D")
+def d18_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-proof mode (most frequent value per group): count sub-aggregate,
+    then argmax by (count, value) via max(struct) — never the builtin
+    mode(), whose tie choice is engine-dependent. Two cheap aggregates on
+    shrinking data, no sort."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    top = counts.groupBy("o_orderpriority").agg(
+        F.max(F.struct("n", "o_orderstatus")).alias("t")
+    )
+    return top.select(
+        "o_orderpriority",
+        F.col("t.o_orderstatus").alias("mode_status"),
+        F.col("t.n").alias("n"),
+    )

@@ -414,3 +414,31 @@ def h15_fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.degrees(d), 6).alias("deg"),
         r2(F.exp(d), 6).alias("exp_d"),
     )
+
+
+H16_ORACLE = """
+SELECT p_partkey,
+       printf('%06d:%s', p_partkey, p_brand)            AS tag,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0')        AS padded_key,
+       rpad(p_brand, 12, '.')                           AS brand_cell,
+       translate(p_type, 'ae', '__')                    AS masked_type,
+       left(p_name, 5)                                  AS name_head,
+       right(p_name, 4)                                 AS name_tail
+FROM part
+"""
+
+
+@register("h16_fn_format", oracle=H16_ORACLE, group="H")
+def h16_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting batch: printf-style format, pad, translate,
+    left/right — report/export rendering surface, all codegen."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.format_string("%06d:%s", "p_partkey", "p_brand").alias("tag"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.rpad("p_brand", 12, ".").alias("brand_cell"),
+        F.translate("p_type", "ae", "__").alias("masked_type"),
+        F.left("p_name", F.lit(5)).alias("name_head"),
+        F.right("p_name", F.lit(4)).alias("name_tail"),
+    )

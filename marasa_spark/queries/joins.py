@@ -254,3 +254,45 @@ def c11_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey")
         .agg(F.count(F.lit(1)).alias("n_poorer_cust"))
     )
+
+
+C14_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'F' AND o2.o_totalprice > 500000)
+"""
+
+
+@register("c14_exists_subquery", oracle=C14_SQL, group="C")
+def c14_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — Catalyst decorrelates to a left-semi
+    plus left-anti join on o_custkey, both co-partitioned with the probe:
+    exactly the plan a hand-written engine would pick, derived from the
+    declarative form."""
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(C14_SQL)
+
+
+C15_SQL = """
+SELECT n_name, t.c_custkey, t.c_acctbal
+FROM nation, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) t
+"""
+
+
+@register("c15_lateral_join", oracle=C15_SQL, group="C")
+def c15_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (top-2 customers per nation): Spark
+    rewrites the per-row subquery into a window/limit over a single join —
+    no per-nation re-execution. Unique tiebreaker (c_custkey) makes the
+    LIMIT deterministic on both engines."""
+    register_views(spark, sf_dir, "nation", "customer")
+    return spark.sql(C15_SQL)

@@ -229,3 +229,27 @@ def e5_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+E8_SQL = """
+SELECT event_id, user_id, ts,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_1h,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW) AS n_24h
+FROM events
+WHERE user_id < 30
+"""
+
+
+@register("e8_win_time_range", oracle=E8_SQL, group="E")
+def e8_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frames (trailing 1h / 24h event counts per user)
+    — the sliding-window rate-limit / velocity feature. RANGE frames are
+    value-defined, so timestamp ties share a frame on both engines
+    (deterministic without a tiebreaker); one shuffle on user_id serves
+    both frames."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(E8_SQL)
