@@ -442,3 +442,29 @@ def h16_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.left("p_name", F.lit(5)).alias("name_head"),
         F.right("p_name", F.lit(4)).alias("name_tail"),
     )
+
+
+H17_ORACLE = """
+WITH t AS (
+  SELECT p_partkey,
+         list_filter(string_split(p_type, ' '), w -> len(w) > 5) AS toks
+  FROM part
+), u AS (
+  SELECT p_partkey, toks, unnest(range(1, len(toks) + 1)) AS i FROM t
+)
+SELECT t.p_partkey, CAST(u.i - 1 AS INT) AS pos, u.toks[u.i] AS word
+FROM t LEFT JOIN u ON t.p_partkey = u.p_partkey
+"""
+
+
+@register("h17_fn_posexplode_outer", oracle=H17_ORACLE, group="H")
+def h17_fn_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional + OUTER generator: posexplode_outer keeps rows whose
+    filtered array is empty (NULL pos/word) — the \"explode must not drop
+    parents\" contract; the oracle mirrors it with a LEFT JOIN against the
+    unnest."""
+    p = load_table(spark, sf_dir, "part")
+    toks = F.filter(F.split("p_type", " "), lambda w: F.length(w) > 5)
+    return p.select("p_partkey", toks.alias("toks")).select(
+        "p_partkey", F.posexplode_outer("toks").alias("pos", "word")
+    )

@@ -573,3 +573,74 @@ def m12_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.row_number().over(w).alias("version"),
     )
+
+
+M13_ORACLE = f"""
+WITH c AS (
+  SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey
+)
+SELECT count(*) AS n_keys,
+       CAST(max(n) AS BIGINT) AS max_rows,
+       {r2sql("max(n) / CAST(sum(n) AS DOUBLE)", 6)} AS top1_share,
+       {r2sql("percentile_cont(0.5) WITHIN GROUP (ORDER BY n)")} AS p50_rows,
+       {r2sql("percentile_cont(0.99) WITHIN GROUP (ORDER BY n)")} AS p99_rows
+FROM c
+"""
+
+
+@register("m13_skew_diag", oracle=M13_ORACLE, group="M")
+def m13_skew_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostic: rows-per-key distribution (max,
+    top-1 share, p50/p99) for a prospective shuffle key. This is the
+    profiling pass that decides broadcast vs salt vs AQE-skew-join BEFORE
+    burning a 100 TB shuffle; one count aggregate + one tiny stats pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    ps = F.percentile(F.col("n"), F.array(F.lit(0.5), F.lit(0.99)))
+    return c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_rows"),
+        r2(F.max("n").cast("double") / F.sum("n").cast("double"), 6).alias("top1_share"),
+        ps.alias("_ps"),
+    ).select(
+        "n_keys",
+        "max_rows",
+        "top1_share",
+        r2(F.col("_ps")[0]).alias("p50_rows"),
+        r2(F.col("_ps")[1]).alias("p99_rows"),
+    )
+
+
+M14_ORACLE = f"""
+SELECT o_orderpriority, count(*) AS n, {r2sql("sum(o_totalprice)")} AS sum_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("m14_incremental_agg", oracle=M14_ORACLE, group="M")
+def m14_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a materialized partial state
+    (orders before 1998) merged with a delta batch (the rest) by re-
+    aggregating the mergeable (count, sum) states — never rescanning the
+    base. The oracle aggregates everything from scratch: merge(partial,
+    delta) must equal recompute. Rounding happens only at the final merge,
+    so the partial states stay bit-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_part"), F.sum("o_totalprice").alias("sum_part")
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_part").alias("n"),
+            r2(F.sum("sum_part")).alias("sum_price"),
+        )
+    )

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from marasa_spark.catalog import load_table
-from marasa_spark.queries._util import fresh_scratch
+from marasa_spark.queries._util import fresh_scratch, r2, r2sql
 from marasa_spark.registry import register
 
 
@@ -98,4 +98,44 @@ def a7_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("l_quantity").cast("long").alias("qty"),
+    )
+
+
+A8_ORACLE = f"""
+WITH merged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT o_orderstatus,
+       count(*) AS n,
+       CAST(count(o_totalprice) AS BIGINT) AS n_priced,
+       {r2sql("sum(o_totalprice)")} AS sum_price
+FROM merged
+GROUP BY o_orderstatus
+"""
+
+
+@register("a8_schema_merge", oracle=A8_ORACLE, group="A")
+def a8_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches written with different
+    schemas (the second adds o_totalprice), read back with mergeSchema —
+    the missing column must surface as NULLs, not an error. Schema drift is
+    a fact of life in a long-lived 100 TB lake; mergeSchema's footprint is
+    per-FILE footer unions, no data rewrite."""
+    d = fresh_scratch("a8_merge", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    ).write.mode("overwrite").parquet(f"{d}/b0")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{d}/b1")
+    back = spark.read.option("mergeSchema", "true").parquet(f"{d}/b0", f"{d}/b1")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_totalprice").alias("n_priced"),
+        r2(F.sum("o_totalprice")).alias("sum_price"),
     )

@@ -295,3 +295,55 @@ def i8_output_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete behavior of this same query is asserted in streaming tests)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# i10 — streaming ingestion into the log store (stream → foreachBatch →
+# MarasaLog → latest state), hash-checked end to end
+# ---------------------------------------------------------------------------
+
+I10_ORACLE = """
+SELECT event_type AS ns, CAST(user_id AS VARCHAR) AS key, props AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                               ORDER BY ts DESC, props DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("i10_stream_to_log", oracle=I10_ORACLE, group="I")
+def i10_stream_to_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC ingestion: events replayed as 4 time-ordered micro-
+    batches, each appended to MarasaLog inside foreachBatch (the sink gets
+    exactly-once per-batch appends); the final latest() state must equal
+    the batch latest-state SQL — stream≡batch, enforced value-exactly.
+    Time-sliced batches + the store's in-batch (ns,key,ts,value) seqno
+    order make last-write-wins reproduce global event-time order."""
+    from marasa_spark.log import MarasaLog
+    from marasa_spark.streaming.runtime import stage_event_chunks, read_event_stream
+
+    stage = fresh_scratch("i10_stream", sf_dir, create=True)
+    stage_event_chunks(spark, sf_dir, f"{stage}/chunks", n_chunks=4)
+    store = MarasaLog(spark, f"{stage}/log")
+
+    def sink_batch(batch: DataFrame, batch_id: int) -> None:
+        store.append(
+            batch.select(
+                F.col("event_type").alias("ns"),
+                F.col("user_id").cast("string").alias("key"),
+                F.col("ts"),
+                F.col("props").alias("value"),
+            )
+        )
+
+    q = (
+        read_event_stream(spark, f"{stage}/chunks")
+        .writeStream.foreachBatch(sink_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return store.latest().select("ns", "key", "value")
