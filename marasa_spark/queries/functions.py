@@ -468,3 +468,28 @@ def h17_fn_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("p_partkey", toks.alias("toks")).select(
         "p_partkey", F.posexplode_outer("toks").alias("pos", "word")
     )
+
+
+H18_ORACLE = """
+SELECT event_id,
+       TRY_CAST(props AS INTEGER)                          AS props_as_int,
+       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+       value / nullif(CAST(event_id % 5 AS DOUBLE), 0)     AS safe_ratio
+FROM events
+WHERE event_id < 2000
+"""
+
+
+@register("h18_fn_try", oracle=H18_ORACLE, group="H")
+def h18_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: try_cast on unparseable strings and
+    try_divide by zero produce NULL, never a task failure — the difference
+    between one bad record and a dead 100 TB job. (Oracle mirrors
+    try_divide with /nullif, DuckDB's equivalent.)"""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.col("props").try_cast("int").alias("props_as_int"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
+        F.try_divide("value", (F.col("event_id") % 5).cast("double")).alias("safe_ratio"),
+    )

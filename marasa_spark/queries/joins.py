@@ -296,3 +296,36 @@ def c15_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT deterministic on both engines."""
     register_views(spark, sf_dir, "nation", "customer")
     return spark.sql(C15_SQL)
+
+
+C16_ORACLE = """
+WITH o AS (
+  SELECT nullif(o_custkey % 50, 0) AS k, o_totalprice FROM orders
+), c AS (
+  SELECT nullif(c_custkey % 50, 0) AS k, c_custkey FROM customer
+)
+SELECT o.k AS bucket, count(*) AS n_pairs
+FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+GROUP BY o.k
+"""
+
+
+@register("c16_join_null_safe", oracle=C16_ORACLE, group="C")
+def c16_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the NULL bucket
+    joins to itself instead of vanishing — Spark keeps it a HASH join
+    (null-safe equality is still hashable), not a nested loop. NULL is
+    also the canonical skew key: at scale it's the first candidate for
+    salting (m7)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_custkey") % 50, F.lit(0)).alias("k_o")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_custkey") % 50, F.lit(0)).alias("k_c")
+    )
+    return (
+        o.join(c, F.col("k_o").eqNullSafe(F.col("k_c")))
+        .groupBy("k_o")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.col("k_o").alias("bucket"), "n_pairs")
+    )

@@ -1037,3 +1037,63 @@ def k30_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(hit).alias("n_sel"),
         r2(F.count(hit).cast("double") / F.count(F.lit(1)).cast("double"), 4).alias("sel_share"),
     )
+
+
+K31_ORACLE = """
+WITH RECURSIVE tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pr AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN cnt na ON doc_a = na.doc_id
+  JOIN cnt nb ON doc_b = nb.doc_id
+  WHERE CAST(i AS DOUBLE) / (CAST(na.n + nb.n AS DOUBLE) - CAST(i AS DOUBLE)) >= 0.9
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pr
+  UNION
+  SELECT doc_b, doc_a FROM pr
+), reach AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+), comp AS (
+  SELECT node AS doc_id, least(node, min(r)) AS cluster
+  FROM reach GROUP BY node
+), ranked AS (
+  SELECT c.cluster, c.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS rep_doc,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM ranked
+GROUP BY cluster
+"""
+
+
+@register("k31_cluster_rep", oracle=K31_ORACLE, group="K")
+def k31_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup pipeline final stage: per near-dup cluster (k25's components),
+    elect the canonical representative — longest document, doc_id as the
+    tie-break — and count the drop set. Argmax is max(struct(n_chars,
+    -doc_id)), one aggregate over the (tiny) clustered subset; the corpus
+    join is key-co-partitioned, never broadcast-inverted."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", threshold=0.9)
+    comp = D.connected_components(pairs).select(F.col("node").alias("doc_id"), "cluster")
+    ranked = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    top = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")))
+    return ranked.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (-top.getField("neg_id")).alias("rep_doc"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
+    )

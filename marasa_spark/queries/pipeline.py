@@ -644,3 +644,97 @@ def m14_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("sum_part")).alias("sum_price"),
         )
     )
+
+
+M15_ORACLE = """
+WITH routed AS (
+  SELECT event_id,
+         coalesce(array_to_string(list_filter([
+           CASE WHEN value < 0 OR value > 5 THEN 'value_range' END,
+           CASE WHEN event_type NOT IN ('click','view','purchase','signup') THEN 'unknown_type' END,
+           CASE WHEN json_extract(props, '$.k') IS NULL THEN 'bad_props' END
+         ], x -> x IS NOT NULL), ','), '') AS reasons
+  FROM events
+)
+SELECT CASE WHEN reasons = '' THEN 'ok' ELSE 'quarantine' END AS status,
+       reasons,
+       count(*) AS n
+FROM routed
+GROUP BY status, reasons
+"""
+
+
+@register("m15_quarantine", oracle=M15_ORACLE, group="M")
+def m15_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: every record routed ok/quarantine with the FULL
+    list of violated rules (not just the first) — rules are a literal array
+    of CASE expressions filtered to non-null, so adding a rule is one line
+    and the pass stays single-scan, shuffle only on the tiny audit key."""
+    ev = load_table(spark, sf_dir, "events")
+    reasons = F.array_join(
+        F.filter(
+            F.array(
+                F.when((F.col("value") < 0) | (F.col("value") > 5), F.lit("value_range")),
+                F.when(
+                    ~F.col("event_type").isin("click", "view", "purchase", "signup"),
+                    F.lit("unknown_type"),
+                ),
+                F.when(
+                    F.get_json_object("props", "$.k").isNull(), F.lit("bad_props")
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        ",",
+    )
+    return (
+        ev.select(reasons.alias("reasons"))
+        .withColumn(
+            "status",
+            F.when(F.col("reasons") == "", F.lit("ok")).otherwise(F.lit("quarantine")),
+        )
+        .groupBy("status", "reasons")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+M16_ORACLE = """
+WITH arr AS (
+  SELECT user_id, ts,
+         max(ts) OVER (PARTITION BY user_id
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS high_water
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(count(CASE WHEN date_diff('second', ts, high_water) > 3600 THEN 1 END) AS BIGINT) AS n_late,
+       CAST(max(date_diff('second', ts, high_water)) AS BIGINT) AS max_lateness_s
+FROM arr
+GROUP BY user_id
+"""
+
+
+@register("m16_late_audit", oracle=M16_ORACLE, group="M")
+def m16_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit: events compared to the running event-time
+    high-watermark in ARRIVAL order (simulated deterministically by md5 of
+    event_id — the testdata arrives time-sorted, so real arrival order
+    would show zero lateness). Per-user running max = one window over the
+    user partition; the audit that sizes a stream's withWatermark delay."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    lateness = F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp("ts")
+    return (
+        ev.select("user_id", lateness.alias("late_s"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("late_s") > 3600, 1)).alias("n_late"),
+            F.max("late_s").alias("max_lateness_s"),
+        )
+    )
