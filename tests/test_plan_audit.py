@@ -152,6 +152,22 @@ def test_exchange_reuse_in_fanout_agg(spark):
     assert "ReusedExchange" in plan, "fan-out branches recompute the base exchange"
 
 
+def test_exists_decorrelates_to_hash_joins(spark):
+    """c14: EXISTS/NOT EXISTS must become semi/anti HASH joins — a
+    correlated re-execution or nested loop is a 100 TB non-starter."""
+    plan = plan_of(spark, "c14_exists_subquery")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_null_safe_join_stays_hash(spark):
+    """c16: <=> equality is hashable; the NULL bucket must not demote the
+    plan to a nested loop."""
+    plan = plan_of(spark, "c16_join_null_safe")
+    assert "HashJoin" in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 def test_contamination_broadcasts_bench_side(spark):
     """k29: the benchmark shingle set must broadcast; the corpus side must
     not appear under a BroadcastExchange (it streams at 100 TB)."""
