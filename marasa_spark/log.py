@@ -215,6 +215,26 @@ class MarasaLog:
         (alias of :meth:`asof` with the reference's argument shape)."""
         return self.asof(seqno, ns=ns)
 
+    def changes(self, since: int, until: int | None = None, ns: str | None = None) -> DataFrame:
+        """CDC consumer read: the raw change feed with ``since < seqno <=
+        until`` — the incremental-consumer offset pattern (a reader that
+        remembers its last seqno reads exactly the delta, never replays).
+        Served from the FULL log (snapshots only accelerate ``latest``);
+        segment pruning drops every file whose range ends before ``since``."""
+        log = self._full_log()
+        if log is None:
+            return self.spark.createDataFrame([], LOG_SCHEMA)
+        if ns is not None:
+            log = log.filter(F.col("ns") == ns)
+        log = log.filter(
+            F.col("segment").isNull()
+            | (F.col("segment") + F.lit(self.segment_size) > F.lit(since))
+        )
+        out = log.filter(F.col("seqno") > since)
+        if until is not None:
+            out = out.filter(F.col("seqno") <= until)
+        return out.drop("segment")
+
     def history(self, ns: str, key: str) -> DataFrame:
         """Ordered change history for one key (marasa ``history``), from the
         full retained log."""

@@ -329,3 +329,32 @@ def c16_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .select(F.col("k_o").alias("bucket"), "n_pairs")
     )
+
+
+# Spark spells integer division DIV; DuckDB spells it // — two dialect
+# variants of the same recursion (seed types: BIGINT key, INT depth)
+_C17_BODY = """
+WITH RECURSIVE walk(root, k, depth) AS (
+  SELECT o_orderkey AS root, o_orderkey AS k, 0 AS depth
+  FROM orders WHERE o_orderkey < 500
+  UNION ALL
+  SELECT root, k {div} 2, depth + 1 FROM walk WHERE k > 1
+)
+SELECT root, max(depth) AS depth_to_one, max(k) AS maxk
+FROM walk
+GROUP BY root
+"""
+
+C17_SPARK = _C17_BODY.format(div="DIV")
+C17_ORACLE = _C17_BODY.format(div="//")
+
+
+@register("c17_recursive_cte", oracle=C17_ORACLE, group="C")
+def c17_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4): iterative hierarchy walk (k -> k/2 chain to
+    the root) — graph reachability as SQL. Each recursion step is one
+    self-join-free projection of the frontier; depth is bounded by
+    log2(max key). The engine-specific integer-division spelling (DIV vs
+    //) is the only dialect difference."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(C17_SPARK)

@@ -309,3 +309,39 @@ def j6_log_namespaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """marasa namespace listing."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(F.col("event_type").alias("ns")).distinct()
+
+
+# seqno replay as in J1, then the consumer's (since, until] range filter
+J8_ORACLE = """
+WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+     purch  AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT 'click' AS ns, CAST(user_id AS VARCHAR) AS key, ts, props AS value,
+         row_number() OVER (ORDER BY CAST(user_id AS VARCHAR), ts, props) AS seqno
+  FROM clicks
+),
+p AS (
+  SELECT 'purchase' AS ns, CAST(user_id AS VARCHAR) AS key, ts, props AS value,
+         (SELECT count(*) FROM clicks)
+           + row_number() OVER (ORDER BY CAST(user_id AS VARCHAR), ts, props) AS seqno
+  FROM purch
+)
+SELECT ns, key, seqno, ts, value FROM (
+  SELECT * FROM c UNION ALL SELECT * FROM p
+)
+WHERE seqno > 1800 AND seqno <= 2200
+"""
+
+
+@register("j8_log_cdc_read", oracle=J8_ORACLE, group="J")
+def j8_log_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumer read: ``changes(since, until)`` returns exactly
+    the (since, until] slice of the change feed — the offset-tracking CDC
+    consumer pattern (a reader that stores its last seqno never replays).
+    The range here intentionally spans the batch-1/batch-2 boundary, and
+    segment pruning drops whole files that end before ``since``."""
+    store = MarasaLog(spark, fresh_scratch("j8_log", sf_dir), segment_size=500)
+    log_df = _events_as_log(spark, sf_dir)
+    store.append(log_df.filter(F.col("ns") == "click"))
+    store.append(log_df.filter(F.col("ns") == "purchase"))
+    return store.changes(since=1800, until=2200)

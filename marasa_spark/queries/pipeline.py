@@ -738,3 +738,36 @@ def m16_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("late_s").alias("max_lateness_s"),
         )
     )
+
+
+M17_ORACLE = f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {r2sql("list_reduce(list(value ORDER BY ts, event_id),"
+              " (acc, x) -> acc * CAST(0.9 AS DOUBLE) + x * CAST(0.1 AS DOUBLE))", 6)} AS ewma
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("m17_ewma", oracle=M17_ORACLE, group="M")
+def m17_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per key (alpha=0.1, seeded
+    with the first observation): inherently sequential, expressed as ONE
+    shuffle + per-key sorted fold (`aggregate`), the same double-precision
+    sequential order as the oracle's list_reduce — bit-compatible. Memory
+    is max per-key history; at 100 TB checkpoint the EWMA per day and fold
+    only the delta (m14's maintenance pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    evs = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    fold = F.aggregate(
+        evs,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["value"]).otherwise(
+            acc * F.lit(0.9) + x["value"] * F.lit(0.1)
+        ),
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r2(fold, 6).alias("ewma"),
+    )

@@ -139,3 +139,35 @@ def a8_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_totalprice").alias("n_priced"),
         r2(F.sum("o_totalprice")).alias("sum_price"),
     )
+
+
+A9_ORACLE = f"""
+SELECT event_type, count(*) AS n, {r2sql("sum(value)")} AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("a9_source_text_parse", oracle=A9_ORACLE, group="A")
+def a9_source_text_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text source + regex field extraction (the classic log-ingest ETL):
+    events rendered to log lines, read back with spark.read.text, fields
+    re-extracted with regexp_extract, aggregated. The oracle runs on the
+    ORIGINAL table, so the round-trip must be value-exact — doubles survive
+    because %s formatting is Java's shortest-round-trip rendering and the
+    parse casts it straight back."""
+    d = fresh_scratch("a9_text", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        F.format_string(
+            "ts=%s user=%d type=%s value=%s", "ts", "user_id", "event_type", "value"
+        ).alias("value")
+    ).write.mode("overwrite").text(d)
+    back = spark.read.text(d)
+    parsed = back.select(
+        F.regexp_extract("value", r"type=(\S+)", 1).alias("event_type"),
+        F.regexp_extract("value", r"value=(\S+)", 1).cast("double").alias("value"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("sum_value")
+    )

@@ -116,3 +116,24 @@ def test_marasa_call_shapes(spark, tmp_base):
     assert store.get("cfg", "color", seqno=s1) == "red"  # as-of read
     asof_rows = {r["key"]: r["value"] for r in store.read("cfg", s1).collect()}
     assert asof_rows["color"] == "red"
+
+
+def test_changes_range_and_replay_invariant(spark, tmp_base):
+    """changes(s, u) returns exactly the (s, u] seqno slice; consuming the
+    feed in two adjacent ranges replays the full log; an open until reads
+    to the head; ns filter composes."""
+    store = MarasaLog(spark, str(tmp_base / "cdc"), segment_size=4)
+    rows = [("a", f"k{i % 3}", _ts(i), f"v{i}") for i in range(10)]
+    store.append(spark.createDataFrame(rows, "ns string, key string, ts timestamp, value string"))
+    rows2 = [("b", f"k{i % 2}", _ts(100 + i), f"w{i}") for i in range(5)]
+    store.append(spark.createDataFrame(rows2, "ns string, key string, ts timestamp, value string"))
+
+    full = {r["seqno"] for r in store.changes(0).collect()}
+    assert full == set(range(1, 16))
+    lo = {r["seqno"] for r in store.changes(0, 7).collect()}
+    hi = {r["seqno"] for r in store.changes(7).collect()}
+    assert lo == set(range(1, 8)) and hi == set(range(8, 16))
+    b_only = store.changes(0, ns="b").collect()
+    assert {r["seqno"] for r in b_only} == set(range(11, 16))
+    assert all(r["ns"] == "b" for r in b_only)
+    assert store.changes(15).count() == 0
