@@ -358,3 +358,29 @@ def c17_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     //) is the only dialect difference."""
     register_views(spark, sf_dir, "orders")
     return spark.sql(C17_SPARK)
+
+
+C18_ORACLE = f"""
+SELECT o_orderpriority, count(*) AS n_items, {r2sql("sum(l_extendedprice)")} AS rev
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register("c18_join_sort_merge", oracle=C18_ORACLE, group="C")
+def c18_join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact with the MERGE hint: at 100 TB neither orders nor lineitem
+    broadcasts, and a shuffled sort-merge join is the strategy that spills
+    gracefully (sorted runs on disk) where a hash build OOMs. Pinned here
+    (and plan-audited) so the engine's large-large posture is an explicit,
+    tested choice instead of a stats accident."""
+    o = load_table(spark, sf_dir, "orders").hint("merge")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            r2(F.sum("l_extendedprice")).alias("rev"),
+        )
+    )

@@ -262,3 +262,34 @@ def g6_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     final = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return open_.intersectAll(final)
+
+
+# Spark CAST(double AS INT) truncates toward zero; DuckDB CAST rounds —
+# the oracle spells the truncation explicitly. Every other pair agrees.
+B5_ORACLE = """
+SELECT o_orderkey,
+       CAST(trunc(o_totalprice) AS BIGINT)        AS price_int,
+       CAST(o_orderkey AS VARCHAR)                AS key_str,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+       CAST('123.5' AS DOUBLE) + o_orderkey       AS parsed_plus,
+       CAST(o_totalprice > 100000 AS INT)         AS is_big
+FROM orders
+WHERE o_orderkey < 3000
+"""
+
+
+@register("b5_cast_matrix", oracle=B5_ORACLE, group="B")
+def b5_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-type cast surface: numeric truncation (Spark cast-to-int
+    truncates toward zero — the oracle mirrors with trunc(), since DuckDB's
+    cast ROUNDS), number↔string, date↔string ISO, string→double parse,
+    bool→int. The engine-semantics matrix every migration trips over."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("long").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        (F.lit("123.5").cast("double") + F.col("o_orderkey")).alias("parsed_plus"),
+        (F.col("o_totalprice") > 100000).cast("int").alias("is_big"),
+    )

@@ -171,3 +171,33 @@ def a9_source_text_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("sum_value")
     )
+
+
+A10_ORACLE = """
+SELECT p_partkey,
+       p_name || ',"' || chr(10) || '|' || p_brand AS nasty,
+       length(p_name || ',"' || chr(10) || '|' || p_brand) AS n_chars
+FROM part
+WHERE p_partkey <= 500
+"""
+
+
+@register("a10_csv_quoting", oracle=A10_ORACLE, group="A")
+def a10_csv_quoting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip under hostile content: values containing the
+    delimiter, the quote char, AND embedded newlines must survive write →
+    read (quote-all + multiLine read). The oracle recomputes the nasty
+    string from the original table, so any quoting/escape loss breaks the
+    hash. At scale note: multiLine CSV is NOT splittable — one file, one
+    task; keep quoted-newline data in parquet and use CSV only at the
+    edges."""
+    d = fresh_scratch("a10_csv", sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    nasty = F.concat("p_name", F.lit(',"\n|'), F.col("p_brand"))
+    p.select("p_partkey", nasty.alias("nasty")).write.mode("overwrite").option(
+        "header", True
+    ).option("quoteAll", True).csv(d)
+    back = spark.read.option("header", True).option("multiLine", True).schema(
+        "p_partkey long, nasty string"
+    ).csv(d)
+    return back.select("p_partkey", "nasty", F.length("nasty").alias("n_chars"))

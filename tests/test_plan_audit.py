@@ -152,6 +152,14 @@ def test_exchange_reuse_in_fanout_agg(spark):
     assert "ReusedExchange" in plan, "fan-out branches recompute the base exchange"
 
 
+def test_fact_fact_join_is_sort_merge(spark):
+    """c18: the MERGE hint must hold — large-large joins sort-merge (spill-
+    graceful) rather than broadcast by small-sf stats accident."""
+    plan = plan_of(spark, "c18_join_sort_merge")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
 def test_exists_decorrelates_to_hash_joins(spark):
     """c14: EXISTS/NOT EXISTS must become semi/anti HASH joins — a
     correlated re-execution or nested loop is a 100 TB non-starter."""
