@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from marasa_spark.catalog import load_table, register_views
-from marasa_spark.queries._util import r2, r2sql
+from marasa_spark.queries._util import fresh_scratch, r2, r2sql
 from marasa_spark.registry import register
 
 C1_ORACLE = """
@@ -382,5 +382,42 @@ def c18_join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             r2(F.sum("l_extendedprice")).alias("rev"),
+        )
+    )
+
+
+C19_ORACLE = f"""
+SELECT c_custkey, count(*) AS n_orders, {r2sql("sum(o_totalprice)")} AS sum_price
+FROM customer JOIN orders ON c_custkey = o_custkey
+WHERE c_custkey <= 1000
+GROUP BY c_custkey
+"""
+
+
+@register("c19_join_bucketed", oracle=C19_ORACLE, group="C")
+def c19_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-co-located join: both sides written bucketBy(8, custkey) +
+    sortBy, then joined WITHOUT any Exchange — the scan's bucket layout
+    already satisfies the join's required distribution, and the groupBy on
+    the same key rides the join's output partitioning, so the whole plan is
+    shuffle-free (plan-audited). At 100 TB this is THE lever for repeated
+    fact⋈fact joins: pay the bucketed layout once at ingest, skip the
+    dominant shuffle on every query after."""
+    d = fresh_scratch("c19_bucket", sf_dir)
+    tag = d.rsplit("/", 1)[-1].replace(".", "_")  # "." would parse as schema.table
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1000)
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    for name, df, key in ((f"c19c_{tag}", c, "c_custkey"), (f"c19o_{tag}", o, "o_custkey")):
+        df.write.bucketBy(8, key).sortBy(key).option("path", f"{d}/{name}").mode(
+            "overwrite"
+        ).saveAsTable(name)
+    cb = spark.table(f"c19c_{tag}").hint("merge")
+    ob = spark.table(f"c19o_{tag}")
+    return (
+        cb.join(ob, cb.c_custkey == ob.o_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r2(F.sum("o_totalprice")).alias("sum_price"),
         )
     )

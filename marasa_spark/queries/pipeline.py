@@ -771,3 +771,82 @@ def m17_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         r2(fold, 6).alias("ewma"),
     )
+
+
+M18_ORACLE = """
+WITH marked AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > 1800000000 THEN 1 ELSE 0 END AS new_sess
+    FROM events
+), numbered AS (
+    SELECT user_id, ts,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS sess_id
+    FROM marked
+)
+SELECT user_id, sess_id, count(*) AS n_events, min(ts) AS sess_start,
+       max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+FROM numbered
+GROUP BY user_id, sess_id
+"""
+
+
+@register("m18_sessionize", oracle=M18_ORACLE, group="M")
+def m18_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap) via lag + running sum —
+    the bounded-data twin of i3's streaming session_window, and the shape
+    used to backfill history next to a live stream. One shuffle on user_id
+    serves the lag window, the session-id window AND the final groupBy
+    (same partitioning throughout); the running sum orders by (ts,
+    event_id) so duplicate timestamps can't flip session boundaries
+    between engines or between runs."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.withColumn(
+        "new_sess",
+        F.when(us - F.lag(us).over(w) > 1800 * 1000 * 1000, 1).otherwise(0),
+    )
+    numbered = marked.withColumn("sess_id", F.sum("new_sess").over(w))
+    return numbered.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("sess_start"),
+        (F.max(us) - F.min(us)).alias("dur_us"),
+    )
+
+
+M19_ORACLE = f"""
+WITH stats AS (
+    SELECT event_type,
+           {r2sql("avg(value)", 6)} AS mu,
+           {r2sql("stddev_samp(value)", 6)} AS sigma
+    FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, value,
+       {r2sql("(value - mu) / sigma")} AS z
+FROM events e JOIN stats USING (event_type)
+WHERE abs({r2sql("(value - mu) / sigma")}) > 2.5
+"""
+
+
+@register("m19_zscore_outliers", oracle=M19_ORACLE, group="M")
+def m19_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomaly flags. Determinism design: mu/sigma
+    are rounded to 6 dp BEFORE the z division (absorbing both engines'
+    float-sum ordering noise), so z is bit-identical across engines and the
+    |z| > 2.5 cut can't flip a boundary row. Scale: stats is a tiny
+    per-type aggregate (map-side combine, then broadcast back onto the
+    stream of rows) — the big side is never shuffled."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        r2(F.avg("value"), 6).alias("mu"),
+        r2(F.stddev_samp("value"), 6).alias("sigma"),
+    )
+    z = r2((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.5)
+    )

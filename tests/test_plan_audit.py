@@ -160,6 +160,15 @@ def test_fact_fact_join_is_sort_merge(spark):
     assert "BroadcastHashJoin" not in plan
 
 
+def test_bucketed_join_is_shuffle_free(spark):
+    """c19: both scans report Bucketed: true and the join+groupBy plan has
+    ZERO Exchange — the bucket layout is the shuffle, paid once at write."""
+    plan = plan_of(spark, "c19_join_bucketed")
+    assert "Bucketed: true" in plan
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+
+
 def test_exists_decorrelates_to_hash_joins(spark):
     """c14: EXISTS/NOT EXISTS must become semi/anti HASH joins — a
     correlated re-execution or nested loop is a 100 TB non-starter."""

@@ -167,6 +167,9 @@ def main():
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    only = set(sys.argv[1:])  # optional: check just the named queries
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     fails = []
     for name, fn in qs.items():
         try:
