@@ -474,3 +474,33 @@ def d18_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.o_orderstatus").alias("mode_status"),
         F.col("t.n").alias("n"),
     )
+
+
+@register("d19_sketch_hll", oracle=None, group="D")
+def d19_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL): one
+    sketch per market segment, then hll_union_agg folds the five segment
+    sketches into a global estimate WITHOUT touching the raw rows again —
+    the mergeability is the whole point at 100 TB: sketches combine
+    associatively across partitions, executors, days and tables, so
+    distinct-count rollups become metadata-sized merges instead of
+    re-scans. No oracle (DuckDB's HLL is a different algorithm); the
+    estimate-vs-exact tolerance is asserted in tests/test_llm_ops.py."""
+    c = load_table(spark, sf_dir, "customer")
+    per = c.groupBy("c_mktsegment").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    seg = per.select(
+        "c_mktsegment",
+        F.hll_sketch_estimate("sk").alias("n_est"),
+        "n_rows",
+    )
+    merged = per.agg(
+        F.hll_union_agg("sk").alias("sk"), F.sum("n_rows").alias("n_rows")
+    ).select(
+        F.lit("__ALL__").alias("c_mktsegment"),
+        F.hll_sketch_estimate("sk").alias("n_est"),
+        "n_rows",
+    )
+    return seg.unionAll(merged)

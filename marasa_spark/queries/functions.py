@@ -493,3 +493,44 @@ def h18_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
         F.try_divide("value", (F.col("event_id") % 5).cast("double")).alias("safe_ratio"),
     )
+
+
+H19_ORACLE = """
+WITH urls AS (
+    SELECT p_partkey,
+           'https://shop-' || lower(replace(p_brand, '#', '')) || '.example.com/'
+               || lower(replace(p_type, ' ', '-')) || '?pk=' || p_partkey AS url
+    FROM part WHERE p_partkey <= 800
+)
+SELECT p_partkey, url,
+       regexp_extract(url, 'https://([^/]+)/', 1)    AS host,
+       regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, 'pk=([0-9]+)', 1)         AS qp_pk
+FROM urls
+"""
+
+
+@register("h19_fn_url", oracle=H19_ORACLE, group="H")
+def h19_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface (parse_url HOST/PATH/QUERY-param) over URLs
+    built deterministically from part rows; the oracle re-parses with
+    equivalent regexes since DuckDB has no parse_url. Web-corpus pipelines
+    lean on this for domain-level dedup, robots filtering and domain-mix
+    curation (k30) — all stateless per-row JVM expressions, no shuffle."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 800)
+    url = F.concat(
+        F.lit("https://shop-"),
+        F.lower(F.replace(F.col("p_brand"), F.lit("#"), F.lit(""))),
+        F.lit(".example.com/"),
+        F.lower(F.replace(F.col("p_type"), F.lit(" "), F.lit("-"))),
+        F.lit("?pk="),
+        F.col("p_partkey").cast("string"),
+    )
+    u = p.select("p_partkey", url.alias("url"))
+    return u.select(
+        "p_partkey",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("pk")).alias("qp_pk"),
+    )

@@ -1097,3 +1097,52 @@ def k31_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-top.getField("neg_id")).alias("rep_doc"),
         (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
     )
+
+
+# Java and RE2 agree on these patterns (no lookaround, no \b).
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}"
+
+K32_ORACLE = f"""
+WITH seeded AS (
+    SELECT doc_id,
+           text || ' contact user' || doc_id || '@mail.example.com or call 555-123-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+    FROM documents WHERE doc_id < 2000
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(raw, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                      '{PII_PHONE}', '[PHONE]', 'g') AS scrubbed,
+       len(regexp_extract_all(raw, '{PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(raw, '{PII_PHONE}')) AS n_phones
+FROM seeded
+"""
+
+
+@register("k32_pii_scrub", oracle=K32_ORACLE, group="K")
+def k32_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails, phone numbers) with per-doc redaction
+    counts — the compliance scrub every training corpus runs before
+    anything else. Synthetic PII is seeded deterministically from doc_id so
+    the redaction provably fires on every row (the oracle recomputes the
+    seeding). Stateless per-row regexes: no shuffle, scales linearly, and
+    the counts give the audit trail (rows with n_emails=0 after a scrub
+    claiming coverage = a pattern gap). Patterns avoid lookaround/\\b so
+    Java (Spark) and RE2 (DuckDB) agree."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    seeded = d.select("doc_id", raw.alias("raw"))
+    return seeded.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("raw", PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
+        ).alias("scrubbed"),
+        F.regexp_count("raw", F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("raw", F.lit(PII_PHONE)).alias("n_phones"),
+    )

@@ -209,3 +209,26 @@ def test_approx_aggs_within_tolerance(spark, sf_dir):
         F.countDistinct("l_partkey").alias("exact"),
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_hll_sketch_estimates_within_tolerance(spark, sf_dir):
+    """d19: every per-segment DataSketches estimate and the merged-union
+    global estimate land within 3% of the exact distinct count."""
+    from marasa_spark.registry import REGISTRY, queries_map
+
+    queries_map()
+    got = {
+        r["c_mktsegment"]: (r["n_est"], r["n_rows"])
+        for r in REGISTRY["d19_sketch_hll"].fn(spark, sf_dir).collect()
+    }
+    c = load_table(spark, sf_dir, "customer")
+    exact = {
+        r["c_mktsegment"]: r["n"]
+        for r in c.groupBy("c_mktsegment")
+        .agg(F.countDistinct("c_custkey").alias("n"))
+        .collect()
+    }
+    exact["__ALL__"] = c.select("c_custkey").distinct().count()
+    assert set(got) == set(exact)
+    for seg, n in exact.items():
+        assert abs(got[seg][0] - n) / n < 0.03, (seg, got[seg], n)
