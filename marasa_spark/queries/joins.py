@@ -421,3 +421,40 @@ def c19_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("o_totalprice")).alias("sum_price"),
         )
     )
+
+
+C20_ORACLE = f"""
+SELECT c_mktsegment, count(*) AS n_events, {r2sql("sum(value)")} AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("c20_join_skew_salted", oracle=C20_ORACLE, group="C")
+def c20_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact⋈dim join by salt-replication: the dim side is
+    replicated SALT× (explode of a literal range), the fact side routes
+    each row to one replica via pmod(xxhash64(event_id), SALT), and the
+    join key becomes (user_id, salt) — so one hot user_id spreads over
+    SALT reducers instead of melting a single one. The salt never reaches
+    the result (any routing yields the same rows), which is why the oracle
+    is the plain join. At 100 TB this is the deterministic fallback when
+    AQE's runtime skew split can't help (e.g. the skewed side feeds a
+    further co-partitioned op). Replication cost: SALT× the DIM only."""
+    salt_n = 8
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(salt_n)).cast("int")
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))))
+    )
+    return (
+        ev.join(dim, (ev.user_id == dim.c_custkey) & (ev.salt == dim.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r2(F.sum("value")).alias("sum_value"),
+        )
+    )

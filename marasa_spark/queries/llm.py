@@ -1146,3 +1146,47 @@ def k32_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("raw", F.lit(PII_EMAIL)).alias("n_emails"),
         F.regexp_count("raw", F.lit(PII_PHONE)).alias("n_phones"),
     )
+
+
+K33_ORACLE = """
+WITH index AS (
+    SELECT md5(lower(text)) AS hh, min(doc_id) AS dup_of
+    FROM documents GROUP BY md5(lower(text))
+), batch AS (
+    SELECT doc_id + 10000 AS new_id, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 20000 AS new_id, text || ' fresh content'
+    FROM documents WHERE doc_id % 5 = 1
+)
+SELECT new_id, dup_of,
+       CAST(dup_of IS NOT NULL AS INT) AS is_dup
+FROM batch LEFT JOIN index ON md5(lower(batch.text)) = index.hh
+"""
+
+
+@register("k33_incremental_dedup", oracle=K33_ORACLE, group="K")
+def k33_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: a new ingest batch (seeded here as 20%
+    copies of corpus docs + 20% genuinely-new docs) is checked against the
+    EXISTING corpus's content-hash index — only the batch is scanned and
+    hashed; the corpus contributes a precomputed (hash → min doc_id)
+    index. That asymmetry is the daily-ingest scale story at 100 TB: the
+    index is bucketed by hash once, each day's batch hash-joins against it
+    without re-reading the corpus; min(doc_id) makes the representative
+    deterministic. Same pattern lifts to MinHash bands for near-dup
+    (k9's banding applied batch-vs-index instead of self-join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    index = docs.groupBy(F.md5(F.lower("text")).alias("hh")).agg(
+        F.min("doc_id").alias("dup_of")
+    )
+    dups = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("new_id"), "text"
+    )
+    fresh = docs.filter(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + 20000).alias("new_id"),
+        F.concat("text", F.lit(" fresh content")).alias("text"),
+    )
+    batch = dups.unionAll(fresh).withColumn("hh", F.md5(F.lower("text")))
+    return batch.join(index, "hh", "left").select(
+        "new_id", "dup_of", F.col("dup_of").isNotNull().cast("int").alias("is_dup")
+    )

@@ -850,3 +850,41 @@ def m19_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > 2.5)
     )
+
+
+M20_ORACLE = f"""
+SELECT o_orderpriority, count(*) AS n,
+       {r2sql("sum(CASE WHEN o_orderpriority = '1-URGENT'"
+              " THEN o_totalprice * CAST(1.1 AS DOUBLE) ELSE o_totalprice END)")}
+           AS sum_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("m20_partition_backfill", oracle=M20_ORACLE, group="M")
+def m20_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped backfill via DYNAMIC partition overwrite: write the
+    full priority-partitioned table, then rewrite ONLY the 1-URGENT
+    partition with corrected values — the read-back proves the other four
+    partitions survived untouched (any clobber breaks the count and the
+    hash). This is the idempotent reprocessing primitive at 100 TB: a bad
+    day's data is repaired by overwriting exactly the affected
+    date-partitions, never the table; static overwrite mode here would
+    silently drop the other partitions."""
+    d = fresh_scratch("m20_backfill", sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    o.write.partitionBy("o_orderpriority").mode("overwrite").parquet(d)
+    corrected = o.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") * F.lit(1.1)
+    )
+    corrected.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("o_orderpriority").parquet(d)
+    back = spark.read.parquet(d)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        r2(F.sum("o_totalprice")).alias("sum_price"),
+    )
