@@ -458,3 +458,66 @@ def c20_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("value")).alias("sum_value"),
         )
     )
+
+
+C21_ORACLE = """
+WITH a AS (
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS a_start,
+           CAST(o_orderdate AS DATE) + 10 AS a_end
+    FROM orders WHERE o_orderkey < 2000
+), b AS (
+    SELECT n_nationkey AS campaign_id,
+           DATE '1995-01-01' + n_nationkey * 60 AS b_start,
+           DATE '1995-01-01' + n_nationkey * 60 + 45 AS b_end
+    FROM nation
+)
+SELECT o_orderkey, campaign_id,
+       date_diff('day', greatest(a_start, b_start), least(a_end, b_end))
+           AS overlap_days
+FROM a JOIN b ON a_start < b_end AND b_start < a_end
+"""
+
+
+@register("c21_interval_overlap_join", oracle=C21_ORACLE, group="C")
+def c21_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (order activity windows × campaign windows)
+    via GRID BUCKETING: each interval explodes to the month cells it
+    covers, the join is an EQUI-join on the cell, and exact overlap +
+    dropDuplicates refine the candidates. A naive theta join
+    (a.start < b.end AND b.start < a.end) is a nested-loop cartesian at
+    100 TB; cell-bucketed overlap is linear in (rows × cells-per-interval)
+    and shuffles on a uniform cell key. The oracle IS the naive theta join
+    — same result, different plan class."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    a = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("a_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 10).alias("a_end"),
+    )
+    n = load_table(spark, sf_dir, "nation")
+    base = F.lit("1995-01-01").cast("date")
+    b = n.select(
+        F.col("n_nationkey").alias("campaign_id"),
+        F.date_add(base, (F.col("n_nationkey") * 60).cast("int")).alias("b_start"),
+        F.date_add(base, (F.col("n_nationkey") * 60 + 45).cast("int")).alias("b_end"),
+    )
+
+    def cells(start, end):
+        # month cells covered by [start, end); end is exclusive so an
+        # interval ending on the 1st does not claim that month
+        return F.sequence(
+            F.trunc(start, "month"), F.trunc(F.date_sub(end, 1), "month")
+        )
+
+    ae = a.withColumn("cell", F.explode(cells(F.col("a_start"), F.col("a_end"))))
+    be = b.withColumn("cell", F.explode(cells(F.col("b_start"), F.col("b_end"))))
+    cand = ae.join(be, "cell").filter(
+        (F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end"))
+    )
+    return cand.select(
+        "o_orderkey",
+        "campaign_id",
+        F.datediff(
+            F.least("a_end", "b_end"), F.greatest("a_start", "b_start")
+        ).alias("overlap_days"),
+    ).dropDuplicates(["o_orderkey", "campaign_id"])

@@ -293,3 +293,44 @@ def b5_cast_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit("123.5").cast("double") + F.col("o_orderkey")).alias("parsed_plus"),
         (F.col("o_totalprice") > 100000).cast("int").alias("is_big"),
     )
+
+
+F3_ORACLE = """
+SELECT c_custkey, c_acctbal,
+       CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT)
+           AS idx
+FROM customer
+"""
+
+
+@register("f3_global_index", oracle=F3_ORACLE, group="F")
+def f3_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sequence assignment WITHOUT the single-partition window: a
+    bare row_number() OVER (ORDER BY ...) funnels 100 TB through one task.
+    Two-phase instead: (1) range-repartition on the sort key — balanced,
+    sampled bounds, Spark's own global-sort machinery; (2) tiny
+    per-partition counts → exclusive running offsets (a 16-row window,
+    broadcast back); (3) idx = offset + local row_number within the
+    partition id. Every phase is JVM-side and parallel; the only global
+    object is the 16-row offset table. Matches row_number() exactly
+    (unique (acctbal, custkey) total order)."""
+    nparts = 16
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranged = c.repartitionByRange(
+        nparts, F.col("c_acctbal").desc(), F.col("c_custkey")
+    ).withColumn("pid", F.spark_partition_id())
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    wcum = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("n").over(wcum), F.lit(0))
+    ).select("pid", "offset")
+    wlocal = Window.partitionBy("pid").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "pid")
+        .withColumn(
+            "idx", (F.col("offset") + F.row_number().over(wlocal)).cast("long")
+        )
+        .select("c_custkey", "c_acctbal", "idx")
+    )

@@ -201,3 +201,44 @@ def a10_csv_quoting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey long, nasty string"
     ).csv(d)
     return back.select("p_partkey", "nasty", F.length("nasty").alias("n_chars"))
+
+
+A12_ORACLE = f"""
+SELECT count(CASE WHEN o_orderkey % 7 <> 0 THEN 1 END) AS n_good,
+       count(CASE WHEN o_orderkey % 7 = 0 THEN 1 END) AS n_corrupt,
+       {r2sql("sum(CASE WHEN o_orderkey % 7 <> 0 THEN o_totalprice END)")}
+           AS sum_good
+FROM orders WHERE o_orderkey < 3000
+"""
+
+
+@register("a12_json_corrupt", oracle=A12_ORACLE, group="A")
+def a12_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSONL ingestion with corrupt-record routing: every 7th
+    line is mangled mid-value; the reader must park the raw line in
+    _corrupt (all data fields null) WITHOUT failing the job, and the good
+    rows' doubles must round-trip bit-exactly through to_json/parse (the
+    oracle sums the original values). At 100 TB a FAILFAST web-scrape
+    ingest is a denial of service against yourself — permissive + corrupt
+    counter + quarantine (m15) is the posture."""
+    d = fresh_scratch("a12_json", sf_dir)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    line = F.when(
+        F.col("o_orderkey") % 7 == 0,
+        F.concat(
+            F.lit('{"o_orderkey":'),
+            F.col("o_orderkey").cast("string"),
+            F.lit(',"o_totalprice":#}'),
+        ),
+    ).otherwise(F.to_json(F.struct("o_orderkey", "o_totalprice")))
+    o.select(line.alias("value")).write.mode("overwrite").text(d)
+    back = spark.read.schema(
+        "o_orderkey long, o_totalprice double, _corrupt string"
+    ).option("columnNameOfCorruptRecord", "_corrupt").option(
+        "mode", "PERMISSIVE"
+    ).json(d)
+    return back.agg(
+        F.count("o_totalprice").alias("n_good"),
+        F.count("_corrupt").alias("n_corrupt"),
+        r2(F.sum("o_totalprice")).alias("sum_good"),
+    )

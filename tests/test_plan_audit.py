@@ -169,6 +169,23 @@ def test_bucketed_join_is_shuffle_free(spark):
     assert "Exchange" not in plan
 
 
+def test_global_index_avoids_single_partition_window(spark):
+    """f3: the global sequence must ride a range exchange + per-partition
+    windows — an empty-partition-spec Window (one task for all data) is
+    the anti-pattern this op exists to avoid."""
+    plan = plan_of(spark, "f3_global_index")
+    assert "rangepartitioning" in plan
+    # the data-sized row_number window is keyed by pid — never global
+    assert "row_number() windowspecdefinition(pid#" in plan
+
+
+def test_interval_overlap_is_equi_join(spark):
+    """c21: grid bucketing must turn the overlap theta join into an
+    equi-join — no nested-loop/cartesian anywhere in the plan."""
+    plan = plan_of(spark, "c21_interval_overlap_join")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
 def test_exists_decorrelates_to_hash_joins(spark):
     """c14: EXISTS/NOT EXISTS must become semi/anti HASH joins — a
     correlated re-execution or nested loop is a 100 TB non-starter."""
