@@ -1190,3 +1190,49 @@ def k33_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(index, "hh", "left").select(
         "new_id", "dup_of", F.col("dup_of").isNotNull().cast("int").alias("is_dup")
     )
+
+
+@register("k34_embed_quantize", oracle=None, group="K")
+def k34_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (per-vector
+    max-abs scale) and its retrieval cost: per probe, recall@10 of
+    quantized-cosine top-k against exact-cosine top-k. 4× smaller vectors
+    mean 4× less shuffle/scan/cache at 100 TB — this op makes the
+    recall price measurable (tests pin a floor). All JVM higher-order
+    expressions (transform/aggregate); no oracle (float-ordering
+    sensitive); recall floor asserted in tests/test_llm_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x))) > 0
+    )
+    scale = (F.array_max(F.transform("embedding", lambda x: F.abs(x))) / 127.0).alias(
+        "scale"
+    )
+    with_q = emb.select("vec_id", "embedding", scale).withColumn(
+        "deq",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x / F.col("scale") + 0.5).cast("double")
+            * F.col("scale"),
+        ),
+    )
+    probes = with_q.filter(F.col("vec_id") < 5)
+    exact = S.cosine_topk(
+        probes.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")),
+        with_q.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")),
+        k=10,
+    )
+    quant = S.cosine_topk(
+        probes.select(F.col("vec_id").alias("q_id"), F.col("deq").alias("q_vec")),
+        with_q.select(F.col("vec_id").alias("c_id"), F.col("deq").alias("c_vec")),
+        k=10,
+    )
+    hits = exact.join(quant, ["q_id", "c_id"], "left_semi")
+    return (
+        hits.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            "q_id",
+            "n_hits",
+            r2(F.col("n_hits") / F.lit(10.0)).alias("recall_at_10"),
+        )
+    )

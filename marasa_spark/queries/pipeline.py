@@ -888,3 +888,37 @@ def m20_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         r2(F.sum("o_totalprice")).alias("sum_price"),
     )
+
+
+M21_ORACLE = f"""
+SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_rows,
+       {r2sql("sum(value)")} AS sum_value
+FROM events
+"""
+
+
+@register("m21_compaction", oracle=M21_ORACLE, group="M")
+def m21_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a 64-file fragmented layout (the natural
+    residue of streaming ingest) is rewritten to 4 right-sized files; the
+    result re-reads the compacted layout and PROVES both the file count
+    (countDistinct of input_file_name, pinned by the oracle literal) and
+    bit-level content preservation (row count + value sum). At 100 TB,
+    listing and task-scheduling overhead of millions of tiny files
+    dominates jobs long before IO does — periodic compaction to
+    ~maxPartitionBytes-sized files is routine maintenance, and 'compaction
+    lost/duplicated rows' is the failure mode this hash guards."""
+    d = fresh_scratch("m21_compact", sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.repartition(64).write.mode("overwrite").parquet(f"{d}/small")
+    spark.read.parquet(f"{d}/small").repartition(4).write.mode("overwrite").parquet(
+        f"{d}/compact"
+    )
+    back = spark.read.parquet(f"{d}/compact").select(
+        "value", F.col("_metadata.file_path").alias("file_path")
+    )
+    return back.agg(
+        F.countDistinct("file_path").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        r2(F.sum("value")).alias("sum_value"),
+    )

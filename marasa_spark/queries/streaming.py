@@ -347,3 +347,42 @@ def i10_stream_to_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     q.stop()
     return store.latest().select("ns", "key", "value")
+
+
+I11_ORACLE = """
+WITH p AS (
+    SELECT CAST(ceil(count(*) / CAST(4 AS DOUBLE)) AS BIGINT) AS per FROM events
+)
+SELECT CAST(event_id // per AS BIGINT) AS batch_id, count(*) AS n_rows
+FROM events, p
+GROUP BY 1
+"""
+
+
+@register("i11_stream_metrics", oracle=I11_ORACLE, group="I")
+def i11_stream_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability: per-micro-batch numInputRows from the
+    query's OWN progress metrics (StreamingQueryProgress), checked against
+    the oracle's recomputation of the 4 staged chunk sizes. maxFilesPerTrigger=1
+    makes batch i exactly chunk i, so the metrics surface — the thing a
+    100 TB pipeline's lag/throughput alerting consumes — is itself
+    hash-verified. The 4-row progress list is driver-side metadata, not
+    data."""
+    from marasa_spark.streaming.runtime import stage_event_chunks, read_event_stream
+
+    stage = fresh_scratch("i11_metrics", sf_dir, create=True)
+    stage_event_chunks(spark, sf_dir, f"{stage}/chunks", n_chunks=4)
+    q = (
+        read_event_stream(spark, f"{stage}/chunks")
+        .writeStream.format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (int(p["batchId"]), int(p["numInputRows"]))
+        for p in (q.recentProgress or [])
+        if int(p["numInputRows"]) > 0
+    ]
+    q.stop()
+    return spark.createDataFrame(rows, "batch_id bigint, n_rows bigint")

@@ -232,3 +232,16 @@ def test_hll_sketch_estimates_within_tolerance(spark, sf_dir):
     assert set(got) == set(exact)
     for seg, n in exact.items():
         assert abs(got[seg][0] - n) / n < 0.03, (seg, got[seg], n)
+
+
+def test_int8_quantization_recall_floor(spark, sf_dir):
+    """k34: int8 max-abs quantization must keep mean recall@10 >= 0.8
+    against exact cosine (measured 1.0 at sf0.01 — the floor leaves room
+    for other data distributions, not for a broken quantizer)."""
+    from marasa_spark.registry import REGISTRY, queries_map
+
+    queries_map()
+    rows = REGISTRY["k34_embed_quantize"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    mean_recall = sum(r["recall_at_10"] for r in rows) / len(rows)
+    assert mean_recall >= 0.8, mean_recall
