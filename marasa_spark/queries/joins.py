@@ -521,3 +521,46 @@ def c21_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("a_end", "b_end"), F.greatest("a_start", "b_start")
         ).alias("overlap_days"),
     ).dropDuplicates(["o_orderkey", "campaign_id"])
+
+
+C22_ORACLE = f"""
+SELECT o_orderpriority, count(*) AS n, {r2sql("sum(o_totalprice)")} AS sum_price
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+"""
+
+
+@register("c22_dpp_join", oracle=C22_ORACLE, group="C")
+def c22_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact is directory-partitioned on
+    o_orderpriority; the join's dim side (2 of 5 priorities, derived from
+    a filtered nation scan) is broadcast, and Catalyst injects its values
+    into the fact scan's PartitionFilters AT RUNTIME
+    (dynamicpruningexpression — plan-audited). At 100 TB this is the
+    star-schema accelerant: 'orders for these two priorities' reads 2/5 of
+    the directories even though the priorities are only known after
+    filtering the dim, not literally in the query."""
+    d = fresh_scratch("c22_dpp", sf_dir)
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.partitionBy("o_orderpriority").mode("overwrite").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 2)
+        .select(
+            F.element_at(
+                F.array(F.lit("1-URGENT"), F.lit("2-HIGH")),
+                (F.col("n_nationkey") + 1).cast("int"),
+            ).alias("priority")
+        )
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.o_orderpriority == dim.priority)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r2(F.sum("o_totalprice")).alias("sum_price"),
+        )
+    )

@@ -1236,3 +1236,54 @@ def k34_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.col("n_hits") / F.lit(10.0)).alias("recall_at_10"),
         )
     )
+
+
+K35_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+), counts AS (
+    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+), vocab AS (
+    SELECT tok FROM counts ORDER BY n DESC, tok LIMIT 50
+)
+SELECT doc_id, count(*) AS n_tokens,
+       count(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov,
+       {r2sql("count(CASE WHEN v.tok IS NULL THEN 1 END)"
+              " / CAST(count(*) AS DOUBLE)", 4)} AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY doc_id
+"""
+
+
+@register("k35_oov_rate", oracle=K35_ORACLE, group="K")
+def k35_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: build the corpus's top-50 token vocab
+    (count desc, token as the deterministic tiebreak), broadcast it, and
+    score every document's out-of-vocabulary rate — the tokenizer-fit
+    check a training pipeline runs before committing to a vocab. Two
+    linear passes: token counts (one shuffle on token), then a broadcast
+    membership probe per token — the corpus is never shuffled for the
+    probe; at 100 TB the vocab stays executor-resident while documents
+    stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = W.orderBy(F.col("n").desc(), F.col("tok"))
+    vocab = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    probed = toks.join(F.broadcast(vocab), "tok", "left")
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        r2(
+            F.count(F.when(F.col("in_vocab").isNull(), 1))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("oov_rate"),
+    )

@@ -922,3 +922,75 @@ def m21_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         r2(F.sum("value")).alias("sum_value"),
     )
+
+
+M22_ORACLE = """
+SELECT 'not_null_custkey' AS check_name,
+       CAST(count(*) - count(o_custkey) AS DOUBLE) AS observed,
+       CAST(count(*) - count(o_custkey) = 0 AS INT) AS passed
+FROM orders
+UNION ALL
+SELECT 'status_in_domain',
+       CAST(count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END)
+            AS DOUBLE),
+       CAST(count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END) = 0
+            AS INT)
+FROM orders
+UNION ALL
+SELECT 'price_positive', CAST(min(o_totalprice) AS DOUBLE),
+       CAST(min(o_totalprice) > 0 AS INT)
+FROM orders
+UNION ALL
+SELECT 'date_in_range',
+       CAST(count(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                         OR o_orderdate >= TIMESTAMP '1999-01-01'
+                       THEN 1 END) AS DOUBLE),
+       CAST(count(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                         OR o_orderdate >= TIMESTAMP '1999-01-01'
+                       THEN 1 END) = 0 AS INT)
+FROM orders
+UNION ALL
+SELECT 'pk_unique', CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE),
+       CAST(count(*) - count(DISTINCT o_orderkey) = 0 AS INT)
+FROM orders
+"""
+
+
+@register("m22_expectations", oracle=M22_ORACLE, group="M")
+def m22_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract expectation suite (null counts, value domain, range,
+    PK uniqueness) in long form — the gate a pipeline runs BEFORE
+    publishing a table, complementing m15's row-level quarantine. All
+    checks are aggregates over one table scan each (the PK-uniqueness
+    distinct is the only shuffle); thresholds are data-independent
+    invariants of the schema contract, so the suite is deterministic at
+    every scale factor."""
+    o = load_table(spark, sf_dir, "orders")
+    lo, hi = F.lit("1992-01-01").cast("timestamp"), F.lit("1999-01-01").cast("timestamp")
+    n_null = F.count(F.lit(1)) - F.count("o_custkey")
+    n_bad_status = F.count(
+        F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+    )
+    n_bad_date = F.count(
+        F.when((F.col("o_orderdate") < lo) | (F.col("o_orderdate") >= hi), 1)
+    )
+    n_dup = F.count(F.lit(1)) - F.countDistinct("o_orderkey")
+    checks = [
+        ("not_null_custkey", n_null, n_null == 0),
+        ("status_in_domain", n_bad_status, n_bad_status == 0),
+        ("price_positive", F.min("o_totalprice"), F.min("o_totalprice") > 0),
+        ("date_in_range", n_bad_date, n_bad_date == 0),
+        ("pk_unique", n_dup, n_dup == 0),
+    ]
+    parts = [
+        o.agg(
+            F.lit(name).alias("check_name"),
+            obs.cast("double").alias("observed"),
+            ok.cast("int").alias("passed"),
+        )
+        for name, obs, ok in checks
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

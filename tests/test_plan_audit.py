@@ -186,6 +186,14 @@ def test_interval_overlap_is_equi_join(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+def test_dpp_prunes_fact_partitions(spark):
+    """c22: the dim filter's values must reach the fact scan as a runtime
+    PartitionFilter (dynamicpruningexpression) — without DPP the join
+    reads all five priority directories."""
+    plan = plan_of(spark, "c22_dpp_join")
+    assert "dynamicpruningexpression" in plan
+
+
 def test_exists_decorrelates_to_hash_joins(spark):
     """c14: EXISTS/NOT EXISTS must become semi/anti HASH joins — a
     correlated re-execution or nested loop is a 100 TB non-starter."""
