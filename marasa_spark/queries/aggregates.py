@@ -504,3 +504,35 @@ def d19_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
     )
     return seg.unionAll(merged)
+
+
+# ---------------------------------------------------------------------------
+# d20 — linear-regression aggregates (regr_slope / intercept / r2)
+# ---------------------------------------------------------------------------
+
+D20_ORACLE = f"""
+SELECT l_returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)       AS n,
+       {r2sql("regr_slope(l_extendedprice, l_quantity)")}            AS slope,
+       {r2sql("regr_intercept(l_extendedprice, l_quantity)")}        AS intercept,
+       {r2sql("regr_r2(l_extendedprice, l_quantity)", 4)}            AS r_squared
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("d20_agg_regr", oracle=D20_ORACLE, group="D")
+def d20_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates: OLS slope/intercept/R² of extended
+    price on quantity per return flag — single-pass co-moment aggregates
+    (sum, sum of squares, sum of products), so Catalyst plans them exactly
+    like sum/avg: partial map-side combine + one exchange on the group key.
+    At 100 TB this is the cheapest possible model fit: no iteration, no
+    second scan, merge-associative state of five doubles per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+        r2(F.regr_slope("l_extendedprice", "l_quantity")).alias("slope"),
+        r2(F.regr_intercept("l_extendedprice", "l_quantity")).alias("intercept"),
+        r2(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r_squared"),
+    )

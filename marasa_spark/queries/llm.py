@@ -1287,3 +1287,126 @@ def k35_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k36 — training-sequence packing (concat-and-chunk, GPT-style)
+# ---------------------------------------------------------------------------
+
+_K36_BUDGET = 512
+
+K36_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+), pos AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+  FROM toks
+)
+SELECT CAST(floor(start_off / CAST({_K36_BUDGET} AS DOUBLE)) AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT)  AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM pos
+GROUP BY 1
+"""
+
+
+@register("k36_pack_sequences", oracle=K36_ORACLE, group="K")
+def k36_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: concatenate the corpus in doc_id order
+    and split at a fixed token budget (concat-and-chunk, the standard
+    pretraining layout) — each document's sequence is floor(global token
+    offset / budget). The global prefix sum is NOT a single-partition
+    window: same two-phase shape as f3_global_index — range-repartition by
+    doc_id, per-partition token subtotals (one tiny row each) → exclusive
+    offsets broadcast back, then a partition-local running sum. Every
+    phase is parallel; the only serial object is the #partitions-row
+    offset table, so the layout holds at 100 TB."""
+    nparts = 16
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    ranged = docs.repartitionByRange(nparts, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("pid").agg(F.sum("n_tok").alias("part_tok"))
+    wcum = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("part_tok").over(wcum), F.lit(0))
+    ).select("pid", "off")
+    wloc = W.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    pos = ranged.join(F.broadcast(offsets), "pid").withColumn(
+        "start_off", F.col("off") + F.sum("n_tok").over(wloc) - F.col("n_tok")
+    )
+    seq = F.floor(
+        F.col("start_off") / F.lit(float(_K36_BUDGET))
+    ).alias("seq_id")
+    return pos.groupBy(seq).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k37 — boilerplate scoring (corpus-common word-5-gram fraction)
+# ---------------------------------------------------------------------------
+
+_K37_COMMON = "CAST(count(CASE WHEN d.df >= 2 THEN 1 END) AS DOUBLE)"
+
+K37_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                               i -> array_to_string(t[i:i+4], ' '))) AS gram
+  FROM toks
+), df AS (
+  SELECT gram, count(*) AS df FROM grams GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT)                       AS n_grams,
+       CAST(count(CASE WHEN d.df >= 2 THEN 1 END) AS BIGINT) AS n_common,
+       {r2sql(f"{_K37_COMMON} / CAST(count(*) AS DOUBLE)", 4)} AS boilerplate_score
+FROM grams g JOIN df d USING (gram)
+GROUP BY g.doc_id
+"""
+
+
+@register("k37_boilerplate", oracle=K37_ORACLE, group="K")
+def k37_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate scoring (CCNet-style): the fraction of a document's
+    distinct word 5-grams that recur in other documents (df >= 2) — high
+    scores mark templated/boilerplate text a training pipeline down-weights
+    or drops. Two shuffles, both on the gram key: df counts (map-side
+    combined), then the gram->df join back to per-doc grams; at 100 TB the
+    df table is Zipf-shrunk far below the corpus and the join is
+    shuffle-on-gram with no skew (grams hash uniformly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    gram_expr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 5, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)),
+    )
+    grams = (
+        docs.select("doc_id", F.explode(gram_expr).alias("gram"))
+        .dropDuplicates(["doc_id", "gram"])
+    )
+    df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    joined = grams.join(df, "gram")
+    n_common = F.count(F.when(F.col("df") >= 2, 1))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        n_common.alias("n_common"),
+        r2(n_common.cast("double") / F.count(F.lit(1)).cast("double"), 4).alias(
+            "boilerplate_score"
+        ),
+    )

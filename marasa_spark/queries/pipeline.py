@@ -994,3 +994,85 @@ def m22_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# m23 — partition row-count drift (the cheapest pipeline anomaly detector)
+# ---------------------------------------------------------------------------
+
+M23_ORACLE = f"""
+SELECT day, n, prev_n,
+       {r2sql("CAST(n AS DOUBLE) / CAST(prev_n AS DOUBLE)", 4)} AS ratio,
+       CAST(n > prev_n * 1.5 OR n * 1.5 < prev_n AS INT) AS drifted
+FROM (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+         lag(count(*)) OVER (ORDER BY CAST(ts AS DATE)) AS prev_n
+  FROM events GROUP BY CAST(ts AS DATE)
+)
+WHERE prev_n IS NOT NULL
+"""
+
+
+@register("m23_rowcount_drift", oracle=M23_ORACLE, group="M")
+def m23_rowcount_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day row-count drift audit: daily ingest volumes with a
+    lag-1 ratio, flagging ±50% swings — the first-line anomaly detector a
+    pipeline runs on every landed partition (a dropped upstream feed or a
+    double-delivery shows up here before any content check). The daily
+    counts collapse the table to ~one row per partition-day BEFORE the
+    window, so the unpartitioned lag window sorts only days, never rows —
+    at 100 TB that is a few thousand rows on one core after a map-side
+    combined count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.orderBy("day")
+    out = daily.withColumn("prev_n", F.lag("n").over(w)).filter(
+        F.col("prev_n").isNotNull()
+    )
+    return out.select(
+        "day",
+        "n",
+        "prev_n",
+        r2(F.col("n").cast("double") / F.col("prev_n").cast("double"), 4).alias(
+            "ratio"
+        ),
+        (
+            (F.col("n") > F.col("prev_n") * 1.5)
+            | (F.col("n") * 1.5 < F.col("prev_n"))
+        )
+        .cast("int")
+        .alias("drifted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m24 — deterministic fixed-SIZE sample (vs m1's fixed-RATE sample)
+# ---------------------------------------------------------------------------
+
+M24_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+LIMIT 200
+"""
+
+
+@register("m24_sample_fixed", oracle=M24_ORACLE, group="M")
+def m24_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample: the 200 rows with the smallest
+    md5(key) — a reproducible 'random' subset whose SIZE (not rate) is
+    pinned, the shape eval sets and debug slices want. Spark plans
+    orderBy+limit as TakeOrderedAndProject: each partition keeps a local
+    top-200 heap and the driver merges heaps — no global sort, no full
+    shuffle, O(n) scan + O(k log k) merge at any scale. The md5 tiebreak
+    is total (keys are unique), so the boundary row is engine-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.md5(F.col("o_orderkey").cast("string"))
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice", key.alias("_h"))
+        .orderBy("_h", "o_orderkey")
+        .limit(200)
+        .drop("_h")
+    )
