@@ -1392,8 +1392,14 @@ def k37_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-on-gram with no skew (grams hash uniformly)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
+    # Docs with <5 tokens must yield ZERO grams (oracle range(1,1) is empty);
+    # an unguarded sequence(0, size-5) would step backwards to [0, -1] and
+    # make slice() throw on the -1 index.
+    gram_idx = F.when(
+        F.size(toks) >= 5, F.sequence(F.lit(0), F.size(toks) - 5)
+    ).otherwise(F.array().cast("array<int>"))
     gram_expr = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 5, F.lit(-1))),
+        gram_idx,
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)),
     )
     grams = (

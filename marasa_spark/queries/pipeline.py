@@ -1003,7 +1003,7 @@ def m22_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 M23_ORACLE = f"""
 SELECT day, n, prev_n,
        {r2sql("CAST(n AS DOUBLE) / CAST(prev_n AS DOUBLE)", 4)} AS ratio,
-       CAST(n > prev_n * 1.5 OR n * 1.5 < prev_n AS INT) AS drifted
+       CAST(2 * n > 3 * prev_n OR 2 * prev_n > 3 * n AS INT) AS drifted
 FROM (
   SELECT CAST(ts AS DATE) AS day, count(*) AS n,
          lag(count(*)) OVER (ORDER BY CAST(ts AS DATE)) AS prev_n
@@ -1039,8 +1039,8 @@ def m23_rowcount_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ratio"
         ),
         (
-            (F.col("n") > F.col("prev_n") * 1.5)
-            | (F.col("n") * 1.5 < F.col("prev_n"))
+            (2 * F.col("n") > 3 * F.col("prev_n"))
+            | (2 * F.col("prev_n") > 3 * F.col("n"))
         )
         .cast("int")
         .alias("drifted"),

@@ -245,3 +245,28 @@ def test_int8_quantization_recall_floor(spark, sf_dir):
     assert len(rows) == 5
     mean_recall = sum(r["recall_at_10"] for r in rows) / len(rows)
     assert mean_recall >= 0.8, mean_recall
+
+
+def test_k37_boilerplate_short_docs(spark, tmp_path):
+    """Docs with <5 tokens must yield zero 5-grams (n_grams absent from the
+    output, like the oracle's empty range(1,1)) instead of crashing —
+    regression for the unguarded sequence(0, size-5) → [0, -1] → slice(-1)
+    INVALID_PARAMETER_VALUE.START crash on a 3-token doc."""
+    from marasa_spark.registry import REGISTRY, queries_map
+
+    queries_map()
+    spark.createDataFrame(
+        [
+            (1, "only three tokens", "en", "web", 17),
+            (2, "a b c d e f g", "en", "web", 13),
+            (3, "a b c d e f g", "en", "web", 13),
+            (4, "", "en", "web", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["k37_boilerplate"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {2, 3}  # short/empty docs produce no gram rows
+    assert rows[2]["n_grams"] == 3 and rows[2]["boilerplate_score"] == 1.0
