@@ -7,10 +7,15 @@ deterministic tiebreak on ``right_seq``):
 * :func:`asof_join` — pure DataFrame composition: band join + top-1 window.
   Correct at any scale; the band join can amplify rows when a key has many
   right rows before a left row (bounded by per-key density × tolerance).
+* :func:`asof_join_union` — union both sides into one event stream, sort
+  within key, carry the latest right row forward with
+  ``last(..., ignorenulls)``: ONE shuffle, no pair amplification, all
+  JVM-side. The default scale path — a key with R right rows and L left
+  rows costs O((R+L) log(R+L)) locally vs the band join's O(R·L) pairs.
 * :func:`asof_join_grouped` — ``applyInPandas`` + ``pandas.merge_asof`` per
   key-partition: one shuffle on the key, then a linear two-pointer merge per
-  group — the 100 TB path when per-key histories are long (no pair
-  amplification). Arrow-batched, no row-at-a-time Python.
+  group — same no-amplification shape but crosses the Python boundary;
+  kept as the escape hatch for merge logic built-ins can't express.
 
 Use a ``tolerance`` (max lookback) with the window variant at scale so the
 band join prunes to a bounded time slice.
@@ -21,6 +26,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def asof_join(
@@ -65,6 +71,81 @@ def asof_join(
         joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+
+
+def asof_join_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_seq: str,
+    left_seq: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Union-sort as-of join: one shuffle, zero pair amplification.
+
+    Both sides are tagged and unioned into a single per-key event stream;
+    a running ``last(right-struct, ignorenulls)`` over
+    ``ORDER BY (ts, right-first, seq)`` attaches the latest prior right row
+    to every left row. Ties at ``right_ts == left_ts`` match (inclusive
+    bound: right rows sort before left rows at equal ts); ties among right
+    rows resolve to the greatest ``right_seq`` — identical semantics to
+    :func:`asof_join`.
+
+    Column names of ``left`` and ``right`` must be disjoint apart from
+    ``on``; output = all left columns + right columns except ``on``.
+    ``how`` is ``inner`` (drop unmatched left rows) or ``left``.
+
+    Scale: the single exchange partitions by key; payloads ride the shuffle
+    exactly once (the band-join variant re-shuffles the amplified pair set
+    for its window). Hot keys land on one task — same skew posture as any
+    per-key as-of; salt or bound with a tolerance-pruned band join if one
+    key dominates.
+    """
+    overlap = (set(left.columns) & set(right.columns)) - {on}
+    if overlap:
+        raise ValueError(f"column names must be disjoint, overlap: {overlap}")
+    lcols = left.columns
+    rpay = [c for c in right.columns if c != on]
+    l_struct = StructType([f for f in left.schema.fields])
+    r_struct = StructType([f for f in right.schema.fields if f.name != on])
+    seq_type = right.schema[right_seq].dataType
+
+    l_side = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        (F.col(left_seq) if left_seq else F.lit(None)).cast(seq_type).alias("_seq"),
+        F.lit(0).alias("_is_r"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_lpay"),
+        F.lit(None).cast(r_struct).alias("_rpay"),
+    )
+    r_side = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.col(right_seq).cast(seq_type).alias("_seq"),
+        F.lit(1).alias("_is_r"),
+        F.lit(None).cast(l_struct).alias("_lpay"),
+        F.struct(*[F.col(c) for c in rpay]).alias("_rpay"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_is_r").desc(), F.col("_seq").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l_side.unionByName(r_side)
+        .withColumn("_m", F.last("_rpay", ignorenulls=True).over(w))
+        .filter(F.col("_is_r") == 0)
+    )
+    if how == "inner":
+        matched = matched.filter(F.col("_m").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    return matched.select(
+        *[F.col(f"_lpay.{c}").alias(c) for c in lcols],
+        *[F.col(f"_m.{c}").alias(c) for c in rpay],
     )
 
 

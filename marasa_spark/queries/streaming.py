@@ -25,9 +25,16 @@ from marasa_spark.registry import register
 # a5 — streaming ingestion, actually executed (availableNow → memory sink)
 # ---------------------------------------------------------------------------
 
-# physical schema of events.parquet under nanosAsLong (ts arrives as raw ns)
-_EVENTS_PHYS_SCHEMA = (
+# physical schemas of events.parquet — the ts column has shipped as both
+# INT64 TIMESTAMP(NANOS) (raw ns long under nanosAsLong) and
+# TIMESTAMP(MICROS, ntz); the streaming reader sniffs which via a batch read
+# (readStream needs an explicit schema, so it can't self-discover).
+_EVENTS_NANOS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+_EVENTS_MICROS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+    " value double, props string"
 )
 
 
@@ -55,11 +62,19 @@ def a5_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_configs(spark)
     stage = fresh_scratch("a5_stream", sf_dir, create=True)
     shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    stream = (
-        spark.readStream.schema(_EVENTS_PHYS_SCHEMA)
-        .parquet(stage)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    phys_ts = dict(spark.read.parquet(stage).dtypes).get("ts")
+    if phys_ts == "bigint":
+        stream = (
+            spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+            .parquet(stage)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    else:
+        stream = (
+            spark.readStream.schema(_EVENTS_MICROS_SCHEMA)
+            .parquet(stage)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
     agg = stream.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("sum_value")
     )

@@ -2,8 +2,8 @@
 
 c9 keeps an equi key (l_orderkey = o_orderkey) so Catalyst plans a hash /
 sort-merge join with the band as a residual filter — never a nested loop.
-c10 uses the ops.asof operator (band join + latest-prior window; see
-ops/asof.py for the merge_asof scale path).
+c10 uses the ops.asof union-sort operator (ONE shuffle on the key, no
+band-join pair amplification; see ops/asof.py for the variant trade-offs).
 """
 
 from __future__ import annotations
@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from marasa_spark.catalog import load_table
-from marasa_spark.ops.asof import asof_join
+from marasa_spark.ops.asof import asof_join_union
 from marasa_spark.queries._util import r2, r2sql
 from marasa_spark.registry import register
 
@@ -82,7 +82,7 @@ def c10_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").alias("click_ts"),
     )
-    return asof_join(
+    return asof_join_union(
         purchases,
         clicks,
         on="user_id",

@@ -1,6 +1,6 @@
-"""Equivalence of the two as-of join implementations (ops/asof.py): the
-band-join+window variant (the oracle-checked c10 path) and the
-merge_asof-per-group cogroup variant (the linear-time 100 TB path) must
+"""Equivalence of the three as-of join implementations (ops/asof.py): the
+band-join+window variant, the union-sort single-shuffle variant (the
+oracle-checked c10 path), and the merge_asof-per-group cogroup variant must
 agree row-for-row."""
 
 from __future__ import annotations
@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from marasa_spark.catalog import load_table
-from marasa_spark.ops.asof import asof_join, asof_join_grouped
+from marasa_spark.ops.asof import asof_join, asof_join_grouped, asof_join_union
 
 
 def test_grouped_asof_matches_window_asof(spark, sf_dir):
@@ -48,6 +48,51 @@ def test_grouped_asof_matches_window_asof(spark, sf_dir):
     }
     assert window_rows == grouped_rows
     assert len(window_rows) > 0
+    union_rows = {
+        (r["purchase_id"], r["click_id"])
+        for r in asof_join_union(
+            purchases,
+            clicks,
+            on="user_id",
+            left_ts="purchase_ts",
+            right_ts="click_ts",
+            right_seq="click_id",
+            left_seq="purchase_id",
+        ).collect()
+    }
+    assert union_rows == window_rows
+
+
+def test_union_asof_inclusive_bound_and_tiebreak(spark):
+    """A right row AT the left timestamp matches (inclusive <=), and ties
+    among right rows resolve to the greatest right_seq; 'left' keeps
+    unmatched left rows with null right columns."""
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(100, 1, t), (200, 2, t)], "l_id long, key long, l_ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, 1, t), (11, 1, t), (9, 1, t - datetime.timedelta(minutes=1))],
+        "r_id long, key long, r_ts timestamp",
+    )
+    inner = {
+        (r["l_id"], r["r_id"])
+        for r in asof_join_union(
+            left, right, on="key", left_ts="l_ts", right_ts="r_ts",
+            right_seq="r_id", left_seq="l_id",
+        ).collect()
+    }
+    assert inner == {(100, 11)}  # tie at t -> max r_id; key 2 unmatched
+    outer = {
+        (r["l_id"], r["r_id"])
+        for r in asof_join_union(
+            left, right, on="key", left_ts="l_ts", right_ts="r_ts",
+            right_seq="r_id", left_seq="l_id", how="left",
+        ).collect()
+    }
+    assert outer == {(100, 11), (200, None)}
 
 
 def test_asof_default_left_seq_keeps_distinct_keys(spark):
