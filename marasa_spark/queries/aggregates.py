@@ -536,3 +536,36 @@ def d20_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.regr_intercept("l_extendedprice", "l_quantity")).alias("intercept"),
         r2(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r_squared"),
     )
+
+
+D21_ORACLE = """
+SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("d21_bitmap_distinct", oracle=D21_ORACLE, group="D")
+def d21_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps: keys bucket with
+    ``bitmap_bucket_number`` (32k-bit buckets), each (group, bucket) builds
+    a partial bitmap with ``bitmap_construct_agg``, partial bitmaps
+    OR-merge with ``bitmap_or_agg``, and ``bitmap_count`` sums set bits.
+    Unlike ``count(DISTINCT)`` — whose dedup state is the raw key set and
+    must re-shuffle rows — bitmap state is a fixed 4 KB page per bucket,
+    merge-associative, and can be persisted per partition/day and OR-merged
+    later for incremental distinct counts (the d19 HLL pattern but exact).
+    The oracle pins exactness against DuckDB's count(DISTINCT)."""
+    o = load_table(spark, sf_dir, "orders")
+    partial = (
+        o.select(
+            "o_orderpriority",
+            F.bitmap_bucket_number("o_custkey").alias("bucket"),
+            F.bitmap_bit_position("o_custkey").alias("pos"),
+        )
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    return partial.groupBy("o_orderpriority").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_customers")
+    )

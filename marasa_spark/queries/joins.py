@@ -564,3 +564,65 @@ def c22_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("o_totalprice")).alias("sum_price"),
         )
     )
+
+
+C23_ORACLE = f"""
+SELECT o_orderpriority, count(*) AS n, {r2sql("sum(l_extendedprice)")} AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderpriority
+"""
+
+
+@register("c23_bloom_join", oracle=C23_ORACLE, group="C")
+def c23_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: Catalyst's InjectRuntimeFilter
+    builds a bloom filter over the selective dim side's join keys and
+    pushes a ``might_contain`` predicate into the FACT scan, so fact rows
+    that cannot match are dropped before the shuffle (semi-join reduction
+    without a second join). At 100 TB this is the difference between
+    shuffling the full fact and shuffling only the ~1/5 that survives the
+    dim filter — the bloom is a few MB broadcast regardless of fact size,
+    and false positives only cost work, never correctness (the join still
+    applies the exact predicate).
+
+    The injection rule only fires for non-broadcast joins past size
+    thresholds, so the op pins the confs locally, materializes the result
+    inside the builder (the sink-op pattern), then RESTORES every conf —
+    the driver's shared session never sees the overrides. The
+    ``might_contain`` plan shape is pinned by tests/test_plan_audit.py."""
+    from marasa_spark.session import ensure_session_configs
+
+    ensure_session_configs(spark)
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    # get(k, None) is None for never-explicitly-set confs (even ones with
+    # engine defaults) — restoring via unset() then returns to the default.
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                r2(F.sum("l_extendedprice")).alias("sum_price"),
+            )
+        )
+        d = fresh_scratch("c23_bloom", sf_dir)
+        j.write.mode("overwrite").parquet(d)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.read.parquet(d)

@@ -1416,3 +1416,106 @@ def k37_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boilerplate_score"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# k38/k39 — corpus-LM quality scoring + cross-doc sentence dedup share
+# ---------------------------------------------------------------------------
+
+K38_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), freq AS (
+  SELECT w, CAST(count(*) AS DOUBLE) AS n_w FROM tok GROUP BY w
+), total AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_total FROM tok
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       {r2sql("avg(ln(n_w / n_total))", 4)} AS avg_logprob
+FROM tok JOIN freq USING (w), total
+GROUP BY doc_id
+"""
+
+
+@register("k38_unigram_logprob", oracle=K38_ORACLE, group="K")
+def k38_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM quality score: each document's mean token
+    log-probability under the corpus's own unigram distribution — the
+    cheapest member of the perplexity-filter family (CCNet/Gopher-style
+    'how typical is this text'), with the LM trained and applied in one
+    job. Two linear passes: token counts (one shuffle on word), then
+    tokens⋈freq re-joined on word (same key — the exchange is reusable)
+    and a per-doc mean (shuffle on doc_id). The vocabulary table is
+    dictionary-sized, so at 100 TB the freq side broadcasts and the only
+    full-data shuffle is the per-doc regroup; no Python crosses the
+    boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("n_w"))
+    total = tok.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    return (
+        tok.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            r2(F.avg(F.log(F.col("n_w") / F.col("n_total"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+K39_ORACLE = f"""
+WITH sent AS (
+  SELECT DISTINCT doc_id, md5(trim(s)) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS s FROM documents)
+  WHERE trim(s) <> ''
+), global_n AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS n_docs FROM sent GROUP BY h
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_sents,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_sents,
+       {r2sql("sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 4)} AS dup_share
+FROM sent JOIN global_n USING (h)
+GROUP BY doc_id
+"""
+
+
+@register("k39_paragraph_dedup", oracle=K39_ORACLE, group="K")
+def k39_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-sentence share (the RefinedWeb/MassiveText
+    line-dedup signal): split each doc into sentences, hash them, count how
+    many DISTINCT docs contain each sentence corpus-wide, and report per
+    doc the fraction of its sentences that appear elsewhere — high shares
+    flag boilerplate and mirror pages for removal or line-level scrubbing.
+    Hashes (16 B) — never sentence text — ride the corpus-wide shuffle;
+    per-doc internal repeats are collapsed by the DISTINCT before counting
+    so the signal is strictly cross-doc. Both shuffles key on uniform md5
+    values: no skew at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    sent = (
+        d.select(
+            "doc_id",
+            F.explode(F.split("text", "\\. ")).alias("s"),
+        )
+        .select("doc_id", F.trim("s").alias("s"))
+        .filter(F.col("s") != "")
+        .select("doc_id", F.md5("s").alias("h"))
+        .distinct()
+    )
+    global_n = sent.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        sent.join(global_n, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sents"),
+            F.sum(dup).alias("n_dup_sents"),
+            r2(F.sum(dup) / F.count(F.lit(1)).cast("double"), 4).alias(
+                "dup_share"
+            ),
+        )
+    )

@@ -345,3 +345,59 @@ def j8_log_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.append(log_df.filter(F.col("ns") == "click"))
     store.append(log_df.filter(F.col("ns") == "purchase"))
     return store.changes(since=1800, until=2200)
+
+
+J9_ORACLE = """
+WITH log AS (
+  SELECT event_type AS ns, CAST(user_id AS VARCHAR) AS key, event_id AS seqno
+  FROM events
+), cut AS (
+  SELECT CAST(max(seqno) // 2 AS BIGINT) AS cut FROM log
+), head_latest AS (
+  SELECT ns, key, seqno FROM (
+    SELECT ns, key, seqno,
+           row_number() OVER (PARTITION BY ns, key ORDER BY seqno DESC) AS rn
+    FROM log, cut WHERE seqno < cut
+  ) WHERE rn = 1
+), kept AS (
+  SELECT ns, key, seqno FROM log, cut WHERE seqno >= cut
+  UNION ALL
+  SELECT * FROM head_latest
+)
+SELECT ns, count(*) AS n_kept, min(seqno) AS min_seqno, max(seqno) AS max_seqno
+FROM kept GROUP BY ns
+"""
+
+
+@register("j9_log_retention", oracle=J9_ORACLE, group="J")
+def j9_log_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention expiry with compacted head (Kafka compacted-topic delete
+    semantics, marasa's bounded-replay guarantee): everything at or after
+    the retention cutoff survives verbatim, and for records OLDER than the
+    cutoff only the latest version per (ns, key) is kept — point lookups
+    stay correct while replay cost is bounded by tail length + live key
+    count. One window over the head partition + a filter on the tail; the
+    cutoff (here mid-log) broadcasts as a 1-row scalar, and on the
+    partitioned log layout (a4) the head/tail split is directory pruning,
+    not a data scan."""
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("event_type").alias("ns"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("event_id").alias("seqno"),
+    )
+    cut = log.agg((F.max("seqno") / 2).cast("long").alias("cut"))
+    with_cut = log.crossJoin(F.broadcast(cut))
+    tail = with_cut.filter(F.col("seqno") >= F.col("cut")).select("ns", "key", "seqno")
+    w = Window.partitionBy("ns", "key").orderBy(F.col("seqno").desc())
+    head_latest = (
+        with_cut.filter(F.col("seqno") < F.col("cut"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("ns", "key", "seqno")
+    )
+    return tail.unionByName(head_latest).groupBy("ns").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("seqno").alias("min_seqno"),
+        F.max("seqno").alias("max_seqno"),
+    )

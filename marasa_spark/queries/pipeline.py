@@ -1076,3 +1076,41 @@ def m24_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
         .drop("_h")
     )
+
+
+M25_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         {r2sql("pow(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) / CAST(281474976710656 AS DOUBLE), CAST(1 AS DOUBLE) / n_chars)", 6)} AS pk
+  FROM documents
+)
+SELECT doc_id, n_chars, pk
+FROM (
+  SELECT doc_id, n_chars, pk,
+         row_number() OVER (ORDER BY pk DESC, doc_id) AS rn
+  FROM keyed
+)
+WHERE rn <= 100
+"""
+
+
+@register("m25_weighted_sample", oracle=M25_ORACLE, group="M")
+def m25_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-Res): each doc draws a reproducible uniform u from an
+    md5-derived 48-bit integer and competes with priority u^(1/w)
+    (w = n_chars, so longer docs are proportionally likelier) — the top-k
+    priorities ARE the weighted sample. This is how a training mix takes
+    'n tokens from this source, weighted by quality' reproducibly: no RNG
+    state, re-runs and engines agree bit-for-bit, and the top-k is
+    TakeOrderedAndProject (per-partition heaps, no global sort). Priority
+    is floor-rounded to 6 decimals with a doc_id tiebreak so the k-boundary
+    can't flip on a last-ulp pow() difference between runtimes."""
+    d = load_table(spark, sf_dir, "documents")
+    u48 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+    u = u48.cast("long") / F.lit(float(1 << 48))
+    pk = r2(F.pow(u, F.lit(1.0) / F.col("n_chars")), 6)
+    keyed = d.select("doc_id", "n_chars", pk.alias("pk"))
+    return (
+        keyed.orderBy(F.col("pk").desc(), "doc_id").limit(100)
+    )

@@ -221,3 +221,66 @@ def test_contamination_broadcasts_bench_side(spark):
 def test_session_window_single_shuffle(spark):
     plan = plan_of(spark, "i3_win_session")
     assert plan.count("Exchange hashpartitioning") == 1, "session windows should shuffle once"
+
+
+def test_bloom_join_injects_runtime_filter(spark):
+    """c23: with the op's conf overrides in force, Catalyst must inject a
+    bloom might_contain predicate on the fact side of the join (semi-join
+    reduction before the shuffle). Replicates the op's scoped confs, builds
+    the inner join, and checks the executed plan; also asserts the op
+    restored the session confs afterwards."""
+    from pyspark.sql import functions as F
+
+    from marasa_spark.catalog import load_table
+    from marasa_spark.registry import REGISTRY
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    REGISTRY["c23_bloom_join"].fn(spark, SF).collect()
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None) == before, (
+        "c23 leaked its conf overrides onto the session"
+    )
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        o = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "bloom runtime filter not injected"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_weighted_sample_is_topk(spark):
+    """m25: the weighted sample's top-k must plan as TakeOrderedAndProject
+    (per-partition heaps), never a global range sort."""
+    plan = plan_of(spark, "m25_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_bitmap_distinct_two_stage_merge(spark):
+    """d21: partial bitmaps build per (group, bucket) then OR-merge — the
+    plan must show exactly the two hash-partition exchanges (bucketed
+    partials, then group merge), with partial aggregation before each."""
+    plan = plan_of(spark, "d21_bitmap_distinct")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "bitmap_construct_agg" in plan
