@@ -242,3 +242,45 @@ def a12_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_corrupt").alias("n_corrupt"),
         r2(F.sum("o_totalprice")).alias("sum_good"),
     )
+
+
+A13_ORACLE = f"""
+SELECT CAST(month(l_shipdate) AS INT) AS mo,
+       count(*) AS n,
+       {r2sql("sum(l_extendedprice)")} AS sum_price
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY mo
+"""
+
+
+@register("a13_clustered_sink", oracle=A13_ORACLE, group="A")
+def a13_clustered_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-on-write clustering: range-partition + locally sort the fact on
+    its dominant predicate column before writing, so parquet min/max
+    statistics become tight and DISJOINT — a later date-range read skips
+    whole files (range partitioning) and whole row groups (local sort)
+    using footer stats alone, before any column IO. At 100 TB this is the
+    highest-leverage layout decision after directory partitioning: it
+    costs one range shuffle at write time and pays on every subsequent
+    scan. The read-back aggregate carries the hash oracle (clustering must
+    never change values); the stats-tightness property itself is asserted
+    from the parquet footers in tests/test_sources.py."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    d = fresh_scratch("a13_cluster", sf_dir)
+    (
+        li.repartitionByRange(4, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    back = spark.read.parquet(d).filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    return back.groupBy(F.month("l_shipdate").alias("mo")).agg(
+        F.count(F.lit(1)).alias("n"),
+        r2(F.sum("l_extendedprice")).alias("sum_price"),
+    )

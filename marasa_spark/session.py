@@ -38,6 +38,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Write timestamps as INT64 micros, not the legacy INT96 default:
+    # INT96 columns carry NO parquet min/max statistics, which silently
+    # disables row-group/file skipping on every date predicate over data
+    # we wrote (a13's clustering test pins the stats' existence).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

@@ -25,8 +25,12 @@ import sys
 # naive hand-written PySpark per BASELINE.md: query text mirrors SURVEY §2
 NAIVE = {
     "q_session": """
-ev = (spark.read.parquet(SF + "/events.parquet")
-      .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+ev = spark.read.parquet(SF + "/events.parquet")
+ts_type = dict(ev.dtypes)["ts"]
+if ts_type == "bigint":  # nanos testdata generation
+    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+elif ts_type == "timestamp_ntz":  # micros-ntz generation
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
 df = (ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
       .agg(F.count(F.lit(1)).alias("n"))
       .select("user_id", F.col("win.start").alias("session_start"), "n"))
