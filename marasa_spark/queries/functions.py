@@ -534,3 +534,34 @@ def h19_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("pk")).alias("qp_pk"),
     )
+
+
+H20_ORACLE = f"""
+SELECT event_type,
+       count(*) AS n,
+       CAST(count(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS n_typed,
+       {r2sql("avg(CAST(json_extract(props, '$.k') AS INT))")} AS avg_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("h20_fn_json_schema", oracle=H20_ORACLE, group="H")
+def h20_fn_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON with TYPES: ``from_json`` parses the payload
+    against a declared StructType once, then every downstream expression is
+    typed column access (h8's ``get_json_object`` re-parses the string per
+    extraction and always yields strings). Malformed payloads become NULL
+    structs instead of job failures — the count(typed) vs count(*) gap is
+    the built-in corruption meter. At 100 TB parse-once-then-project is the
+    only sane shape for multi-field JSON payloads; the log store's
+    ``value`` column (SURVEY §1.1) reads the same way."""
+    ev = load_table(spark, sf_dir, "events")
+    typed = ev.withColumn("j", F.from_json("props", "k INT"))
+    return typed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("j.k").alias("n_typed"),
+        r2(F.avg("j.k")).alias("avg_k"),
+        F.max("j.k").alias("max_k"),
+    )

@@ -1519,3 +1519,40 @@ def k39_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_K40_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+K40_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_K40_PAT}')) AS BIGINT) AS n_pretok,
+       CAST(len(list_filter(regexp_extract_all(text, '{_K40_PAT}'),
+                            t -> t ~ '^[0-9]+$')) AS BIGINT) AS n_number_runs,
+       {r2sql("len(regexp_extract_all(text, '" + _K40_PAT + "'))"
+              " / CAST(len(string_split(text, ' ')) AS DOUBLE)", 4)} AS pretok_per_word
+FROM documents
+"""
+
+
+@register("k40_pretokenize_regex", oracle=K40_ORACLE, group="K")
+def k40_pretokenize_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style regex pre-tokenization counts: the GPT-family tokenizers
+    first split text into letter runs / digit runs / punctuation with a
+    regex before byte-pair merging — this op counts those pre-tokens per
+    doc (a far better token-budget estimate than k14's chars/4) plus the
+    number-run count and pre-tokens-per-word ratio (high ratios flag
+    punctuation/code-heavy text for routing to different tokenizers). The
+    pattern sticks to POSIX classes so Java and RE2-ish dialects agree.
+    Single pass, no shuffle at all — count columns are per-row
+    expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_K40_PAT), 0)
+    n_pre = F.size(toks).cast("long")
+    n_num = F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).cast("long")
+    n_ws = F.size(F.split("text", " ")).cast("double")
+    return d.select(
+        "doc_id",
+        n_pre.alias("n_pretok"),
+        n_num.alias("n_number_runs"),
+        r2(n_pre / n_ws, 4).alias("pretok_per_word"),
+    )

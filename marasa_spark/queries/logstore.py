@@ -401,3 +401,40 @@ def j9_log_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("seqno").alias("min_seqno"),
         F.max("seqno").alias("max_seqno"),
     )
+
+
+J10_ORACLE = """
+WITH log AS (
+  SELECT event_type AS ns, event_id AS seqno FROM events
+), g AS (SELECT max(seqno) AS global_max FROM log)
+SELECT ns,
+       count(*) AS n_records,
+       max(seqno) AS max_seqno,
+       CAST(global_max - max(seqno) AS BIGINT) AS lag
+FROM log, g
+GROUP BY ns, global_max
+"""
+
+
+@register("j10_log_lag_metrics", oracle=J10_ORACLE, group="J")
+def j10_log_lag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-namespace consumer-lag / staleness metrics: how far each
+    namespace's newest record trails the global head seqno — the
+    monitoring query every log deployment runs (a namespace whose lag
+    grows is a stalled producer; marasa's single global seqno makes the
+    comparison meaningful across namespaces). One partial-aggregated
+    shuffle on ns plus a 1-row broadcast for the head; no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(F.col("event_type").alias("ns"), F.col("event_id").alias("seqno"))
+    head = log.agg(F.max("seqno").alias("global_max"))
+    return (
+        log.groupBy("ns")
+        .agg(F.count(F.lit(1)).alias("n_records"), F.max("seqno").alias("max_seqno"))
+        .crossJoin(F.broadcast(head))
+        .select(
+            "ns",
+            "n_records",
+            "max_seqno",
+            (F.col("global_max") - F.col("max_seqno")).alias("lag"),
+        )
+    )
