@@ -10,6 +10,7 @@ testdata + DuckDB oracles.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -848,8 +849,11 @@ def k22_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("k17_multimodal_binary", oracle=None, group="K")
 def k17_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column + mapInPandas 'decode' (deterministic stub —
-    real codecs aren't installed; Spark-side schema/batching is real)."""
+    """Binary media column + mapInPandas feature extraction over opaque
+    payloads (checksum/size + deterministic fake dimensions for
+    non-media blobs). k41 is the REAL-decode twin: it parses actual
+    PNG/GIF/WAV container headers; only pixel-level decode
+    (decode_media(real_codec=True)) awaits external codec libraries."""
     d = load_table(spark, sf_dir, "documents")
     media = M.attach_binary_payload(d, "doc_id", "text")
     return M.decode_media(media)
@@ -1556,3 +1560,53 @@ def k40_pretokenize_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_num.alias("n_number_runs"),
         r2(n_pre / n_ws, 4).alias("pretok_per_word"),
     )
+
+
+K41_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+            ELSE 'audio/wav' END AS media_type,
+       CASE WHEN doc_id % 3 IN (0, 1)
+            THEN CAST((doc_id * 7) % 320 + 16 AS INT) END AS width,
+       CASE WHEN doc_id % 3 IN (0, 1)
+            THEN CAST((doc_id * 13) % 240 + 16 AS INT) END AS height,
+       CASE WHEN doc_id % 3 IN (0, 1) THEN 1
+            ELSE CAST(doc_id % 1000 + 1 AS INT) END AS n_frames
+FROM documents
+"""
+
+
+@register("k41_media_header_decode", oracle=K41_ORACLE, group="K")
+def k41_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decoding round-trip: each doc synthesizes a VALID binary
+    payload (PNG with correct IHDR+CRC / GIF89a / PCM-16 WAV, dimensions
+    derived from doc_id) and ops.multimodal.parse_media_header parses the
+    container format back out of the raw bytes — stdlib struct/zlib only,
+    no codec libraries. The oracle recomputes the expected metadata from
+    doc_id arithmetic, so a parser that misreads a single header field
+    hash-fails. Both stages are Arrow-batched mapInPandas/pandas_udf over
+    payloads partitioned by id — the exact shape a PIL/ffmpeg full decode
+    drops into (that pixel-level step, decode_media(real_codec=True),
+    remains the one declared stub: libraries absent here)."""
+    from marasa_spark.ops.multimodal import (
+        synthesize_gif,
+        synthesize_png,
+        synthesize_wav,
+    )
+
+    @F.pandas_udf("binary")
+    def synth(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            if d % 3 == 0:
+                out.append(synthesize_png((d * 7) % 320 + 16, (d * 13) % 240 + 16))
+            elif d % 3 == 1:
+                out.append(synthesize_gif((d * 7) % 320 + 16, (d * 13) % 240 + 16))
+            else:
+                out.append(synthesize_wav(d % 1000 + 1, d % 2 + 1))
+        return pd.Series(out)
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", synth("doc_id").alias("payload"))
+    return M.decode_media_headers(media)

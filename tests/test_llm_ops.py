@@ -270,3 +270,28 @@ def test_k37_boilerplate_short_docs(spark, tmp_path):
     }
     assert set(rows) == {2, 3}  # short/empty docs produce no gram rows
     assert rows[2]["n_grams"] == 3 and rows[2]["boilerplate_score"] == 1.0
+
+
+def test_media_header_parser_round_trips():
+    """ops.multimodal parses back exactly what it synthesized — PNG IHDR
+    (incl. CRC layout), GIF screen descriptor, WAV RIFF chunk walk — and
+    rejects unknown magics instead of guessing."""
+    from marasa_spark.ops.multimodal import (
+        parse_media_header,
+        synthesize_gif,
+        synthesize_png,
+        synthesize_wav,
+    )
+
+    assert parse_media_header(synthesize_png(123, 77)) == ("image/png", 123, 77, 1)
+    assert parse_media_header(synthesize_gif(300, 200)) == ("image/gif", 300, 200, 1)
+    assert parse_media_header(synthesize_wav(999, 2)) == ("audio/wav", None, None, 999)
+    assert parse_media_header(synthesize_wav(10, 1)) == ("audio/wav", None, None, 10)
+    assert parse_media_header(b"not a media file")[0] == "unknown"
+    # a real PNG IHDR must carry a correct CRC — corrupting it is detectable
+    png = bytearray(synthesize_png(64, 64))
+    import struct as s
+    import zlib as z
+
+    body = bytes(png[12:29])  # tag + 13-byte IHDR body
+    assert s.unpack(">I", bytes(png[29:33]))[0] == z.crc32(body) & 0xFFFFFFFF
