@@ -26,6 +26,10 @@ SWEEP = [
     "i3_win_session",
     "k6_sim_cosine_topk",  # similarity ranking
     "j2_log_latest",    # window fold
+    "k38_unigram_logprob",  # avg-of-ln accumulation across partitions
+    "m25_weighted_sample",  # pow-priority top-k boundary
+    "d21_bitmap_distinct",  # bitmap merge associativity
+    "c10_join_asof",    # union-sort asof: window order under repartition
 ]
 
 
