@@ -9,7 +9,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from marasa_spark.ops.asof import asof_join
+from marasa_spark.ops.asof import asof_join, asof_join_union
 from marasa_spark.ops.dedup import char_shingles, jaccard_pairs
 
 # -- as-of join ------------------------------------------------------------
@@ -47,6 +47,14 @@ def test_asof_join_matches_reference(spark, lefts, rights):
         if cands:
             want.add((l_id, max(cands)[1]))
     assert got == want
+    got_union = {
+        (r["l_id"], r["r_id"])
+        for r in asof_join_union(
+            l_df, r_df, on="key", left_ts="l_ts", right_ts="r_ts",
+            right_seq="r_id", left_seq="l_id",
+        ).collect()
+    }
+    assert got_union == want
 
 
 # -- jaccard pairs ---------------------------------------------------------
