@@ -31,10 +31,27 @@ def fresh_scratch(kind: str, sf_dir: str, create: bool = False) -> str:
 
     The path carries the process id so a concurrent test run and a
     driver/bench run executing the same operator never clobber each other's
-    half-written files."""
+    half-written files. Same-kind directories from DEAD processes (mtime
+    older than 2h — far beyond any live run) are swept so repeated
+    driver/test rounds don't accrete abandoned scratch."""
+    import time
+
     tag = sf_dir.rstrip("/").split("/")[-1]
     d = f"{SCRATCH}/{kind}_{tag}_p{os.getpid()}"
     shutil.rmtree(d, ignore_errors=True)
+    prefix = f"{kind}_{tag}_p"
+    cutoff = time.time() - 2 * 3600
+    try:
+        for name in os.listdir(SCRATCH):
+            stale = f"{SCRATCH}/{name}"
+            if (
+                name.startswith(prefix)
+                and stale != d
+                and os.path.getmtime(stale) < cutoff
+            ):
+                shutil.rmtree(stale, ignore_errors=True)
+    except OSError:
+        pass
     if create:
         os.makedirs(d)
     return d
