@@ -253,3 +253,51 @@ def test_stream_output_modes(spark, sf_dir, chunk_dir):
         for r in update.groupBy("event_type").agg(F.max("n").alias("mx")).collect()
     }
     assert got_update == want
+
+
+def test_stream_checkpoint_resume_exactly_once(spark, sf_dir, chunk_dir):
+    """Checkpointed restart is exactly-once at file-source granularity: a
+    query that stops and resumes from the same checkpointLocation processes
+    only files it hasn't committed, and a resume with nothing new appends
+    nothing — the operational property that makes an incremental ingest
+    pipeline restartable without dedup logic."""
+    import glob as g
+    import os
+    import shutil
+
+    base = f"{SCRATCH}/ckpt_resume"
+    shutil.rmtree(base, ignore_errors=True)
+    live, out, ck = f"{base}/live", f"{base}/out", f"{base}/ck"
+    os.makedirs(live)
+    staged = sorted(g.glob(f"{chunk_dir}/chunk_*.parquet"))
+    assert len(staged) == 4
+
+    def run_once() -> None:
+        stream = read_event_stream(spark, live).select("event_id", "event_type")
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    for f in staged[:2]:
+        shutil.copy(f, f"{live}/{os.path.basename(f)}")
+    run_once()
+    n_after_first = spark.read.parquet(out).count()
+    assert n_after_first > 0
+
+    for f in staged[2:]:
+        shutil.copy(f, f"{live}/{os.path.basename(f)}")
+    run_once()  # resume: must process ONLY the two new files
+    got = spark.read.parquet(out)
+    ev = load_table(spark, sf_dir, "events")
+    assert got.count() == ev.count(), "resume lost or re-processed rows"
+    assert got.select(F.countDistinct("event_id")).first()[0] == ev.count()
+
+    run_once()  # nothing new: must append nothing
+    assert spark.read.parquet(out).count() == ev.count()
