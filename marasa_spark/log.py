@@ -190,6 +190,19 @@ class MarasaLog:
             log = log.filter(F.col("ns") == ns)  # partition-pruned
         return self._fold_latest(log).drop("segment")
 
+    def lookup(self, ns: str, keys: list[str]) -> DataFrame:
+        """Batch point lookup: latest value for the given keys of ONE
+        namespace. The predicates apply BEFORE the fold, so they reach the
+        scan — ``ns`` prunes whole directories on the partitioned layout
+        and ``key IN`` is a parquet row-group predicate; a point read
+        touches a handful of row groups instead of folding the namespace.
+        (``get`` is the single-key scalar convenience on top of this.)"""
+        log = self._union_snapshot_tail()
+        if log is None:
+            return self.spark.createDataFrame([], LOG_SCHEMA)
+        pruned = log.filter((F.col("ns") == ns) & F.col("key").isin(list(keys)))
+        return self._fold_latest(pruned).drop("segment")
+
     def get(self, ns: str, key: str, seqno: int | None = None) -> str | None:
         """Point lookup (latest or as-of). The only collect in the class —
         it returns a scalar to Python by definition."""

@@ -438,3 +438,30 @@ def j10_log_lag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("global_max") - F.col("max_seqno")).alias("lag"),
         )
     )
+
+
+J11_ORACLE = """
+SELECT event_type AS ns, CAST(user_id AS VARCHAR) AS key, props AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                               ORDER BY ts DESC, props DESC) AS rn
+  FROM events
+  WHERE event_type = 'click' AND user_id < 10
+)
+WHERE rn = 1
+"""
+
+
+@register("j11_point_lookup", oracle=J11_ORACLE, group="J")
+def j11_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """marasa ``get(ns, key)`` as a batch point lookup against the real
+    store: the ns/key predicates are applied BEFORE the latest-fold so the
+    scan reads one namespace directory (partition pruning) and only the
+    row groups whose key stats admit the requested keys — the common
+    lookup path must never fold the whole namespace. Plan pinned in
+    tests/test_plan_audit.py; values hash-checked against the SQL fold
+    over the original events."""
+    store = MarasaLog(spark, fresh_scratch("j11_log", sf_dir))
+    store.append(_events_as_log(spark, sf_dir))
+    keys = [str(i) for i in range(10)]
+    return store.lookup("click", keys).select("ns", "key", "value")

@@ -284,3 +284,12 @@ def test_bitmap_distinct_two_stage_merge(spark):
     plan = plan_of(spark, "d21_bitmap_distinct")
     assert plan.count("Exchange hashpartitioning") == 2
     assert "bitmap_construct_agg" in plan
+
+
+def test_point_lookup_prunes_before_fold(spark):
+    """j11: the lookup's scan must carry the ns partition filter AND the
+    key IN pushdown — the window fold runs over the pruned slice only."""
+    plan = plan_of(spark, "j11_point_lookup")
+    assert "PartitionFilters: [isnotnull(ns" in plan or "ns#" in plan.split("PartitionFilters")[1][:200]
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "In(key" in pushed, f"key IN not pushed to scan: {pushed}"
