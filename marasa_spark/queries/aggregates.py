@@ -569,3 +569,35 @@ def d21_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("o_orderpriority").agg(
         F.sum(F.bitmap_count("bm")).alias("n_customers")
     )
+
+
+D22_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT)   AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       count(*) AS n, {r2sql("sum(o_totalprice)")} AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("d22_grouping_id", oracle=D22_ORACLE, group="D")
+def d22_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() flags over grouping sets: the bit that tells a NULL
+    produced by aggregation apart from a NULL in the data — how every BI
+    layer distinguishes the subtotal rows of d3/d4/d5 output. Same
+    expand+aggregate plan as d5 (one shuffle); the flags are free
+    metadata of the expansion, not extra passes."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT)   AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n, {r2sql("sum(o_totalprice)")} AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

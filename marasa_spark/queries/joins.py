@@ -626,3 +626,31 @@ def c23_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.read.parquet(d)
+
+
+C24_ORACLE = f"""
+SELECT c_mktsegment, count(*) AS n, {r2sql("sum(o_totalprice)")} AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("c24_join_shuffle_hash", oracle=C24_ORACLE, group="C")
+def c24_join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control: SHUFFLE_HASH hint forces a shuffled hash join
+    where Spark would otherwise broadcast or sort-merge. At scale this is
+    the middle lever: build side too big to broadcast, but hashing the
+    smaller side beats sorting BOTH sides (SMJ) when spill fits memory —
+    strategy hints are how a pipeline pins that choice per join instead of
+    flipping global thresholds. Plan-audited as ShuffledHashJoin; values
+    must be strategy-invariant (same oracle as a plain join)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").hint("shuffle_hash")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r2(F.sum("o_totalprice")).alias("sum_price"),
+        )
+    )

@@ -293,3 +293,11 @@ def test_point_lookup_prunes_before_fold(spark):
     assert "PartitionFilters: [isnotnull(ns" in plan or "ns#" in plan.split("PartitionFilters")[1][:200]
     pushed = plan.split("PushedFilters")[1][:300]
     assert "In(key" in pushed, f"key IN not pushed to scan: {pushed}"
+
+
+def test_shuffle_hash_hint_controls_strategy(spark):
+    """c24: the SHUFFLE_HASH hint must yield ShuffledHashJoin with the
+    hinted (customer) side as the build side — not broadcast, not SMJ."""
+    plan = plan_of(spark, "c24_join_shuffle_hash")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
