@@ -1114,3 +1114,49 @@ def m25_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         keyed.orderBy(F.col("pk").desc(), "doc_id").limit(100)
     )
+
+
+M26_ORACLE = f"""
+WITH bucketed AS (
+  SELECT doc_id, n_chars,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+       {r2sql("count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE)", 4)} AS frac
+FROM bucketed
+GROUP BY split
+"""
+
+
+@register("m26_dataset_split", oracle=M26_ORACLE, group="M")
+def m26_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: each doc hashes to a
+    bucket in [0,100) from md5(doc_id) and the bucket ranges define the
+    80/10/10 split — disjoint and exhaustive BY CONSTRUCTION (one bucket,
+    one range), stable across runs/engines/appends (a doc's split never
+    changes when the corpus grows, unlike any rank- or random-based
+    split, so eval sets can't silently leak into training on re-runs).
+    Stateless per-row predicate; the only shuffle is the 3-key summary
+    rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long") % 100
+    )
+    total = d.count()
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+            r2(F.count(F.lit(1)) / F.lit(float(total)), 4).alias("frac"),
+        )
+    )
