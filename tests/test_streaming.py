@@ -301,3 +301,20 @@ def test_stream_checkpoint_resume_exactly_once(spark, sf_dir, chunk_dir):
 
     run_once()  # nothing new: must append nothing
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_stream_session_window_equals_batch(spark, sf_dir, chunk_dir):
+    """i3: session_window agg over micro-batches (complete mode, merging
+    session state across batches) == the same construct in batch — the
+    equivalence the i3 oracle rests on, exercised for SESSIONS (gap
+    merging is the hardest streaming state: sessions can fuse when a
+    later batch fills the gap between two earlier ones)."""
+    agg = lambda df: (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("win.start").alias("session_start"), "n")
+    )
+    stream = read_event_stream(spark, chunk_dir)
+    got = sorted(map(tuple, run_to_memory(agg(stream), "complete").collect()))
+    want = sorted(map(tuple, agg(load_table(spark, sf_dir, "events")).collect()))
+    assert got == want
