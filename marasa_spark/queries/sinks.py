@@ -284,3 +284,35 @@ def a13_clustered_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         r2(F.sum("l_extendedprice")).alias("sum_price"),
     )
+
+
+A14_ORACLE = f"""
+SELECT event_type, count(*) AS n, {r2sql("sum(value)")} AS sum_value
+FROM events
+WHERE event_id < 2 * ((SELECT count(*) + 3 FROM events) // 4)
+GROUP BY event_type
+"""
+
+
+@register("a14_incremental_files", oracle=A14_ORACLE, group="A")
+def a14_incremental_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level incremental ingestion: the events table staged as 4
+    seqno-ranged files, then ONE read selects only the first two via
+    pathGlobFilter — the scan's file listing never admits the others (no
+    read-then-filter). This is the cheap end of incremental processing: a
+    producer that writes range-named (or date-named) files lets every
+    consumer express 'the delta since last run' as a glob/modifiedAfter
+    predicate at listing time, before any IO or filtering. The oracle
+    recomputes the same slice from the seqno arithmetic the staging used."""
+    from marasa_spark.streaming.runtime import EVENTS_STAGED_SCHEMA, stage_event_chunks
+
+    stage = fresh_scratch("a14_files", sf_dir, create=True)
+    stage_event_chunks(spark, sf_dir, stage, n_chunks=4)
+    picked = (
+        spark.read.schema(EVENTS_STAGED_SCHEMA)
+        .option("pathGlobFilter", "chunk_0[01]_*.parquet")
+        .parquet(stage)
+    )
+    return picked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("sum_value")
+    )
