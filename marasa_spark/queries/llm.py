@@ -1610,3 +1610,59 @@ def k41_media_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = d.select("doc_id", synth("doc_id").alias("payload"))
     return M.decode_media_headers(media)
+
+
+K44_ORACLE = f"""
+WITH per_doc AS (
+  SELECT source,
+         n_chars,
+         {r2sql("CAST(len(list_filter(" + _QF_TOKS + ", t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE) / CAST(len(" + _QF_TOKS + ") AS DOUBLE)", 4)} AS q
+  FROM documents
+), per_source AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+         {r2sql("avg(q)", 4)} AS mean_stopword_ratio
+  FROM per_doc GROUP BY source
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY mean_stopword_ratio DESC, source) AS q_rank,
+         sum(mean_stopword_ratio) OVER () AS q_sum
+  FROM per_source
+)
+SELECT source, n_docs, n_chars_total, mean_stopword_ratio, q_rank,
+       {r2sql("mean_stopword_ratio / q_sum", 4)} AS mix_weight
+FROM ranked
+"""
+
+
+@register("k44_source_mix_table", oracle=K44_ORACLE, group="K")
+def k44_source_mix_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality routing table: aggregate a cheap per-doc quality
+    signal (stopword ratio — natural-language-likeness) to source level,
+    rank sources, and derive normalized mixture weights — the decision
+    table a pretraining mix is built from ('sample source X at weight w').
+    Per-doc signals are floor-rounded BEFORE the source average and the
+    rank carries a source tiebreak, so the table is bit-stable across
+    engines and partitionings. The per-source rollup is the only big-data
+    shuffle; ranking runs over the tiny source table."""
+    d = load_table(spark, sf_dir, "documents")
+    q = T.quality_features(F.col("text"))
+    per_doc = d.select("source", "n_chars", r2(q["stopword_ratio"], 4).alias("q"))
+    per_source = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+        r2(F.avg("q"), 4).alias("mean_stopword_ratio"),
+    )
+    w_rank = W.orderBy(F.col("mean_stopword_ratio").desc(), "source")
+    w_all = W.partitionBy()
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_chars_total",
+        "mean_stopword_ratio",
+        F.row_number().over(w_rank).alias("q_rank"),
+        r2(
+            F.col("mean_stopword_ratio")
+            / F.sum("mean_stopword_ratio").over(w_all),
+            4,
+        ).alias("mix_weight"),
+    )
