@@ -565,3 +565,41 @@ def h20_fn_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.avg("j.k")).alias("avg_k"),
         F.max("j.k").alias("max_k"),
     )
+
+
+H21_ORACLE = """
+WITH formatted AS (
+  SELECT o_orderkey,
+         strftime(o_orderdate, '%d/%m/%Y %H:%M:%S') AS s_euro,
+         strftime(o_orderdate, '%Y%m%d') AS s_compact
+  FROM orders
+)
+SELECT o_orderkey,
+       strptime(s_euro, '%d/%m/%Y %H:%M:%S') AS parsed_ts,
+       CAST(strptime(s_compact, '%Y%m%d') AS DATE) AS parsed_date,
+       try_strptime(s_compact, '%d/%m/%Y') AS misparse
+FROM formatted
+"""
+
+
+@register("h21_fn_datetime_parse", oracle=H21_ORACLE, group="H")
+def h21_fn_datetime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String→timestamp parsing round trip: format a real timestamp into
+    two string layouts, parse both back, and try-parse with a WRONG
+    pattern (NULL, not failure — the ingestion posture for dirty date
+    columns). The two engines use different pattern LANGUAGES (Java
+    letters vs strptime %-codes) — the op pins that the engine's patterns
+    produce value-identical results to the oracle's, which is exactly the
+    trap a pipeline hits porting ETL between engines."""
+    o = load_table(spark, sf_dir, "orders")
+    formatted = o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "dd/MM/yyyy HH:mm:ss").alias("s_euro"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("s_compact"),
+    )
+    return formatted.select(
+        "o_orderkey",
+        F.to_timestamp("s_euro", "dd/MM/yyyy HH:mm:ss").alias("parsed_ts"),
+        F.to_date("s_compact", "yyyyMMdd").alias("parsed_date"),
+        F.try_to_timestamp(F.col("s_compact"), F.lit("dd/MM/yyyy")).alias("misparse"),
+    )

@@ -166,3 +166,32 @@ def l6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = ev.mapInPandas(double_it, "event_id long, user_id long, doubled double")
     return out.select("event_id", "user_id", r2(F.col("doubled")).alias("doubled"))
+
+
+L7_ORACLE = """
+SELECT CAST(i AS BIGINT) AS id,
+       CAST(i * i AS BIGINT) AS square,
+       CASE WHEN i % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+FROM range(0, 1000) t(i)
+"""
+
+
+@register("l7_python_datasource", oracle=L7_ORACLE, group="L")
+def l7_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python data source (Spark 4 DataSource API): a registered
+    format whose reader declares partitions, so each executor's Python
+    worker generates only its slice — the distributed alternative to
+    driver-side createDataFrame for data behind Python APIs. Deterministic
+    generator → full hash oracle (DuckDB range())."""
+    from marasa_spark.pysource import SeqDataSource
+
+    try:
+        spark.dataSource.register(SeqDataSource)
+    except Exception:
+        pass  # already registered on this session
+    return (
+        spark.read.format("marasa_seq")
+        .option("n", "1000")
+        .option("partitions", "4")
+        .load()
+    )
