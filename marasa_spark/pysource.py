@@ -13,7 +13,12 @@ sliceable upstream; Spark handles scheduling, retries, and Arrow transfer.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class SeqPartition(InputPartition):
@@ -35,6 +40,9 @@ class SeqDataSource(DataSource):
     def reader(self, schema) -> "SeqReader":
         return SeqReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SeqStreamReader":
+        return SeqStreamReader(self.options)
+
 
 class SeqReader(DataSourceReader):
     def __init__(self, options):
@@ -51,3 +59,35 @@ class SeqReader(DataSourceReader):
     def read(self, partition: SeqPartition):
         for i in range(partition.start, partition.end):
             yield (i, i * i, "even" if i % 2 == 0 else "odd")
+
+
+class SeqStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same generator: offsets advance by
+    ``batch_size`` ids per micro-batch up to ``n`` — a deterministic
+    unbounded-source shape (think: polling a cursor/queue position), so
+    stream results are batch-equivalent and oracle-checkable. The simple
+    reader runs on the driver per micro-batch; a partitioned
+    ``DataSourceStreamReader`` is the executor-parallel upgrade path."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 100))
+        self.batch_size = int(options.get("batch_size", 25))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        # one poll advances at most one batch; availableNow drains to n
+        return {"pos": self.n}
+
+    def read(self, start):
+        pos = start["pos"]
+        end = min(pos + self.batch_size, self.n)
+        rows = [(i, i * i, "even" if i % 2 == 0 else "odd") for i in range(pos, end)]
+        return iter(rows), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            (i, i * i, "even" if i % 2 == 0 else "odd")
+            for i in range(start["pos"], end["pos"])
+        )

@@ -401,3 +401,58 @@ def i11_stream_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     q.stop()
     return spark.createDataFrame(rows, "batch_id bigint, n_rows bigint")
+
+
+I12_ORACLE = """
+SELECT CAST(i AS BIGINT) AS id,
+       CAST(i * i AS BIGINT) AS square,
+       CASE WHEN i % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+FROM range(0, 200) t(i)
+"""
+
+
+@register("i12_python_stream_source", oracle=I12_ORACLE, group="I")
+def i12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING Python data source (Spark 4 SimpleDataSourceStream-
+    Reader): offsets advance a cursor per micro-batch — the shape of
+    polling an upstream queue/cursor from Python. The op drains the
+    bounded stream (4+ real micro-batches; the API doesn't support
+    availableNow, so the driver polls the sink until the cursor hits n)
+    into a memory sink and hash-checks the union of all batches against
+    the closed-form oracle — exactly-once across batch boundaries,
+    value-exact."""
+    import time as _time
+    import uuid
+
+    from marasa_spark.pysource import SeqDataSource
+    from marasa_spark.session import ensure_session_configs
+
+    ensure_session_configs(spark)
+    try:
+        spark.dataSource.register(SeqDataSource)
+    except Exception:
+        pass
+    n = 200
+    name = f"i12_seq_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("marasa_seq")
+        .option("n", str(n))
+        .option("batch_size", "60")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table(name).count() >= n:
+                break
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+    return spark.table(name)
