@@ -1666,3 +1666,62 @@ def k44_source_mix_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mix_weight"),
     )
+
+
+K46_ORACLE = f"""
+WITH guessed AS (
+  SELECT lang AS declared_lang,
+         CASE WHEN regexp_matches(text, '{_ZH}') THEN 'zh'
+              WHEN regexp_matches(text, '{_FR}') THEN 'fr'
+              WHEN regexp_matches(text, '{_ES}') THEN 'es'
+              WHEN regexp_matches(text, '{_DE}') THEN 'de'
+              ELSE 'en' END AS guessed_lang
+  FROM documents
+), counts AS (
+  SELECT declared_lang, guessed_lang, count(*) AS n FROM guessed GROUP BY 1, 2
+), per_lang AS (
+  SELECT declared_lang, CAST(sum(n) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN declared_lang = guessed_lang THEN n ELSE 0 END)
+              AS BIGINT) AS n_correct
+  FROM counts GROUP BY declared_lang
+)
+SELECT c.declared_lang, c.guessed_lang, c.n,
+       p.n_total,
+       {r2sql("p.n_correct / CAST(p.n_total AS DOUBLE)", 4)} AS lang_recall
+FROM counts c JOIN per_lang p USING (declared_lang)
+"""
+
+
+@register("k46_langid_eval", oracle=K46_ORACLE, group="K")
+def k46_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component evaluation inside the engine: the k12 language-ID
+    classifier scored against the corpus's declared labels as a confusion
+    matrix with per-language recall — the QA loop every classifier-driven
+    pipeline stage needs (route/drop decisions are only as good as the
+    classifier, so its error structure must be a queryable table, not a
+    notebook artifact). Two tiny shuffles on (declared, guessed); the
+    classification itself is a per-row expression at scan speed."""
+    d = load_table(spark, sf_dir, "documents")
+    guessed = d.select(
+        F.col("lang").alias("declared_lang"),
+        T.lang_id(F.col("text")).alias("guessed_lang"),
+    )
+    counts = guessed.groupBy("declared_lang", "guessed_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_lang = counts.groupBy("declared_lang").agg(
+        F.sum("n").alias("n_total"),
+        F.sum(
+            F.when(F.col("declared_lang") == F.col("guessed_lang"), F.col("n"))
+            .otherwise(0)
+        ).alias("n_correct"),
+    )
+    return counts.join(per_lang, "declared_lang").select(
+        "declared_lang",
+        "guessed_lang",
+        "n",
+        "n_total",
+        r2(F.col("n_correct") / F.col("n_total").cast("double"), 4).alias(
+            "lang_recall"
+        ),
+    )

@@ -27,7 +27,11 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as e
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-SF_DIR = "/root/testdata/sf0.01"
+# override with MARASA_SIM_SF_DIR to sweep other scales (sf0.001 exercises
+# tiny/empty-group edge cases the driver's sf0.01 run never hits)
+import os as _os
+
+SF_DIR = _os.environ.get("MARASA_SIM_SF_DIR", "/root/testdata/sf0.01")
 
 
 def canon(v):
