@@ -78,3 +78,59 @@ def test_oracle_parity(qid, spark, duck, sf_dir):
     if s != d:
         mism = [(a, b) for a, b in zip(s, d) if a != b][:5]
         raise AssertionError(f"{qid}: value mismatch; first diffs: {mism}")
+
+
+# -- tiny-scale edge sweep --------------------------------------------------
+# sf0.001 (50 docs, 100 events... driver's t1 smoke scale) exercises
+# empty/singleton-group edges the sf0.01 run never hits: slicing ops whose
+# doc_id bounds exceed the corpus, samples larger than the population,
+# splits with empty strata. Curated to the ops with scale-sensitive logic;
+# the full-registry sweep is `MARASA_SIM_SF_DIR=... python tools/driver_sim.py`.
+TINY_SF = "/root/testdata/sf0.001"
+TINY_IDS = [
+    "k4_dedup_exact",       # zero duplicate groups at this scale
+    "k5_dedup_near",        # zero qualifying pairs
+    "k19_ngram_jaccard",    # doc_id<200 slice exceeds the 50-doc corpus
+    "k20_edit_distance",    # doc_id<50 slice == whole corpus
+    "m24_sample_fixed",     # fixed-k sample vs small population
+    "m26_dataset_split",    # split fractions over 50 docs
+    "m2_stratified_sample", # strata with very few members
+    "j9_log_retention",     # mid-log cutoff on a short log
+    "m6_gap_fill",          # per-user grids from sparse events
+    "e5_topk_per_group",    # groups smaller than k
+]
+
+
+@pytest.fixture(scope="session")
+def tiny_duck():
+    import duckdb
+
+    from marasa_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    con.execute("PRAGMA threads=4")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{TINY_SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("qid", TINY_IDS)
+def test_tiny_scale_parity(qid, spark, tiny_duck):
+    spec = REGISTRY[qid]
+    sdf = spec.fn(spark, TINY_SF)
+    scols = sdf.columns
+    srows = sdf.collect()
+    if spec.oracle is None:
+        assert len(scols) > 0
+        return
+    rel = tiny_duck.execute(spec.oracle)
+    dcols = [d[0] for d in rel.description]
+    drows = rel.fetchall()
+    assert sorted(scols) == sorted(dcols)
+    assert len(srows) == len(drows), (
+        f"{qid}@sf0.001: row count differs: spark={len(srows)} duck={len(drows)}"
+    )
+    assert canon_rows(scols, [tuple(r) for r in srows]) == canon_rows(dcols, drows)
