@@ -334,3 +334,38 @@ def f3_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "c_acctbal", "idx")
     )
+
+
+G7_ORACLE = """
+SELECT c_custkey AS entity_key, c_acctbal AS acctbal,
+       c_mktsegment AS mktsegment, NULL AS nationkey, 'customer' AS kind
+FROM customer
+UNION ALL
+SELECT s_suppkey, s_acctbal, NULL, s_nationkey, 'supplier'
+FROM supplier
+"""
+
+
+@register("g7_union_schema_evolution", oracle=G7_ORACLE, group="G")
+def g7_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union across DIFFERENT schemas: ``unionByName(allowMissingColumns=
+    True)`` aligns by column NAME and null-fills each side's missing
+    columns — the union a long-lived lake actually needs (position-based
+    unionAll silently mis-aligns when one producer added a column; the a8
+    mergeSchema read is this same posture at the file level). The oracle
+    spells out the null padding explicitly."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit("customer").alias("kind"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.lit("supplier").alias("kind"),
+    )
+    return c.unionByName(s, allowMissingColumns=True).select(
+        "entity_key", "acctbal", "mktsegment", "nationkey", "kind"
+    )

@@ -253,3 +253,39 @@ def e8_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "events")
     return spark.sql(E8_SQL)
+
+
+E9_ORACLE = f"""
+SELECT event_id, event_type, value,
+       {r2sql("median(value) OVER (PARTITION BY event_type)", 6)} AS type_median,
+       {r2sql("quantile_cont(value, 0.9) OVER (PARTITION BY event_type)", 6)} AS type_p90,
+       CASE WHEN value > quantile_cont(value, 0.9) OVER (PARTITION BY event_type)
+            THEN 1 ELSE 0 END AS above_p90
+FROM events
+WHERE event_id < 2000
+"""
+
+
+@register("e9_win_percentile", oracle=E9_ORACLE, group="E")
+def e9_win_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles as window functions: every row carries its
+    group's median and p90 without a join back (the two-pass
+    aggregate-then-join alternative costs a second shuffle and loses
+    rows-to-stats locality). Unbounded percentile windows buffer each
+    partition — fine for bounded group counts (one buffer per event_type
+    here); for high-cardinality or huge groups switch to the d9 approx
+    sketch or the aggregate-join shape. The slice filter applies BEFORE
+    the window on both sides (SQL WHERE precedes window evaluation), so
+    the stats describe exactly the sliced population."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    w = W.partitionBy("event_type")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        r2(F.median("value").over(w), 6).alias("type_median"),
+        r2(F.percentile("value", 0.9).over(w), 6).alias("type_p90"),
+        F.when(F.col("value") > F.percentile("value", 0.9).over(w), 1)
+        .otherwise(0)
+        .alias("above_p90"),
+    )
