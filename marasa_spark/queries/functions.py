@@ -603,3 +603,32 @@ def h21_fn_datetime_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("s_compact", "yyyyMMdd").alias("parsed_date"),
         F.try_to_timestamp(F.col("s_compact"), F.lit("dd/MM/yyyy")).alias("misparse"),
     )
+
+
+H22_ORACLE = f"""
+SELECT event_type,
+       count(*) AS n,
+       {r2sql("avg(CAST(json_extract(props, '$.k') AS INT))")} AS avg_k
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS INT) IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("h22_fn_variant", oracle=H22_ORACLE, group="H")
+def h22_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): ``parse_json`` once into a
+    binary-encoded variant, then typed ``variant_get`` path extraction —
+    the open-schema payload answer between h8's string re-parsing and
+    h20's fixed StructType: no declared schema, but extraction is typed
+    and the encoded form avoids re-tokenizing JSON per access. The oracle
+    computes the same typed extraction via DuckDB's JSON path — variant
+    semantics must be value-identical to a JSON reference."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.withColumn("v", F.parse_json("props"))
+    k = F.variant_get("v", "$.k", "int")
+    return (
+        v.filter(k.isNotNull())
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.avg(k)).alias("avg_k"))
+    )
