@@ -1725,3 +1725,108 @@ def k46_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_recall"
         ),
     )
+
+
+K47_ORACLE = """
+WITH RECURSIVE tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pr AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN cnt na ON doc_a = na.doc_id
+  JOIN cnt nb ON doc_b = nb.doc_id
+  WHERE CAST(i AS DOUBLE) / (CAST(na.n + nb.n AS DOUBLE) - CAST(i AS DOUBLE)) >= 0.9
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pr
+  UNION
+  SELECT doc_b, doc_a FROM pr
+), reach AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+), comp AS (
+  SELECT node AS doc_id, least(node, min(r)) AS cluster
+  FROM reach GROUP BY node
+), nearrep AS (
+  SELECT doc_id, cluster,
+         CAST(max(CASE WHEN rn = 1 THEN rdoc END)
+              OVER (PARTITION BY cluster) AS BIGINT) AS rep_doc
+  FROM (
+    SELECT c.cluster, c.doc_id, c.doc_id AS rdoc,
+           row_number() OVER (PARTITION BY c.cluster
+                              ORDER BY d.n_chars DESC, c.doc_id) AS rn
+    FROM comp c JOIN documents d USING (doc_id)
+  )
+), exact AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS exact_rep
+  FROM documents
+)
+SELECT d.doc_id,
+       CASE WHEN e.exact_rep <> d.doc_id THEN 'drop_exact'
+            WHEN nr.rep_doc IS NOT NULL AND nr.rep_doc <> d.doc_id THEN 'drop_near'
+            ELSE 'keep' END AS decision,
+       CAST(CASE WHEN e.exact_rep <> d.doc_id THEN e.exact_rep
+                 WHEN nr.rep_doc IS NOT NULL THEN nr.rep_doc
+                 ELSE d.doc_id END AS BIGINT) AS rep_doc
+FROM documents d
+JOIN exact e USING (doc_id)
+LEFT JOIN nearrep nr USING (doc_id)
+"""
+
+
+@register("k47_dedup_decisions", oracle=K47_ORACLE, group="K")
+def k47_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL ARTIFACT: one keep/drop decision per
+    document, composing exact dedup (k4: identical md5 → keep min id),
+    near-dup clustering (k5 pairs → k25 components → k31 longest-doc
+    representative), with exact-match precedence. This is the table the
+    training-data build actually consumes — everything upstream
+    (LSH candidates at scale via k9, verify via k5's exact Jaccard) feeds
+    it. Windows shuffle on content hash and cluster id; the corpus join
+    is key-co-partitioned on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = docs.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(W.partitionBy(F.md5("text")))
+        .alias("exact_rep"),
+    )
+    pairs = D.jaccard_pairs(docs, "doc_id", "text", threshold=0.9)
+    comp = D.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster"
+    )
+    ranked = comp.join(docs.select("doc_id", "n_chars"), "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("cluster").orderBy(F.col("n_chars").desc(), "doc_id")
+        ),
+    )
+    nearrep = ranked.select(
+        "doc_id",
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .over(W.partitionBy("cluster"))
+        .alias("rep_doc"),
+    )
+    joined = docs.select("doc_id").join(exact, "doc_id").join(nearrep, "doc_id", "left")
+    decision = (
+        F.when(F.col("exact_rep") != F.col("doc_id"), "drop_exact")
+        .when(
+            F.col("rep_doc").isNotNull() & (F.col("rep_doc") != F.col("doc_id")),
+            "drop_near",
+        )
+        .otherwise("keep")
+    )
+    rep = (
+        F.when(F.col("exact_rep") != F.col("doc_id"), F.col("exact_rep"))
+        .when(F.col("rep_doc").isNotNull(), F.col("rep_doc"))
+        .otherwise(F.col("doc_id"))
+    )
+    return joined.select(
+        "doc_id", decision.alias("decision"), rep.alias("rep_doc")
+    )

@@ -98,6 +98,7 @@ TINY_IDS = [
     "j9_log_retention",     # mid-log cutoff on a short log
     "m6_gap_fill",          # per-user grids from sparse events
     "e5_topk_per_group",    # groups smaller than k
+    "k47_dedup_decisions",  # empty near-dup components at tiny scale
 ]
 
 
