@@ -92,7 +92,12 @@ def asof_join_union(
     to every left row. Ties at ``right_ts == left_ts`` match (inclusive
     bound: right rows sort before left rows at equal ts); ties among right
     rows resolve to the greatest ``right_seq`` — identical semantics to
-    :func:`asof_join`.
+    :func:`asof_join`, including on NULL timestamps: null-ts right rows are
+    filtered (the band predicate ``right_ts <= left_ts`` is never true on
+    NULL), and null-ts left rows sort NULLS FIRST — before every right
+    row — so they match nothing (dropped under ``inner``, null-extended
+    under ``left``), exactly as the band join's null-rejecting predicate
+    behaves.
 
     Column names of ``left`` and ``right`` must be disjoint apart from
     ``on``; output = all left columns + right columns except ``on``.
@@ -121,7 +126,7 @@ def asof_join_union(
         F.struct(*[F.col(c) for c in lcols]).alias("_lpay"),
         F.lit(None).cast(r_struct).alias("_rpay"),
     )
-    r_side = right.select(
+    r_side = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.col(right_seq).cast(seq_type).alias("_seq"),

@@ -31,9 +31,12 @@ def fresh_scratch(kind: str, sf_dir: str, create: bool = False) -> str:
 
     The path carries the process id so a concurrent test run and a
     driver/bench run executing the same operator never clobber each other's
-    half-written files. Same-kind directories from DEAD processes (mtime
-    older than 2h — far beyond any live run) are swept so repeated
-    driver/test rounds don't accrete abandoned scratch."""
+    half-written files. Same-kind directories from DEAD processes are swept
+    so repeated driver/test rounds don't accrete abandoned scratch.
+    Staleness keys on the NEWEST mtime found inside the dir (walk), not the
+    dir's own creation mtime — a long-lived session that made its scratch
+    >2h ago but is still writing/reading files in it is live, and sweeping
+    it would race a concurrent process into its open files."""
     import time
 
     tag = sf_dir.rstrip("/").split("/")[-1]
@@ -41,13 +44,24 @@ def fresh_scratch(kind: str, sf_dir: str, create: bool = False) -> str:
     shutil.rmtree(d, ignore_errors=True)
     prefix = f"{kind}_{tag}_p"
     cutoff = time.time() - 2 * 3600
+
+    def newest_mtime(root: str) -> float:
+        newest = os.path.getmtime(root)
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(dirpath, fn)))
+                except OSError:
+                    pass
+        return newest
+
     try:
         for name in os.listdir(SCRATCH):
             stale = f"{SCRATCH}/{name}"
             if (
                 name.startswith(prefix)
                 and stale != d
-                and os.path.getmtime(stale) < cutoff
+                and newest_mtime(stale) < cutoff
             ):
                 shutil.rmtree(stale, ignore_errors=True)
     except OSError:

@@ -444,7 +444,7 @@ def i12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
-        .trigger(processingTime="0 seconds")
+        .trigger(processingTime="100 milliseconds")
         .start()
     )
     try:
@@ -455,4 +455,10 @@ def i12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             _time.sleep(0.3)
     finally:
         q.stop()
+    got = spark.table(name).count()
+    if got < n:
+        raise RuntimeError(
+            f"i12 stream drained only {got}/{n} rows before the 120 s "
+            "deadline — refusing to return a partial table"
+        )
     return spark.table(name)

@@ -259,7 +259,7 @@ E9_ORACLE = f"""
 SELECT event_id, event_type, value,
        {r2sql("median(value) OVER (PARTITION BY event_type)", 6)} AS type_median,
        {r2sql("quantile_cont(value, 0.9) OVER (PARTITION BY event_type)", 6)} AS type_p90,
-       CASE WHEN value > quantile_cont(value, 0.9) OVER (PARTITION BY event_type)
+       CASE WHEN value > {r2sql("quantile_cont(value, 0.9) OVER (PARTITION BY event_type)", 6)}
             THEN 1 ELSE 0 END AS above_p90
 FROM events
 WHERE event_id < 2000
@@ -285,7 +285,7 @@ def e9_win_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         r2(F.median("value").over(w), 6).alias("type_median"),
         r2(F.percentile("value", 0.9).over(w), 6).alias("type_p90"),
-        F.when(F.col("value") > F.percentile("value", 0.9).over(w), 1)
+        F.when(F.col("value") > r2(F.percentile("value", 0.9).over(w), 6), 1)
         .otherwise(0)
         .alias("above_p90"),
     )

@@ -95,6 +95,43 @@ def test_union_asof_inclusive_bound_and_tiebreak(spark):
     assert outer == {(100, 11), (200, None)}
 
 
+def test_union_asof_null_timestamps_match_band_join(spark):
+    """Dirty-data equivalence: NULL timestamps must behave identically in
+    both variants — a null-ts right row never matches (the band predicate
+    ``right_ts <= left_ts`` is never true on NULL), and a null-ts left row
+    matches nothing (dropped under inner, null-extended under left).
+    Regression for the NULLS-FIRST ordering that previously let null-ts
+    rows match in the union variant."""
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(100, 1, t), (200, 1, None), (300, 2, t)],
+        "l_id long, key long, l_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, 1, t - datetime.timedelta(minutes=1)), (20, 2, None)],
+        "r_id long, key long, r_ts timestamp",
+    )
+    kw = dict(on="key", left_ts="l_ts", right_ts="r_ts",
+              right_seq="r_id", left_seq="l_id")
+    for how in ("inner", "left"):
+        band = {
+            (r["l_id"], r["r_id"])
+            for r in asof_join(left, right, how=how, **kw).collect()
+        }
+        union = {
+            (r["l_id"], r["r_id"])
+            for r in asof_join_union(left, right, how=how, **kw).collect()
+        }
+        assert union == band, f"how={how}"
+    # and the concrete expectation, not just mutual agreement:
+    assert {
+        (r["l_id"], r["r_id"])
+        for r in asof_join_union(left, right, how="left", **kw).collect()
+    } == {(100, 10), (200, None), (300, None)}
+
+
 def test_asof_default_left_seq_keeps_distinct_keys(spark):
     """Regression: without left_seq, the top-1 window must key on
     (join key, left_ts) — two left rows of DIFFERENT keys sharing a
