@@ -27,7 +27,9 @@ Scale posture (100 TB):
   real scale the snapshot write would bucket by key so the tail-merge
   window co-locates without a shuffle;
 * seqno assignment reads ``max(seqno)`` (a Parquet footer-stats scan, not
-  a data scan) and window-numbers only the incoming batch. Like the
+  a data scan) and numbers only the incoming batch — via the f3 two-phase
+  range-partition + broadcast-offset shape, so even a bulk-load-sized
+  batch never funnels through a single-partition window. Like the
   reference, the store assumes a **single writer** (SURVEY §7.4#2);
 * no driver-side ``collect()`` anywhere in the data path.
 """
@@ -40,6 +42,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from marasa_spark.session import ensure_session_configs
+
+class LogWriteConflict(RuntimeError):
+    """Two writers raced ``append()`` from the same high-water seqno.
+
+    The store is single-writer (SURVEY §7.4#2): each append CASes a claim
+    on its base seqno before writing, so the loser gets THIS error instead
+    of silently writing colliding seqnos. A Delta/Iceberg backend replaces
+    the claim file with its native commit-conflict protocol — same
+    contract, same exception surface."""
+
 
 LOG_SCHEMA = "ns string, key string, seqno long, ts timestamp, value string"
 # on disk, records carry a segment partition column: segment = the starting
@@ -66,20 +78,20 @@ class MarasaLog:
         order-deterministic too (identical full rows are interchangeable).
         Returns the new high-water seqno (base + batch size — no re-scan).
         Single-writer, like the reference.
+
+        Seqno assignment is the f3_global_index two-phase shape, NOT a
+        global ``row_number() OVER (ORDER BY ...)``: a bare global window
+        funnels the whole batch through one task, which serializes a bulk
+        load. Instead (1) range-repartition the batch on the sort key —
+        balanced, sampled bounds; (2) per-partition counts → exclusive
+        running offsets (one tiny N-row window, broadcast back); (3)
+        seqno = base + offset + local row_number within the partition.
+        Every phase is parallel; the only global object is the N-row
+        offset table. Produces the identical contiguous numbering.
         """
         base = self.max_seqno()
-        if "ts" not in records.columns:
-            # current_timestamp() is a per-query constant, so rows in one
-            # batch tie on ts — the value tiebreaker below still orders them
-            records = records.withColumn("ts", F.current_timestamp())
-        w = Window.orderBy("ns", "key", "ts", "value")
-        batch = records.select(
-            F.col("ns").cast("string"),
-            F.col("key").cast("string"),
-            (F.row_number().over(w) + F.lit(base)).cast("long").alias("seqno"),
-            F.col("ts").cast("timestamp"),
-            F.col("value").cast("string"),
-        ).withColumn(
+        self._claim_base(base)
+        batch = self._number_batch(records, base).withColumn(
             "segment",
             (F.floor(F.col("seqno") / self.segment_size) * self.segment_size).cast("long"),
         )
@@ -91,6 +103,86 @@ class MarasaLog:
         batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
         self._write_log_batch(batch)
         return base + int(obs.get["n"])
+
+    def _number_batch(self, records: DataFrame, base: int) -> DataFrame:
+        """Stamp ``seqno = base + rank in (ns, key, ts, value) order`` onto
+        one batch — the parallel numbering plan described in :meth:`append`.
+        Audited by tests/test_plan_audit.py (no single-partition window)."""
+        if "ts" not in records.columns:
+            records = records.withColumn("ts", F.current_timestamp())
+        sort_cols = [F.col("ns"), F.col("key"), F.col("ts"), F.col("value")]
+        nparts = max(1, min(32, records.rdd.getNumPartitions()))
+        ranged = (
+            records.select(
+                F.col("ns").cast("string"),
+                F.col("key").cast("string"),
+                F.col("ts").cast("timestamp"),
+                F.col("value").cast("string"),
+            )
+            .repartitionByRange(nparts, *sort_cols)
+            .withColumn("_pid", F.spark_partition_id())
+        )
+        counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+        wcum = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.withColumn(
+            "_offset", F.coalesce(F.sum("_n").over(wcum), F.lit(0))
+        ).select("_pid", "_offset")
+        wlocal = Window.partitionBy("_pid").orderBy(*sort_cols)
+        return ranged.join(F.broadcast(offsets), "_pid").select(
+            "ns",
+            "key",
+            (F.col("_offset") + F.row_number().over(wlocal) + F.lit(base))
+            .cast("long")
+            .alias("seqno"),
+            "ts",
+            "value",
+        )
+
+    # -- writer-conflict seam ------------------------------------------------
+
+    @property
+    def _txn_dir(self) -> str:
+        return f"{self.path}/_txn"
+
+    def _claim_base(self, base: int) -> None:
+        """CAS the high-water: atomically create ``_txn/base=<base>``
+        (O_CREAT|O_EXCL — the filesystem's compare-and-set). Exactly one
+        writer can advance the log from a given base; the loser raises
+        :class:`LogWriteConflict` BEFORE any data file is written. Claim
+        files are one per committed batch (~bytes) and double as a commit
+        journal; a crashed writer's claim is cleared with
+        :meth:`recover_claims`."""
+        os.makedirs(self._txn_dir, exist_ok=True)
+        path = f"{self._txn_dir}/base={base}"
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise LogWriteConflict(
+                f"another writer already claimed base seqno {base} "
+                f"({path} exists); re-read the high-water and retry, or run "
+                "recover_claims() if that writer is known dead"
+            ) from None
+        os.write(fd, f"pid={os.getpid()}\n".encode())
+        os.close(fd)
+
+    def recover_claims(self) -> int:
+        """Clear claims that no committed data backs: a writer that claimed
+        ``base == max_seqno()`` and died before its write landed leaves a
+        claim that blocks every retry from that base. Single-operator
+        recovery step (never run while a writer is in flight); returns the
+        number of claims removed. Claims below the high-water belong to
+        committed batches and are kept as the commit journal."""
+        if not os.path.isdir(self._txn_dir):
+            return 0
+        high = self.max_seqno()
+        removed = 0
+        for name in os.listdir(self._txn_dir):
+            if not name.startswith("base="):
+                continue
+            if int(name.split("=", 1)[1]) >= high:
+                os.unlink(f"{self._txn_dir}/{name}")
+                removed += 1
+        return removed
 
     # -- storage seam --------------------------------------------------------
     # Every physical read/write goes through these three methods and nothing

@@ -137,3 +137,45 @@ def test_changes_range_and_replay_invariant(spark, tmp_base):
     assert {r["seqno"] for r in b_only} == set(range(11, 16))
     assert all(r["ns"] == "b" for r in b_only)
     assert store.changes(15).count() == 0
+
+
+def test_concurrent_append_conflict_detected(spark, tmp_base):
+    """The single-writer contract is ENFORCED, not assumed: two writers
+    racing append() from the same high-water must not silently interleave
+    colliding seqnos — the second claimant gets LogWriteConflict before any
+    of its data lands (the Delta slot-in commit-conflict contract,
+    BASELINE.json north star). Sequential appends (each from a fresh
+    high-water) never conflict; recover_claims() clears a dead writer's
+    claim and re-opens the base."""
+    from marasa_spark.log import LogWriteConflict
+
+    path = str(tmp_base / "conflict_store")
+    writer_a = MarasaLog(spark, path)
+    writer_b = MarasaLog(spark, path)
+    df = spark.createDataFrame(
+        [("ns1", "k1", "v1"), ("ns1", "k2", "v2")],
+        "ns string, key string, value string",
+    )
+    high = writer_a.append(df)
+    assert high == 2
+
+    # race: both writers read high-water 2; A claims it first (the moment
+    # its append would, before writing), then B's whole append must abort
+    writer_a._claim_base(writer_a.max_seqno())
+    with pytest.raises(LogWriteConflict):
+        writer_b.append(df)
+    # the loser wrote nothing: log still has exactly the first batch
+    assert writer_b.max_seqno() == 2
+    assert writer_a.latest().count() == 2
+
+    # A died before writing: its claim blocks any retry from base 2 ...
+    with pytest.raises(LogWriteConflict):
+        writer_b.append(df)
+    # ... until the operator clears stale (>= high-water) claims
+    assert writer_b.recover_claims() == 1
+    assert writer_b.append(df) == 4
+    # committed claims stay as the journal; nothing stale remains
+    assert writer_b.recover_claims() == 0
+    # seqnos are contiguous and collision-free across the whole history
+    seqs = [r["seqno"] for r in writer_b.changes(0).orderBy("seqno").collect()]
+    assert seqs == [1, 2, 3, 4]

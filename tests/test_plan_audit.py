@@ -301,3 +301,32 @@ def test_shuffle_hash_hint_controls_strategy(spark):
     plan = plan_of(spark, "c24_join_shuffle_hash")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_log_append_avoids_single_partition_window(spark, tmp_path):
+    """MarasaLog.append seqno assignment: a bulk load must never funnel the
+    batch through a global empty-partition-spec window — the f3 two-phase
+    shape (range exchange + pid-keyed local windows + broadcast offsets)
+    is required. Pin it on the batch plan append() builds."""
+    from pyspark.sql import functions as F
+
+    from marasa_spark.catalog import load_table
+    from marasa_spark.log import MarasaLog
+
+    log = MarasaLog(spark, str(tmp_path / "audit_log"))
+    records = (
+        load_table(spark, SF, "orders")
+        .select(
+            F.lit("orders").alias("ns"),
+            F.col("o_orderkey").cast("string").alias("key"),
+            F.col("o_orderstatus").alias("value"),
+        )
+        .repartition(8)
+    )
+    batch = log._number_batch(records, base=0)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    # the data-sized row_number window is keyed by _pid — never global:
+    assert "row_number() windowspecdefinition(_pid#" in plan
+    # the only permissible global window is the N-row offset cumsum
+    assert plan.count("windowspecdefinition()") == 0
