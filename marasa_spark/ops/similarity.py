@@ -82,16 +82,24 @@ def ivf_assign(
     c_vec: str = "c_vec",
     cent_id: str = "cent_id",
     cent_vec: str = "cent_vec",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid (max cosine, min-id
-    tiebreak). Centroids are broadcast; one pass over the corpus."""
+    """Assign every vector to its ``nprobe`` nearest centroids (max cosine,
+    min-id tiebreak). Centroids are broadcast; one pass over the corpus.
+
+    ``nprobe=1`` is the INDEX-side assignment (each vector lives in exactly
+    one inverted list). ``nprobe>1`` is the QUERY-side knob: probing the
+    top-P cells trades scan cost (P/K of the corpus per probe) for recall —
+    the boundary-vector misses that single-cell probing suffers (a query
+    near a Voronoi edge has true neighbors just across it) are exactly what
+    multi-probe recovers. k48 measures the trade as a queryable table."""
     sims = corpus.join(F.broadcast(centroids)).withColumn(
         "csim", r2(cosine(F.col(c_vec), F.col(cent_vec)), 6)
     )
     w = Window.partitionBy(c_id).orderBy(F.col("csim").desc(), F.col(cent_id))
     return (
         sims.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") == 1)
+        .filter(F.col("crank") <= nprobe)
         .select(c_id, c_vec, F.col(cent_id).alias("cluster"))
     )
 

@@ -1830,3 +1830,67 @@ def k47_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "doc_id", decision.alias("decision"), rep.alias("rep_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# k48 — ANN quality evaluation (recall of the IVF path vs brute force)
+# ---------------------------------------------------------------------------
+
+
+@register("k48_ann_recall_eval", oracle=None, group="K")
+def k48_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a queryable artifact (the k46 posture applied to
+    similarity search): recall@5 of the trained-IVF path (k22's index —
+    Lloyd's centroids — queried multi-probe with nprobe=3) against the k6
+    brute-force exact top-5, per probe. A pipeline that swaps brute force
+    for IVF at 100 TB needs this table in the engine, not in a notebook —
+    it is the evidence the sublinear scan is still finding the right
+    neighbors. Rows-only (k-means float means aren't reproducible
+    cross-engine); mean recall >= 0.9 is pinned in tests/test_llm_ops.py.
+
+    Cost shape: brute force is one broadcast of the 10 probes against the
+    corpus; the IVF side re-uses the k22 plan (centroid assign = broadcast
+    join, in-cluster pairs only). Both sides end in tiny per-probe top-5
+    windows keyed by q_id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    probes_src = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = S.cosine_topk(probes_src, corpus, k=5).select(
+        "q_id", F.col("c_id").alias("exact_id")
+    )
+    centroids = S.kmeans_centroids(corpus, k=8, dim=64, iters=3)
+    assigned = S.ivf_assign(corpus, centroids)
+    # query side probes its top-3 cells (multi-probe IVF: 3/8 of the corpus
+    # per probe instead of a full scan, recovering the Voronoi-boundary
+    # neighbors single-cell probing misses)
+    probes = S.ivf_assign(
+        probes_src.select(F.col("q_id").alias("c_id"), F.col("q_vec").alias("c_vec")),
+        centroids,
+        nprobe=3,
+    ).select(
+        F.col("c_id").alias("q_id"),
+        F.col("c_vec").alias("q_vec"),
+        F.col("cluster").alias("q_cluster"),
+    )
+    members = assigned.select("c_id", "c_vec", "cluster")
+    pairs = members.join(
+        F.broadcast(probes),
+        (F.col("cluster") == F.col("q_cluster")) & (F.col("q_id") != F.col("c_id")),
+    ).withColumn("sim", r2(S.cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    ivf = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", F.col("c_id").alias("ivf_id"))
+    )
+    hits = exact.join(
+        ivf, (exact.q_id == ivf.q_id) & (exact.exact_id == ivf.ivf_id), "left"
+    ).select(exact.q_id, "exact_id", F.col("ivf_id").isNotNull().alias("hit"))
+    return hits.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.col("hit").cast("int")).alias("n_hit"),
+        r2(F.sum(F.col("hit").cast("int")) / F.count(F.lit(1)).cast("double"), 4)
+        .alias("recall_at_5"),
+    )

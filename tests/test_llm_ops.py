@@ -295,3 +295,16 @@ def test_media_header_parser_round_trips():
 
     body = bytes(png[12:29])  # tag + 13-byte IHDR body
     assert s.unpack(">I", bytes(png[29:33]))[0] == z.crc32(body) & 0xFFFFFFFF
+
+
+def test_ann_recall_eval_floor(spark, sf_dir):
+    """k48: the in-engine ANN quality table must show the IVF path finding
+    ≥90% of the brute-force top-5 on average (and full per-probe coverage:
+    one row per probe, 5 exact neighbors each)."""
+    from marasa_spark.queries.llm import k48_ann_recall_eval
+
+    rows = k48_ann_recall_eval(spark, sf_dir).collect()
+    assert len(rows) == 10, "one evaluation row per probe"
+    assert all(r["n_exact"] == 5 for r in rows)
+    mean_recall = sum(r["recall_at_5"] for r in rows) / len(rows)
+    assert mean_recall >= 0.9, f"IVF recall@5 {mean_recall:.3f} below floor"
