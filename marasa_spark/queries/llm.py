@@ -1894,3 +1894,73 @@ def k48_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.sum(F.col("hit").cast("int")) / F.count(F.lit(1)).cast("double"), 4)
         .alias("recall_at_5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k49 — connected components via large-star/small-star (the scale CC path)
+# ---------------------------------------------------------------------------
+
+
+@register("k49_cc_star", oracle=K25_ORACLE, group="K")
+def k49_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k25's clustering re-run through the large-star/small-star alternating
+    algorithm (ops/dedup.py connected_components_star): same (doc_id,
+    cluster) labels — the oracle is literally k25's recursive-CTE closure —
+    but convergence is O(log²) rounds in component DIAMETER instead of
+    min-label propagation's one-round-per-hop. On a 100 TB corpus where
+    transitive LSH merges produce chain-shaped components, this is the
+    difference between a handful of shuffle rounds and dozens; each round
+    is a groupBy-min plus a join back on the same key. Equivalence of the
+    two algorithms on identical pair lists is pinned in
+    tests/test_dedup_star.py."""
+    pairs = D.jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.9
+    )
+    return D.connected_components_star(pairs).select(
+        F.col("node").alias("doc_id"), "cluster"
+    )
+
+
+# ---------------------------------------------------------------------------
+# k50 — MinHash Jaccard ESTIMATION (signature-only similarity, no token re-read)
+# ---------------------------------------------------------------------------
+
+
+@register("k50_minhash_jaccard_est", oracle=None, group="K")
+def k50_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-only Jaccard estimation: for every LSH candidate pair, the
+    fraction of agreeing MinHash positions (E[agree] = exact Jaccard; with
+    H=64 hashes the standard error is √(j(1-j)/64) ≤ 0.063) next to the
+    exact token-set Jaccard and the absolute error. The point at 100 TB:
+    once signatures exist, pair similarity is a 64-element compare on
+    ~0.5 KB rows — the token payload (unbounded) never re-enters the
+    shuffle, so candidate scoring costs the same whether documents are
+    tweets or books. Rows-only (xxhash64-based signatures are
+    engine-specific); the estimator's error bound is pinned in
+    tests/test_dedup_star.py."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = D.minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=32, bands=8, threshold=0.0
+    ).select("doc_a", "doc_b", F.col("jaccard").alias("jaccard_exact"))
+    sig = d.select(
+        F.col("doc_id").alias("doc"),
+        D.minhash_signature(D.tokens(F.col("text")), 64).alias("sig"),
+    )
+    pairs = cand.join(
+        sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
+    ).join(
+        sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b"
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z
+        )
+    )
+    est = agree.cast("double") / F.lit(64.0)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        r2(F.col("jaccard_exact"), 6).alias("jaccard_exact"),
+        r2(est, 6).alias("jaccard_est"),
+        r2(F.abs(est - F.col("jaccard_exact")), 6).alias("abs_err"),
+    )

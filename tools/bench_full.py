@@ -1,0 +1,129 @@
+"""Full-registry bench sweep (VERDICT r4 #1) — time EVERY registered op at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) with the bench.py
+protocol (warmed session, per-op warm best-of-N wall-clock of collect()
+on a once-built plan), write BENCHFULL.json, and flag any op whose
+latency is >2x the max latency among its group's HEADLINE representatives.
+
+Groups with no headline representative (A, B, L, M) fall back to 2x the
+slowest single headline op overall — a deliberately loose bound whose only
+job is to surface q_asof-r3-style order-of-magnitude outliers that the
+21-query headline bench cannot see.
+
+Build-time note: ops whose work happens at BUILD time (streaming drains to
+a memory sink, log-store writes) report a near-zero collect() latency by
+this protocol; `build_s` is recorded alongside so those are not invisible.
+
+Usage: python tools/bench_full.py [--runs N] [--only PREFIX]
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import HEADLINE  # noqa: E402
+from marasa_spark.registry import REGISTRY, queries_map  # noqa: E402
+from marasa_spark.session import get_spark  # noqa: E402
+
+
+def bench_op(spark, fn, sf_dir: str, runs: int) -> tuple[float, float]:
+    """Return (build_s, best_of_N collect_s). Build = fn() + first collect
+    (plan analysis, parquet footers, JIT, and any side-effect work)."""
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.collect()  # warm
+    build_s = time.perf_counter() - t0
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        rows = df.collect()
+        times.append(time.perf_counter() - t0)
+        del rows
+    gc.collect()
+    return build_s, min(times)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--only", default="", help="only op ids with this prefix")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="marasa_spark_bench_full")
+    # same bench-box advisory tuning as bench.py (see its comment)
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+
+    qmap = queries_map()
+    headline_ids = {qid for ids in HEADLINE.values() for qid in ids}
+
+    ops: dict[str, dict] = {}
+    for qid, fn in qmap.items():
+        if args.only and not qid.startswith(args.only):
+            continue
+        group = REGISTRY[qid].group
+        try:
+            build_s, t = bench_op(spark, fn, sf_dir, args.runs)
+            ops[qid] = {
+                "sec": round(t, 4),
+                "build_s": round(build_s, 4),
+                "group": group,
+            }
+            print(f"{qid:28s} {t:8.4f}s  (build {build_s:7.3f}s)", file=sys.stderr)
+        except Exception as e:  # record, keep sweeping
+            ops[qid] = {"error": f"{type(e).__name__}: {e}", "group": group}
+            print(f"{qid:28s} ERROR {type(e).__name__}: {e}", file=sys.stderr)
+
+    # per-group threshold: 2x the slowest headline op IN that group;
+    # fallback (no headline rep in group): 2x the slowest headline op anywhere
+    headline_t = {
+        qid: ops[qid]["sec"] for qid in headline_ids if qid in ops and "sec" in ops[qid]
+    }
+    global_max = max(headline_t.values()) if headline_t else 0.0
+    group_max: dict[str, float] = {}
+    for qid, t in headline_t.items():
+        g = REGISTRY[qid].group
+        group_max[g] = max(group_max.get(g, 0.0), t)
+
+    thresholds = {
+        g: round(2 * group_max.get(g, global_max), 4)
+        for g in sorted({o["group"] for o in ops.values()})
+    }
+    flagged = sorted(
+        qid
+        for qid, o in ops.items()
+        if headline_t  # --only sweeps without headline reps can't threshold
+        and "sec" in o
+        and o["sec"] > thresholds.get(o["group"], 2 * global_max)
+    )
+    errored = sorted(qid for qid, o in ops.items() if "error" in o)
+
+    out = {
+        "sf": sf,
+        "runs": args.runs,
+        "protocol": "warm_best_of_N_collect_on_built_plan",
+        "n_ops": len(ops),
+        "ops": ops,
+        "group_thresholds_2x_headline_max": thresholds,
+        "flagged": flagged,
+        "errors": errored,
+        "total_sec": round(sum(o.get("sec", 0.0) for o in ops.values()), 3),
+    }
+    path = os.path.join(REPO, "BENCHFULL.json")
+    if not args.only:
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=False)
+        print(f"wrote {path}", file=sys.stderr)
+    print(json.dumps({k: out[k] for k in ("sf", "n_ops", "total_sec", "flagged", "errors")}))
+
+
+if __name__ == "__main__":
+    main()
