@@ -1964,3 +1964,192 @@ def k50_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(est, 6).alias("jaccard_est"),
         r2(F.abs(est - F.col("jaccard_exact")), 6).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k51 — duplicated-span coverage (exact-substring dedup signal per document)
+# ---------------------------------------------------------------------------
+
+_K51_SH = (
+    "list_distinct(list_transform(range(1, greatest(len(t)-7, 1)+1),"
+    " i -> array_to_string(t[i:i+7], ' ')))"
+)
+_K51_DUP = "CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)"
+
+K51_ORACLE = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_K51_SH}) AS s FROM tok),
+cnt AS (SELECT s, count(*) AS nd FROM sh GROUP BY s)
+SELECT doc_id, count(*) AS n_sh, {_K51_DUP} AS n_dup,
+       {r2sql(f"CAST({_K51_DUP} AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS dup_frac
+FROM sh JOIN cnt USING (s)
+GROUP BY doc_id
+"""
+
+
+@register("k51_dup_span_coverage", oracle=K51_ORACLE, group="K")
+def k51_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of a doc's
+    distinct word-8-gram spans that also occur in at least one OTHER doc
+    (nd counts docs per span; distinct-per-doc makes nd a doc count) —
+    the doc-level signal of the exact-substring dedup family ("what share
+    of this document is boilerplate the corpus already has?"), used to
+    rank docs for removal where whole-doc dedup (k4/k9) finds nothing.
+    Plan: explode distinct spans, ONE shuffle keyed on xxhash64(span) —
+    the 8-byte hash, never the span string, is what crosses the wire
+    (64-bit collisions over a corpus-scale span set are ~1e-10 — the same
+    trade k4 makes) — count docs per span, join back, re-group by doc."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 7, F.lit(1)))
+    spans = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i, F.lit(8)), " "))
+    )
+    sh = d.select("doc_id", F.explode(spans).alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
+    cnt = sh.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+    dup = F.sum((F.col("nd") >= 2).cast("int")).cast("long")
+    return (
+        sh.join(cnt, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            dup.alias("n_dup"),
+            r2(dup.cast("double") / F.count(F.lit(1)).cast("double"), 4).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k52 — SemDeDup-style embedding dedup (cluster-then-prune, deterministic)
+# ---------------------------------------------------------------------------
+
+_K52_ASG_COS = r2sql(cos_sql("e.embedding", "cent.c"), 6)
+_K52_PAIR_COS = r2sql(cos_sql("x.embedding", "y.embedding"), 6)
+
+K52_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < 4
+), asg AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, cent.cent_id AS cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_K52_ASG_COS} DESC, cent.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE rn = 1
+), dropped AS (
+  SELECT DISTINCT x.vec_id FROM asg x JOIN asg y
+    ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+  WHERE {_K52_PAIR_COS} >= 0.35
+)
+SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS keep
+FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+"""
+
+
+@register("k52_semdedup", oracle=K52_ORACLE, group="K")
+def k52_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    embeddings (fixed 4 centroids here — k22 is the trained-k-means
+    variant of the same assignment), then WITHIN each cluster drop any
+    vector whose cosine to a lower-id cluster-mate reaches the threshold
+    (deterministic keep-lowest-id; the exists-a-duplicate test needs no
+    chaining so the decision is local to each pair). Pairwise work is
+    cluster-local: at 100 TB the cluster COUNT scales with the corpus so
+    cluster SIZE stays bounded (SemDeDup runs ~100k clusters for billions
+    of points) — never an all-pairs join. τ=0.35 is tuned to this
+    synthetic N(0,1) corpus (real text embeddings dedup at ~0.95+);
+    cosines are 6-dp rounded on both engines (k11's discipline) so the
+    threshold can't flip on a fold-order ulp."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    centroids = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    asg = S.ivf_assign(corpus, centroids)
+    x = asg.select(
+        F.col("c_id").alias("vec_id"), F.col("c_vec").alias("xv"), "cluster"
+    )
+    y = asg.select(
+        F.col("c_id").alias("y_id"), F.col("c_vec").alias("yv"),
+        F.col("cluster").alias("y_cluster"),
+    )
+    dropped = (
+        x.join(y, (F.col("cluster") == F.col("y_cluster")) & (F.col("y_id") < F.col("vec_id")))
+        .filter(r2(S.cosine(F.col("xv"), F.col("yv")), 6) >= 0.35)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        x.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("is_dropped").isNull().alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k53 — unigram LM quality score (order-free micro-nat integer sums)
+# ---------------------------------------------------------------------------
+
+_K53_MICRO = (
+    "CAST(floor(ln(CAST(total AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+)
+
+K53_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+tot AS (SELECT count(*) AS total FROM tok),
+lm AS (SELECT token, {_K53_MICRO} AS micro FROM tf, tot)
+SELECT doc_id, count(*) AS n_tok,
+       {r2sql("CAST(sum(micro) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * CAST(1000000 AS DOUBLE))", 4)} AS avg_nats
+FROM tok JOIN lm USING (token)
+GROUP BY doc_id
+"""
+
+
+@register("k53_lm_score", oracle=K53_ORACLE, group="K")
+def k53_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: per-doc average surprisal
+    -ln p(token) under the corpus's own unigram distribution — the
+    CCNet-style "LM perplexity" quality filter reduced to its
+    SQL-expressible core (a real pipeline swaps in a pretrained LM's token
+    probs; the plan is identical). Determinism trick: each token's
+    surprisal is rounded to MICRO-NATS and summed as a BIGINT — float sums
+    over a shuffled group are fold-order-dependent (non-associative), but
+    integer sums are exact at any partitioning, so the per-doc score is
+    hash-oracle-safe. The vocab→surprisal table broadcasts (tiny here;
+    k18's df-side pattern — shuffle-join it once vocab outgrows the
+    broadcast threshold), so the corpus itself is never shuffled by token:
+    the only wide exchange is the per-doc regroup."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    tot = tok.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    micro = F.floor(
+        F.log(F.col("total").cast("double") / F.col("n").cast("double"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    lm = tf.crossJoin(F.broadcast(tot)).select("token", micro.alias("micro"))
+    return (
+        tok.join(F.broadcast(lm), "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("micro").alias("sum_micro"))
+        .select(
+            "doc_id",
+            "n_tok",
+            r2(
+                F.col("sum_micro").cast("double")
+                / (F.col("n_tok").cast("double") * F.lit(1000000.0)),
+                4,
+            ).alias("avg_nats"),
+        )
+    )

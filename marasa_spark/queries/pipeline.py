@@ -1160,3 +1160,154 @@ def m26_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.count(F.lit(1)) / F.lit(float(total)), 4).alias("frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m27 — Z-order (Morton) layout: 2-D locality for file-stat pruning
+# ---------------------------------------------------------------------------
+
+from marasa_spark.ops.layout import z_interleave, z_interleave_sql  # noqa: E402
+
+_M27_Z = z_interleave_sql("l_partkey % 256", "l_suppkey % 256", bits=8)
+
+M27_ORACLE = f"""
+WITH z AS (
+  SELECT (l_partkey % 256) AS px, (l_suppkey % 256) AS sx,
+         {_M27_Z} AS zval
+  FROM lineitem
+)
+SELECT CAST(floor(zval / CAST(4096 AS DOUBLE)) AS BIGINT) AS file_bucket,
+       count(*) AS n,
+       min(px) AS min_p, max(px) AS max_p,
+       min(sx) AS min_s, max(sx) AS max_s
+FROM z
+GROUP BY file_bucket
+"""
+
+
+@register("m27_zorder_layout", oracle=M27_ORACLE, group="M")
+def m27_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout assignment + per-file locality audit. Interleave the
+    bits of two scan dimensions (part, supplier — each reduced to 8 bits)
+    into a Morton z-value and derive the target file bucket from its HIGH
+    bits (z div 4096 → 16 buckets): a stateless per-row expression, so the
+    writer needs no global sort, no sampled range boundaries, and no
+    single-partition window — every task writes its z-tile independently
+    (`repartitionByRange(bucket)` at real scale; a6 shows the partitioned
+    sink itself). The output is the audit a lakehouse OPTIMIZE ZORDER job
+    prints: each bucket's row count and its min/max span on BOTH
+    dimensions — every file covers a ~64×64 rectangle of the 256×256 key
+    space, so a predicate on EITHER key prunes ~3/4 of files by min/max
+    stats alone (single-key sort would cluster one dimension and leave the
+    other's span at 256 = zero pruning)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    px = F.col("l_partkey") % 256
+    sx = F.col("l_suppkey") % 256
+    z = z_interleave(px, sx, bits=8)
+    return (
+        li.select(px.alias("px"), sx.alias("sx"), z.alias("zval"))
+        .select(
+            F.floor(F.col("zval") / F.lit(4096.0)).cast("long").alias("file_bucket"),
+            "px",
+            "sx",
+        )
+        .groupBy("file_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("px").alias("min_p"),
+            F.max("px").alias("max_p"),
+            F.min("sx").alias("min_s"),
+            F.max("sx").alias("max_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# m29 — heavy hitters: Misra-Gries candidates + exact verification
+# ---------------------------------------------------------------------------
+
+from marasa_spark.ops.freq import heavy_hitters_exact  # noqa: E402
+
+M29_ORACLE = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tot AS (SELECT count(*) AS total FROM tok)
+SELECT token, count(*) AS n
+FROM tok, tot
+GROUP BY token, total
+HAVING CAST(count(*) AS DOUBLE) >= CAST(0.002 AS DOUBLE) * CAST(total AS DOUBLE)
+"""
+
+
+@register("m29_heavy_hitters", oracle=M29_ORACLE, group="M")
+def m29_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (tokens ≥ 0.2% of all tokens) WITHOUT the
+    vocabulary-wide shuffle: per-partition Misra-Gries summaries (k=501
+    counters, mapInPandas, mergeable-summaries compress — ops/freq.py)
+    union into a candidate set that provably contains every true heavy
+    hitter; a second pass counts ONLY the candidates exactly (broadcast
+    semi-join before the groupBy) and applies the exact threshold, so the
+    result is deterministic and identical to the naive full GROUP BY ...
+    HAVING the oracle runs. At 100 TB the naive plan shuffles the whole
+    vocabulary (the biggest shuffle in the pipeline); this one shuffles
+    only candidate tokens — thousands of rows. The MG guarantee and the
+    compress path are pinned on adversarial high-cardinality data in
+    tests/test_freq.py (this corpus's vocabulary is deliberately tiny)."""
+    d = load_table(spark, sf_dir, "documents")
+    return heavy_hitters_exact(d, "text", theta=0.002, k=501)
+
+
+# ---------------------------------------------------------------------------
+# m30 — file-skipping min/max index (manifest-pruned scan)
+# ---------------------------------------------------------------------------
+
+M30_ORACLE = f"""
+SELECT o_orderpriority, count(*) AS n, {r2sql("sum(o_totalprice)")} AS sum_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY o_orderpriority
+"""
+
+
+@register("m30_file_skipping_index", oracle=M30_ORACLE, group="M")
+def m30_file_skipping_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max file-skipping index — the table-format manifest trick
+    (Iceberg manifests, Delta file stats) as a first-class op. Write the
+    table range-clustered on the filter column (repartitionByRange →
+    every file owns a contiguous o_orderdate slice), collect a per-file
+    (min, max) manifest — METADATA, a few rows per file (KB per PB; the
+    one driver-side collect this engine allows outside harness code is
+    exactly this class, like k-means' k×dim model) — then answer a
+    6-month window query by scanning ONLY the files whose [min, max]
+    overlaps it. Result is identical to the full-table filter BY
+    CONSTRUCTION (skipped files can contain no qualifying rows — the
+    min/max bound is sound), which is what the oracle checks; the
+    files-actually-skipped claim is pinned in tests/test_layout.py. At
+    100 TB this is the difference between opening ~8% and 100% of files
+    for a 6-month window over 6.5 years."""
+    d = fresh_scratch("m30_idx", sf_dir)
+    load_table(spark, sf_dir, "orders").repartitionByRange(
+        8, "o_orderdate"
+    ).write.mode("overwrite").parquet(d)
+    back = spark.read.parquet(d)
+    manifest = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx"))
+        .collect()
+    )
+    import datetime
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 7, 1)
+    files = [r["f"] for r in manifest if r["mn"] < hi and r["mx"] >= lo]
+    pruned = spark.read.parquet(*files) if files else back.limit(0)
+    return (
+        pruned.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r2(F.sum("o_totalprice")).alias("sum_price"),
+        )
+    )

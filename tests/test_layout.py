@@ -1,0 +1,75 @@
+"""Z-order layout (ops/layout.py) behavior tests: the Spark expression
+matches a bit-twiddling Python reference, and the bucket-locality claim
+(m27's docstring) actually holds — every z-bucket spans a bounded
+rectangle on BOTH dimensions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from marasa_spark.ops.layout import z_interleave
+
+
+def _z_ref(x: int, y: int, bits: int = 8) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_z_interleave_matches_bit_reference(spark):
+    pts = [(x, y) for x in (0, 1, 5, 127, 128, 200, 255) for y in (0, 3, 64, 255)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", z_interleave(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _z_ref(x, y), (x, y)
+
+
+def test_z_buckets_bound_both_dimensions(spark, sf_dir):
+    from marasa_spark.registry import REGISTRY
+    import marasa_spark.queries  # noqa: F401
+
+    rows = REGISTRY["m27_zorder_layout"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 16 buckets tile the 256x256 space into 64x64 rectangles
+        assert r["max_p"] - r["min_p"] <= 63, r
+        assert r["max_s"] - r["min_s"] <= 63, r
+
+
+def test_file_skipping_index_actually_skips(spark, sf_dir):
+    """m30's manifest must prune most of the 8 range files for the 6-month
+    window (6.5-year span -> ~1-2 overlapping files), and the pruned scan
+    must agree with the unpruned filter."""
+    from pyspark.sql import functions as F
+
+    from marasa_spark.catalog import load_table
+    from marasa_spark.queries._util import fresh_scratch
+
+    d = fresh_scratch("m30test", sf_dir)
+    load_table(spark, sf_dir, "orders").repartitionByRange(
+        8, "o_orderdate"
+    ).write.mode("overwrite").parquet(d)
+    back = spark.read.parquet(d)
+    manifest = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx"))
+        .collect()
+    )
+    import datetime
+
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 7, 1)
+    files = [r["f"] for r in manifest if r["mn"] < hi and r["mx"] >= lo]
+    assert len(manifest) == 8
+    assert 0 < len(files) <= 2, f"expected <=2 overlapping files, got {len(files)}"
+    pred = (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")
+    )
+    assert (
+        spark.read.parquet(*files).filter(pred).count()
+        == back.filter(pred).count()
+    )

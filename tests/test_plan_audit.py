@@ -330,3 +330,26 @@ def test_log_append_avoids_single_partition_window(spark, tmp_path):
     assert "row_number() windowspecdefinition(_pid#" in plan
     # the only permissible global window is the N-row offset cumsum
     assert plan.count("windowspecdefinition()") == 0
+
+
+def test_heavy_hitters_shuffles_only_candidates(spark):
+    """m29: the exact-count pass must semi-join the exploded tokens against
+    the BROADCAST candidate set BEFORE the groupBy — the point of the
+    two-pass plan is that the vocabulary-wide token shuffle never happens,
+    only candidate tokens reach an exchange."""
+    plan = plan_of(spark, "m29_heavy_hitters")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:1500]
+
+
+def test_dup_span_shuffle_carries_hash_not_span(spark):
+    """k51: every token-keyed exchange must carry the 8-byte xxhash64 of
+    the span (column h), never the span string itself (column s) — span
+    strings riding the shuffle is the payload-amplification bug the LSH
+    band audit (above) forbids for minhash."""
+    plan = plan_of(spark, "k51_dup_span_coverage")
+    frags = plan.split("Exchange hashpartitioning(h#")
+    assert len(frags) > 1, "expected an h-keyed exchange:\n" + plan[:1500]
+    for frag in frags[1:]:
+        assert " s#" not in frag[:300], (
+            "span string rides the shuffle:\n" + frag[:300]
+        )

@@ -54,7 +54,31 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--only", default="", help="only op ids with this prefix")
+    ap.add_argument(
+        "--merge-from",
+        default="",
+        help="reuse timings from a prior (possibly killed) sweep: a file of "
+        "its per-op stderr lines ('qid  X.XXXXs  (build Y.YYYs)'); only ops "
+        "absent from it are re-measured",
+    )
     args = ap.parse_args()
+
+    merged: dict[str, dict] = {}
+    if args.merge_from:
+        import re
+
+        pat = re.compile(
+            r"^(\w+)\s+([0-9.]+)s\s+\(build\s+([0-9.]+)s\)\s*$"
+        )
+        with open(args.merge_from) as f:
+            for line in f:
+                m = pat.match(line.strip())
+                if m:
+                    merged[m.group(1)] = {
+                        "sec": float(m.group(2)),
+                        "build_s": float(m.group(3)),
+                    }
+        print(f"merged {len(merged)} prior timings", file=sys.stderr)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -70,6 +94,9 @@ def main() -> None:
         if args.only and not qid.startswith(args.only):
             continue
         group = REGISTRY[qid].group
+        if qid in merged:
+            ops[qid] = {**merged[qid], "group": group}
+            continue
         try:
             build_s, t = bench_op(spark, fn, sf_dir, args.runs)
             ops[qid] = {
