@@ -32,6 +32,26 @@ from bench import HEADLINE  # noqa: E402
 from marasa_spark.registry import REGISTRY, queries_map  # noqa: E402
 from marasa_spark.session import get_spark  # noqa: E402
 
+# Ops allowed to exceed their group threshold, each with the reason the
+# cost is inherent rather than a plan bug. Every entry must name the
+# registered scale-path replacement (or the bounding) that makes the cost
+# acceptable; anything slow WITHOUT a waiver is a finding.
+WAIVERS: dict[str, str] = {
+    "k5_dedup_near": "contract-mandated O(n²) exact-Jaccard reference, "
+    "bounded to doc_id<1000; scale path is k9 MinHash-LSH",
+    "k11_embed_neardup": "contract-style all-pairs cosine reference; "
+    "scale path is k21 random-hyperplane LSH",
+    "k19_ngram_jaccard": "bounded (doc_id<200) all-pairs shingle-Jaccard "
+    "verify stage; candidates come from k9 at scale",
+    "k20_edit_distance": "bounded (doc_id<50) O(len²)-per-pair Levenshtein "
+    "verify stage; never all-pairs at scale",
+    "k21_embed_lsh_neardup": "LSH on an isotropic random-vector corpus "
+    "collides maximally (r=2 bits/band keeps recall≥0.9 at θ=0.35); real "
+    "embedding corpora cluster and bucket sparsely",
+    "k22_ann_ivf_kmeans": "build cost is Lloyd's iterations (trained "
+    "index); per-query probe cost is the sublinear 'sec' metric",
+}
+
 
 def bench_op(spark, fn, sf_dir: str, runs: int) -> tuple[float, float]:
     """Return (build_s, best_of_N collect_s). Build = fn() + first collect
@@ -120,16 +140,28 @@ def main() -> None:
         g = REGISTRY[qid].group
         group_max[g] = max(group_max.get(g, 0.0), t)
 
+    # absolute floor: several groups' headline reps are sub-0.1 s, which
+    # would flag every legitimately-heavier op in the group; the sweep's
+    # job is order-of-magnitude outliers, so anything under a second is
+    # never "the next q_asof" regardless of its group rep.
+    floor = 1.0
     thresholds = {
-        g: round(2 * group_max.get(g, global_max), 4)
+        g: round(max(2 * group_max.get(g, global_max), floor), 4)
         for g in sorted({o["group"] for o in ops.values()})
     }
-    flagged = sorted(
+    over = sorted(
         qid
         for qid, o in ops.items()
         if headline_t  # --only sweeps without headline reps can't threshold
         and "sec" in o
-        and o["sec"] > thresholds.get(o["group"], 2 * global_max)
+        and o["sec"] > thresholds.get(o["group"], max(2 * global_max, floor))
+    )
+    flagged = [qid for qid in over if qid not in WAIVERS]
+    waived = {qid: WAIVERS[qid] for qid in over if qid in WAIVERS}
+    # build-time outliers (lineage bugs like an uncached iterative input
+    # re-executing its parent per round) hide from the collect metric
+    build_flagged = sorted(
+        qid for qid, o in ops.items() if o.get("build_s", 0.0) > 30.0
     )
     errored = sorted(qid for qid, o in ops.items() if "error" in o)
 
@@ -141,6 +173,8 @@ def main() -> None:
         "ops": ops,
         "group_thresholds_2x_headline_max": thresholds,
         "flagged": flagged,
+        "waived": waived,
+        "build_flagged": build_flagged,
         "errors": errored,
         "total_sec": round(sum(o.get("sec", 0.0) for o in ops.values()), 3),
     }
@@ -149,7 +183,7 @@ def main() -> None:
         with open(path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=False)
         print(f"wrote {path}", file=sys.stderr)
-    print(json.dumps({k: out[k] for k in ("sf", "n_ops", "total_sec", "flagged", "errors")}))
+    print(json.dumps({k: out[k] for k in ("sf", "n_ops", "total_sec", "flagged", "build_flagged", "errors")}))
 
 
 if __name__ == "__main__":
