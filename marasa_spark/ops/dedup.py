@@ -51,14 +51,33 @@ def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float
 ) -> DataFrame:
     """All-pairs exact Jaccard over distinct token sets (O(n²) reference
-    implementation; use minhash_lsh_pairs at scale)."""
-    toks = df.select(
+    implementation; use minhash_lsh_pairs at scale).
+
+    Plan shape matters even for the bounded reference: joining the token
+    arrays directly puts the Jaccard expression INSIDE a nested-loop join
+    condition, which Spark evaluates on however few partitions the tiny
+    id slice landed in (AQE coalesces a KB-sized input to ONE task — the
+    n² work is compute-bound, not size-bound, so byte-based coalescing
+    guesses wrong). Instead: generate the id pairs with a cheap
+    nested-loop on ids alone, REPARTITION the pair table (MB-sized, so it
+    actually spreads), then re-attach both token arrays via broadcast
+    hash joins and evaluate Jaccard in a distributed projection — the
+    same attach-payload-after-the-cheap-stage rule the LSH path enforces
+    for its band shuffle."""
+    ids_a = df.select(F.col(id_col).alias("doc_a"))
+    ids_b = df.select(F.col(id_col).alias("doc_b"))
+    pair_ids = ids_a.join(ids_b, F.col("doc_a") < F.col("doc_b")).repartition(
+        "doc_a", "doc_b"
+    )
+    toks_a = df.select(
         F.col(id_col).alias("doc_a"), tokens(F.col(text_col)).alias("toks_a")
     )
     toks_b = df.select(
         F.col(id_col).alias("doc_b"), tokens(F.col(text_col)).alias("toks_b")
     )
-    pairs = toks.join(toks_b, F.col("doc_a") < F.col("doc_b"))
+    pairs = pair_ids.join(F.broadcast(toks_a), "doc_a").join(
+        F.broadcast(toks_b), "doc_b"
+    )
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
     return (
@@ -189,6 +208,15 @@ def connected_components(
         .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
+    # materialize ONCE: the pair source is typically the most expensive
+    # plan in the pipeline (a Jaccard verify or LSH candidate join), and
+    # every propagation round below joins against `edges` — without this
+    # checkpoint each round re-executes that whole lineage (measured: 21
+    # min instead of ~1 at sf0.1 for k25).
+    try:
+        edges = edges.localCheckpoint(eager=True)
+    except Exception:
+        edges.cache().count()
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "cluster", F.col("node")
     )
@@ -255,6 +283,13 @@ def connected_components_star(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # cut the pair-source lineage before iterating (see
+    # connected_components): round 1's sym/large-star would otherwise
+    # re-execute the expensive candidate/verify plan twice.
+    try:
+        e = e.localCheckpoint(eager=True)
+    except Exception:
+        e.cache().count()
     prev: tuple[int, int] | None = None
     for _ in range(max_iters):
         # large-star over the symmetrized neighborhood

@@ -136,7 +136,7 @@ def k4_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 K5_ORACLE = """
 WITH tok AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id < 1000
 ), cnt AS (
   SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
 ), inter AS (
@@ -155,10 +155,15 @@ WHERE CAST(i AS DOUBLE) / (CAST(na.n + nb.n AS DOUBLE) - CAST(i AS DOUBLE)) >= 0
 
 @register("k5_dedup_near", oracle=K5_ORACLE, group="K")
 def k5_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact token-set Jaccard ≥ 0.9 (O(n²) reference;
-    k9 is the MinHash-LSH scale path over the same data)."""
+    """Near-dup pairs by exact token-set Jaccard ≥ 0.9 (O(n²) reference,
+    bounded to the doc_id<1000 verification slice — the k19/k20
+    convention; quadratic work over an unbounded corpus is exactly what
+    k9's MinHash-LSH replaces at scale)."""
     return D.jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.9
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000),
+        "doc_id",
+        "text",
+        threshold=0.9,
     )
 
 
@@ -297,20 +302,33 @@ _K11_COS = r2sql(cos_sql("a.embedding", "b.embedding"), 6)
 K11_ORACLE = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_K11_COS} AS sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_K11_COS} >= 0.35
+WHERE a.vec_id < 1000 AND b.vec_id < 1000 AND {_K11_COS} >= 0.35
 """
 
 
 @register("k11_embed_neardup", oracle=K11_ORACLE, group="K")
 def k11_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold picked to be
-    non-trivial on N(0,1)-ish vectors; LSH bucketing is the scale path)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    non-trivial on N(0,1)-ish vectors; bounded to the vec_id<1000
+    verification slice — k5's convention; k21's LSH bucketing is the
+    scale path over the unbounded corpus)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    # id-pairs first (cheap nested loop), repartition the MB-sized pair
+    # table, THEN broadcast-attach vectors and evaluate the cosine in a
+    # distributed projection — putting the cosine in the nested-loop join
+    # condition runs all n² of it on the one task AQE coalesces a KB-sized
+    # id slice into (see ops/dedup.jaccard_pairs for the full argument)
+    pair_ids = (
+        e.select(F.col("vec_id").alias("vec_a"))
+        .join(e.select(F.col("vec_id").alias("vec_b")), F.col("vec_a") < F.col("vec_b"))
+        .repartition("vec_a", "vec_b")
+    )
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     sim = r2(S.cosine(F.col("ea"), F.col("eb")), 6)
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        pair_ids.join(F.broadcast(a), "vec_a")
+        .join(F.broadcast(b), "vec_b")
         .withColumn("sim", sim)
         .filter(F.col("sim") >= 0.35)
         .select("vec_a", "vec_b", "sim")
@@ -607,7 +625,7 @@ def k20_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 K25_ORACLE = """
 WITH RECURSIVE tok AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id < 1000
 ), cnt AS (
   SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
 ), inter AS (
@@ -639,11 +657,15 @@ def k25_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → clusters: min-label propagation over the k5 pair
     graph assigns every clustered doc its minimum reachable doc_id (the
     canonical representative — everything else is a drop candidate). The
-    oracle computes the same closure with a recursive CTE. At scale the
-    pair list comes from k9's LSH instead of k5's all-pairs; the
-    propagation cost per round is two shuffles on the edge key."""
+    oracle computes the same closure with a recursive CTE. The pair stage
+    is bounded to the doc_id<1000 verification slice (k5's convention);
+    at scale the pair list comes from k9's LSH instead of all-pairs, and
+    the propagation cost per round is two shuffles on the edge key."""
     pairs = D.jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.9
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000),
+        "doc_id",
+        "text",
+        threshold=0.9,
     )
     return D.connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster"
@@ -1045,7 +1067,7 @@ def k30_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 K31_ORACLE = """
 WITH RECURSIVE tok AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id < 1000
 ), cnt AS (
   SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
 ), inter AS (
@@ -1090,9 +1112,12 @@ def k31_cluster_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     elect the canonical representative — longest document, doc_id as the
     tie-break — and count the drop set. Argmax is max(struct(n_chars,
     -doc_id)), one aggregate over the (tiny) clustered subset; the corpus
-    join is key-co-partitioned, never broadcast-inverted."""
+    join is key-co-partitioned, never broadcast-inverted. Pair stage
+    bounded to the doc_id<1000 slice (k5's convention; k9 at scale)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, "doc_id", "text", threshold=0.9)
+    pairs = D.jaccard_pairs(
+        docs.filter(F.col("doc_id") < 1000), "doc_id", "text", threshold=0.9
+    )
     comp = D.connected_components(pairs).select(F.col("node").alias("doc_id"), "cluster")
     ranked = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
     top = F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")))
@@ -1729,7 +1754,7 @@ def k46_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 K47_ORACLE = """
 WITH RECURSIVE tok AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id < 1000
 ), cnt AS (
   SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
 ), inter AS (
@@ -1789,7 +1814,9 @@ def k47_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data build actually consumes — everything upstream
     (LSH candidates at scale via k9, verify via k5's exact Jaccard) feeds
     it. Windows shuffle on content hash and cluster id; the corpus join
-    is key-co-partitioned on doc_id."""
+    is key-co-partitioned on doc_id. Exact dedup covers the FULL corpus
+    (cheap md5 window); the quadratic near-dup pair stage is bounded to
+    the doc_id<1000 slice (k5's convention; k9 at scale)."""
     docs = load_table(spark, sf_dir, "documents")
     exact = docs.select(
         "doc_id",
@@ -1797,7 +1824,9 @@ def k47_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy(F.md5("text")))
         .alias("exact_rep"),
     )
-    pairs = D.jaccard_pairs(docs, "doc_id", "text", threshold=0.9)
+    pairs = D.jaccard_pairs(
+        docs.filter(F.col("doc_id") < 1000), "doc_id", "text", threshold=0.9
+    )
     comp = D.connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster"
     )
@@ -1914,7 +1943,10 @@ def k49_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     two algorithms on identical pair lists is pinned in
     tests/test_dedup_star.py."""
     pairs = D.jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.9
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000),
+        "doc_id",
+        "text",
+        threshold=0.9,
     )
     return D.connected_components_star(pairs).select(
         F.col("node").alias("doc_id"), "cluster"
@@ -1937,8 +1969,10 @@ def k50_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, so candidate scoring costs the same whether documents are
     tweets or books. Rows-only (xxhash64-based signatures are
     engine-specific); the estimator's error bound is pinned in
-    tests/test_dedup_star.py."""
-    d = load_table(spark, sf_dir, "documents")
+    tests/test_dedup_star.py. The EVAL slice is bounded to doc_id<1000
+    (the exact-Jaccard comparison column is the quadratic-ish part, not
+    the estimator being evaluated — k5's convention)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     cand = D.minhash_lsh_pairs(
         d, "doc_id", "text", num_hashes=32, bands=8, threshold=0.0
     ).select("doc_a", "doc_b", F.col("jaccard").alias("jaccard_exact"))
@@ -2032,7 +2066,7 @@ _K52_PAIR_COS = r2sql(cos_sql("x.embedding", "y.embedding"), 6)
 
 K52_ORACLE = f"""
 WITH cent AS (
-  SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < 4
+  SELECT vec_id AS cent_id, embedding AS c FROM embeddings WHERE vec_id < 32
 ), asg AS (
   SELECT vec_id, embedding, cluster FROM (
     SELECT e.vec_id, e.embedding, cent.cent_id AS cluster,
@@ -2053,7 +2087,7 @@ FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
 @register("k52_semdedup", oracle=K52_ORACLE, group="K")
 def k52_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
-    embeddings (fixed 4 centroids here — k22 is the trained-k-means
+    embeddings (fixed 32 centroids here — k22 is the trained-k-means
     variant of the same assignment), then WITHIN each cluster drop any
     vector whose cosine to a lower-id cluster-mate reaches the threshold
     (deterministic keep-lowest-id; the exists-a-duplicate test needs no
@@ -2066,7 +2100,7 @@ def k52_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold can't flip on a fold-order ulp."""
     e = load_table(spark, sf_dir, "embeddings")
     corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    centroids = e.filter(F.col("vec_id") < 4).select(
+    centroids = e.filter(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
     )
     asg = S.ivf_assign(corpus, centroids)

@@ -462,3 +462,47 @@ def i12_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deadline — refusing to return a partial table"
         )
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# i13 — stream-stream LEFT OUTER interval join (null emission on watermark)
+# ---------------------------------------------------------------------------
+
+I13_ORACLE = """
+SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("i13_stream_stream_outer", oracle=I13_ORACLE, group="I")
+def i13_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, matched to
+    purchases within the following hour OR emitted with a NULL purchase —
+    the abandoned-cart construct. In batch this is a plain left join with
+    the band as a residual on the user_id equi key (one shuffle). As a
+    real stream it is the semantically hard sibling of i9: the NULL rows
+    can only be emitted once the WATERMARK has passed the click's join
+    window (before that, a match could still arrive), so unmatched
+    trailing clicks are withheld until the watermark advances — the
+    subset/closable-region contract is pinned against batch in
+    tests/test_streaming.py. State stays bounded exactly as in i9:
+    watermarks on both sides let expired rows be evicted."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    ).select("user_id", "click_id", "purchase_id")

@@ -318,3 +318,64 @@ def test_stream_session_window_equals_batch(spark, sf_dir, chunk_dir):
     got = sorted(map(tuple, run_to_memory(agg(stream), "complete").collect()))
     want = sorted(map(tuple, agg(load_table(spark, sf_dir, "events")).collect()))
     assert got == want
+
+
+def test_stream_stream_outer_join_null_emission(spark, sf_dir, chunk_dir):
+    """i13: the streaming LEFT OUTER interval join must (a) never invent
+    rows — its output is a subset of the batch left join — and (b) have
+    EMITTED every row whose click window closed well before the stream's
+    end (c_ts + 1h window + 2h watermark delay behind max event time):
+    inside that closable region, null-matched clicks are not withheld."""
+    def sides(df):
+        c = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        p = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        return c, p
+
+    def cond():
+        return (
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+
+    sc, sp = sides(read_event_stream(spark, chunk_dir))
+    joined = (
+        sc.withWatermark("c_ts", "2 hours")
+        .join(sp.withWatermark("p_ts", "2 hours"), cond(), "leftOuter")
+        .select("click_id", "purchase_id", "c_ts")
+    )
+    got_rows = run_to_memory(joined, "append").collect()
+    got = {(r["click_id"], r["purchase_id"]) for r in got_rows}
+
+    ev = load_table(spark, sf_dir, "events")
+    bc, bp = sides(ev)
+    want_rows = bc.join(bp, cond(), "left").select(
+        "click_id", "purchase_id", "c_ts"
+    ).collect()
+    want = {(r["click_id"], r["purchase_id"]) for r in want_rows}
+
+    assert got <= want, f"streaming invented rows: {sorted(got - want)[:5]}"
+    # the engine's watermark is the MIN over both inputs' (max event time
+    # - delay): a click's null can only emit once min(max_c, max_p) - 2h
+    # has passed its 1h join window
+    max_c = ev.filter(F.col("event_type") == "click").agg(F.max("ts")).first()[0]
+    max_p = ev.filter(F.col("event_type") == "purchase").agg(F.max("ts")).first()[0]
+    import datetime
+
+    closable = min(max_c, max_p) - datetime.timedelta(hours=3, minutes=5)
+    want_closed = {
+        (r["click_id"], r["purchase_id"])
+        for r in want_rows
+        if r["c_ts"] <= closable
+    }
+    assert want_closed, "closable region unexpectedly empty"
+    missing = want_closed - got
+    assert not missing, f"withheld closed-window rows: {sorted(missing)[:5]}"

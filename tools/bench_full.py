@@ -39,8 +39,22 @@ from marasa_spark.session import get_spark  # noqa: E402
 WAIVERS: dict[str, str] = {
     "k5_dedup_near": "contract-mandated O(n²) exact-Jaccard reference, "
     "bounded to doc_id<1000; scale path is k9 MinHash-LSH",
-    "k11_embed_neardup": "contract-style all-pairs cosine reference; "
-    "scale path is k21 random-hyperplane LSH",
+    "k9_dedup_minhash_lsh": "the LSH scale path itself — cost is the "
+    "linear 32-hash signature computation over every doc; the shuffle "
+    "carries only (doc, band, bucket)",
+    "k10_dedup_simhash": "linear signature computation (64 weighted bit "
+    "positions per doc via higher-order array exprs); no pair stage",
+    "k11_embed_neardup": "all-pairs cosine verification reference, "
+    "bounded to vec_id<1000; scale path is k21 random-hyperplane LSH",
+    "k52_semdedup": "within-cluster pairwise cosine; cluster COUNT is "
+    "SemDeDup's scale knob (32 fixed centroids here) so per-cluster pair "
+    "work stays bounded while total pairs grow linearly in corpus size",
+    "h5_fn_math": "pure scan+project plan; cost is py4j materialization "
+    "of 600k wide rows under the collect protocol (q_string_date "
+    "anatomy) — a writer at scale",
+    "m6_gap_fill": "output IS the ~1M-row dense grid at sf0.1; cost is "
+    "py4j row materialization under the collect protocol — a writer at "
+    "scale",
     "k19_ngram_jaccard": "bounded (doc_id<200) all-pairs shingle-Jaccard "
     "verify stage; candidates come from k9 at scale",
     "k20_edit_distance": "bounded (doc_id<50) O(len²)-per-pair Levenshtein "
@@ -50,6 +64,10 @@ WAIVERS: dict[str, str] = {
     "embedding corpora cluster and bucket sparsely",
     "k22_ann_ivf_kmeans": "build cost is Lloyd's iterations (trained "
     "index); per-query probe cost is the sublinear 'sec' metric",
+    "k50_minhash_jaccard_est": "estimator EVAL op: the exact-Jaccard "
+    "comparison column (the thing being evaluated against) is the cost, "
+    "bounded to doc_id<1000; the estimator itself is the cheap 64-slot "
+    "signature compare",
 }
 
 
