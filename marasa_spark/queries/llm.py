@@ -2187,3 +2187,101 @@ def k53_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nats"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k54 — URL canonicalization dedup (the web-corpus near-dup front door)
+# ---------------------------------------------------------------------------
+
+# Canonicalization, identical op sequence on both engines (no regex group
+# refs — Java says $1 where RE2 says \1, so steps use literal replaces or
+# plain deletions only): drop fragment, drop default port, strip tracking
+# params, strip trailing slash, lowercase (synthesized paths are
+# case-free by construction; a production canonicalizer lowercases only
+# scheme+host).
+_K54_SEED_SQL = """
+CASE CAST(o_orderkey % 3 AS INT)
+  WHEN 0 THEN 'https://shop.example.com/p/' || CAST(o_orderkey % 500 AS VARCHAR)
+           || '?utm_campaign=spring&ref=home'
+  WHEN 1 THEN 'HTTPS://Shop.Example.COM:443/p/' || CAST(o_orderkey % 500 AS VARCHAR) || '/'
+  ELSE 'https://shop.example.com/p/' || CAST(o_orderkey % 500 AS VARCHAR) || '#top'
+END
+"""
+
+K54_ORACLE = f"""
+WITH seeded AS (
+  SELECT o_orderkey, {_K54_SEED_SQL} AS url FROM orders
+), canon AS (
+  SELECT o_orderkey, url,
+         regexp_replace(
+           replace(
+             regexp_replace(regexp_replace(lower(url), '#.*$', ''),
+                            '[?&](utm_[a-z]+|ref)=[^&#]*', '', 'g'),
+             ':443/', '/'),
+           '/$', '') AS canonical_url
+  FROM seeded
+)
+SELECT canonical_url,
+       count(*) AS n_rows,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+       min(o_orderkey) AS keep_orderkey
+FROM canon
+GROUP BY canonical_url
+"""
+
+
+@register("k54_url_canonical_dedup", oracle=K54_ORACLE, group="K")
+def k54_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the cheapest and highest-yield dedup
+    pass in a web corpus runs BEFORE any content hashing: the same page
+    crawled as http/HTTPS, with tracking params, default ports, fragments
+    or trailing slashes is one document. Synthesizes three messy variants
+    per product URL from orders, canonicalizes (drop fragment → strip
+    utm_*/ref params → drop default port → strip trailing slash → lower),
+    and groups: one row per canonical URL with its variant count and the
+    kept crawl (min orderkey). Stateless per-row string ops at scan speed;
+    the only shuffle is the canonical-key groupBy — at 100 TB this
+    de-duplicates fetches before they are even stored."""
+    o = load_table(spark, sf_dir, "orders")
+    pid = (F.col("o_orderkey") % 500).cast("string")
+    url = (
+        F.when(
+            (F.col("o_orderkey") % 3) == 0,
+            F.concat(
+                F.lit("https://shop.example.com/p/"), pid,
+                F.lit("?utm_campaign=spring&ref=home"),
+            ),
+        )
+        .when(
+            (F.col("o_orderkey") % 3) == 1,
+            F.concat(
+                F.lit("HTTPS://Shop.Example.COM:443/p/"), pid, F.lit("/")
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://shop.example.com/p/"), pid, F.lit("#top"))
+        )
+    )
+    canon = F.regexp_replace(
+        F.replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("url")), "#.*$", ""),
+                "[?&](utm_[a-z]+|ref)=[^&#]*",
+                "",
+            ),
+            F.lit(":443/"),
+            F.lit("/"),
+        ),
+        "/$",
+        "",
+    )
+    return (
+        o.select("o_orderkey", url.alias("url"))
+        .withColumn("canonical_url", canon)
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("url").alias("n_variants"),
+            F.min("o_orderkey").alias("keep_orderkey"),
+        )
+    )

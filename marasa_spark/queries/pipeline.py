@@ -1311,3 +1311,67 @@ def m30_file_skipping_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("o_totalprice")).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m31 — Z-order layout + 2-D partition-pruned probe (m27∘a6 end-to-end)
+# ---------------------------------------------------------------------------
+
+M31_ORACLE = f"""
+SELECT count(*) AS n, {r2sql("sum(l_quantity)")} AS sum_qty
+FROM lineitem
+WHERE (l_partkey % 256) BETWEEN 32 AND 95
+  AND (l_suppkey % 256) BETWEEN 100 AND 163
+"""
+
+
+@register("m31_zorder_skipping", oracle=M31_ORACLE, group="M")
+def m31_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The m27 claim exercised end-to-end: write lineitem
+    directory-partitioned by its Morton z-bucket (16 dirs, each a 64×64
+    rectangle of the part×supplier key space), then answer a 2-D range
+    probe by first pruning buckets whose rectangle cannot overlap the
+    probe window — the bucket predicate is a PartitionFilter, so entire
+    directories are skipped before any IO (a6's machinery) — and only
+    then applying the row-level predicate. The 64×64 probe here overlaps
+    4 of 16 buckets: a single-key sort layout would prune on one
+    dimension only (4/16 on part, 16/16 on supplier); z-order prunes on
+    BOTH. Bucket selection is pure driver-side arithmetic over the 16
+    rectangle bounds (no data read); pinned in tests/test_layout.py."""
+    from marasa_spark.ops.layout import z_interleave
+
+    d = fresh_scratch("m31_zidx", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    px = (F.col("l_partkey") % 256).alias("px")
+    sx = (F.col("l_suppkey") % 256).alias("sx")
+    zb = F.floor(
+        z_interleave(F.col("px"), F.col("sx"), bits=8) / F.lit(4096.0)
+    ).cast("int")
+    li.select(px, sx, "l_quantity").withColumn("zb", zb).write.partitionBy(
+        "zb"
+    ).mode("overwrite").parquet(d)
+    # rectangle bounds per bucket are arithmetic, not data: bucket b covers
+    # px in [64*(b div 2 mod 2)+... ] — derived from the interleave's top
+    # 4 bits (bit15=sx7, bit14=px7, bit13=sx6, bit12=px6)
+    p_lo, p_hi, s_lo, s_hi = 32, 95, 100, 163
+    hit = [
+        b
+        for b in range(16)
+        if not (
+            64 * (((b >> 2) & 1) * 2 + (b & 1)) > p_hi
+            or 64 * (((b >> 2) & 1) * 2 + (b & 1)) + 63 < p_lo
+            or 64 * (((b >> 3) & 1) * 2 + ((b >> 1) & 1)) > s_hi
+            or 64 * (((b >> 3) & 1) * 2 + ((b >> 1) & 1)) + 63 < s_lo
+        )
+    ]
+    back = spark.read.parquet(d).filter(F.col("zb").isin(hit))
+    return (
+        back.filter(
+            F.col("px").between(p_lo, p_hi) & F.col("sx").between(s_lo, s_hi)
+        )
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+        )
+    )

@@ -73,3 +73,30 @@ def test_file_skipping_index_actually_skips(spark, sf_dir):
         spark.read.parquet(*files).filter(pred).count()
         == back.filter(pred).count()
     )
+
+
+def test_zorder_skipping_prunes_directories(spark, sf_dir):
+    """m31: the bucket predicate must reach the scan as a PartitionFilter
+    (directory pruning, 4 of 16 dirs for the 64x64 probe), and the pruned
+    result must equal the unpruned full filter."""
+    from pyspark.sql import functions as F
+
+    from marasa_spark.registry import REGISTRY
+    import marasa_spark.queries  # noqa: F401
+
+    df = REGISTRY["m31_zorder_skipping"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "zb" in plan.split("PartitionFilters")[1][:120], (
+        "bucket predicate did not become a partition filter:\n" + plan[:1200]
+    )
+    got = df.collect()[0]
+    from marasa_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    want = (
+        li.filter(
+            ((F.col("l_partkey") % 256).between(32, 95))
+            & ((F.col("l_suppkey") % 256).between(100, 163))
+        ).count()
+    )
+    assert got["n"] == want
