@@ -95,3 +95,76 @@ def test_char_shingles(spark):
     }
     assert got[1] == ["abcde", "bcdef", "cdefg"]
     assert got[2] == ["abc"]  # shorter than n → the single truncated shingle
+
+
+# ---------------------------------------------------------------------------
+# z-order interleave (ops/layout.py)
+# ---------------------------------------------------------------------------
+
+xy_pairs = st.lists(
+    st.tuples(st.integers(0, 255), st.integers(0, 255)),
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+
+
+@settings(deadline=None, max_examples=15, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pts=xy_pairs)
+def test_z_interleave_bijective_and_tile_local(spark, pts):
+    """z is a bijection [0,255]² → [0,65535] (distinct inputs → distinct
+    z), and the bucket (z div 4096) determines 64-aligned tile bounds on
+    BOTH coordinates — the soundness property m27/m31 pruning relies on."""
+    from marasa_spark.ops.layout import z_interleave
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select(
+        "x", "y", z_interleave(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+    zs = [r["z"] for r in rows]
+    assert len(set(zs)) == len(zs)
+    for r in rows:
+        assert 0 <= r["z"] <= 65535
+        b = r["z"] // 4096
+        px_base = 64 * (((b >> 2) & 1) * 2 + (b & 1))
+        sx_base = 64 * (((b >> 3) & 1) * 2 + ((b >> 1) & 1))
+        assert px_base <= r["x"] <= px_base + 63
+        assert sx_base <= r["y"] <= sx_base + 63
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (ops/freq.py) — two-pass == naive on arbitrary corpora
+# ---------------------------------------------------------------------------
+
+hh_docs = st.lists(
+    st.lists(st.integers(0, 60), min_size=1, max_size=30).map(
+        lambda toks: " ".join(f"w{t}" for t in toks)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=hh_docs)
+def test_heavy_hitters_exact_matches_naive(spark, texts):
+    from marasa_spark.ops.freq import heavy_hitters_exact
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(3)
+    theta = 0.05
+    got = {
+        (r["token"], r["n"])
+        for r in heavy_hitters_exact(df, "text", theta=theta, k=25).collect()
+    }
+    toks = df.select(F.explode(F.split("text", " ")).alias("token"))
+    total = toks.count()
+    want = {
+        (r["token"], r["n"])
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n").cast("double") >= theta * float(total))
+        .collect()
+    }
+    assert got == want
