@@ -2285,3 +2285,66 @@ def k54_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderkey").alias("keep_orderkey"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k55 — containment dedup (asymmetric near-dup: quotes / subset documents)
+# ---------------------------------------------------------------------------
+
+K55_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id < 1000
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / CAST(na.n AS DOUBLE) AS c_ab,
+       CAST(i AS DOUBLE) / CAST(nb.n AS DOUBLE) AS c_ba
+FROM inter
+JOIN cnt na ON doc_a = na.doc_id
+JOIN cnt nb ON doc_b = nb.doc_id
+WHERE CAST(i AS DOUBLE) / CAST(na.n AS DOUBLE) >= 0.9
+   OR CAST(i AS DOUBLE) / CAST(nb.n AS DOUBLE) >= 0.9
+"""
+
+
+@register("k55_containment_dedup", oracle=K55_ORACLE, group="K")
+def k55_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: |A∩B| / |A| — the signal Jaccard
+    misses. A short document wholly quoted inside a long one has low
+    Jaccard (the union is large) but containment ≈ 1; corpus pipelines
+    use this to drop subset/boilerplate docs that whole-doc similarity
+    keeps. Emits both directions per pair where either reaches 0.9.
+    Same bounded-slice posture as k5 (doc_id<1000; ratios are exact
+    count-division, no rounding needed for the oracle hash — numerator
+    and denominators are integers so both engines divide the same
+    doubles); the scale path reuses k9's LSH candidates, since
+    containment ≥ c implies Jaccard ≥ c/(2-c) bounds the candidate
+    search."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    ids_a = d.select(F.col("doc_id").alias("doc_a"))
+    ids_b = d.select(F.col("doc_id").alias("doc_b"))
+    pair_ids = ids_a.join(ids_b, F.col("doc_a") < F.col("doc_b")).repartition(
+        "doc_a", "doc_b"
+    )
+    ta = d.select(
+        F.col("doc_id").alias("doc_a"), D.tokens(F.col("text")).alias("toks_a")
+    )
+    tb = d.select(
+        F.col("doc_id").alias("doc_b"), D.tokens(F.col("text")).alias("toks_b")
+    )
+    pairs = pair_ids.join(F.broadcast(ta), "doc_a").join(F.broadcast(tb), "doc_b")
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    c_ab = inter / F.size("toks_a").cast("double")
+    c_ba = inter / F.size("toks_b").cast("double")
+    return (
+        pairs.select(
+            "doc_a", "doc_b", c_ab.alias("c_ab"), c_ba.alias("c_ba")
+        )
+        .filter((F.col("c_ab") >= 0.9) | (F.col("c_ba") >= 0.9))
+    )

@@ -1,0 +1,64 @@
+"""Shuffle/exchange budget pins for the headline queries (SURVEY.md §4's
+posture made regression-proof): each op's executed plan may not contain
+MORE Exchange operators (shuffle or broadcast) than the count measured
+when its plan shape was last reviewed. Fewer is always fine — the pin
+only fails when a restructure quietly ADDS a data movement step, which
+at 100 TB is the regression class that matters most.
+
+Counts include BroadcastExchange on purpose: turning a broadcast into a
+second shuffle (or adding a redundant broadcast) is exactly what this
+should catch. ReusedExchange is excluded — reuse is the optimization,
+not a new movement.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from marasa_spark.registry import REGISTRY, queries_map
+
+queries_map()
+
+# qid -> max allowed (Exchange count minus ReusedExchange), measured at
+# sf0.01 with the repo session confs on the reviewed plans
+EXCHANGE_BUDGET = {
+    "d1_agg_hash": 2,
+    "c2_join_multiway": 10,
+    "c6_join_semi": 2,
+    "c7_join_anti": 2,
+    "c3_join_left": 2,
+    "c9_join_range": 4,
+    "e1_win_rank": 2,
+    "e5_topk_per_group": 2,
+    "e3_win_frame_rows": 2,
+    "d3_agg_rollup": 2,
+    "d2_agg_distinct": 4,
+    "d7_agg_stats": 2,
+    "d8_agg_percentile": 2,
+    "g1_union_all": 0,
+    "g3_intersect": 4,
+    "g4_except": 6,
+    "h1_fn_string": 0,
+    "h4_fn_datetime": 0,
+    "h8_fn_json": 2,
+    "i1_win_tumbling": 2,
+    "i3_win_session": 2,
+    "c10_join_asof": 2,
+    "k1_word_count": 2,
+    "k4_dedup_exact": 2,
+    "k6_sim_cosine_topk": 4,
+    "j2_log_latest": 2,
+    "f2_topk_global": 0,
+}
+
+
+@pytest.mark.parametrize("qid", sorted(EXCHANGE_BUDGET))
+def test_exchange_budget(spark, sf_dir, qid):
+    df = REGISTRY[qid].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange ") - plan.count("ReusedExchange")
+    assert n <= EXCHANGE_BUDGET[qid], (
+        f"{qid}: {n} exchanges > budget {EXCHANGE_BUDGET[qid]} — a data "
+        f"movement step was added:\n" + plan[:1500]
+    )

@@ -39,6 +39,9 @@ from marasa_spark.session import get_spark  # noqa: E402
 WAIVERS: dict[str, str] = {
     "k5_dedup_near": "contract-mandated O(n²) exact-Jaccard reference, "
     "bounded to doc_id<1000; scale path is k9 MinHash-LSH",
+    "k55_containment_dedup": "bounded (doc_id<1000) all-pairs containment "
+    "reference (k5's posture); scale path reuses k9's LSH candidates via "
+    "the containment->Jaccard bound in its docstring",
     "k9_dedup_minhash_lsh": "the LSH scale path itself — cost is the "
     "linear 32-hash signature computation over every doc; the shuffle "
     "carries only (doc, band, bucket)",
