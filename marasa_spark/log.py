@@ -102,7 +102,9 @@ class MarasaLog:
         obs = Observation()
         batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
         self._write_log_batch(batch)
-        return base + int(obs.get["n"])
+        n = int(obs.get["n"])
+        self._commit_base(base, n)
+        return base + n
 
     def _number_batch(self, records: DataFrame, base: int) -> DataFrame:
         """Stamp ``seqno = base + rank in (ns, key, ts, value) order`` onto
@@ -165,6 +167,42 @@ class MarasaLog:
         os.write(fd, f"pid={os.getpid()}\n".encode())
         os.close(fd)
 
+    def _commit_base(self, base: int, n: int) -> None:
+        """Write the commit marker for a landed batch. Readers trust ONLY
+        the marker journal (see :meth:`_committed_high_water`): data files
+        whose batch has no marker are invisible, which is what makes a
+        concurrent ``latest()`` during an in-flight append read-atomic —
+        it can list the writer's half-landed files but the seqno filter
+        excludes every row of them. The marker is written AFTER the data
+        job commits, so a crash leaves invisible orphans (cleaned by
+        :meth:`recover_claims`), never a half-visible batch."""
+        with open(f"{self._txn_dir}/commit_base={base}_n={n}", "w") as f:
+            f.write(f"pid={os.getpid()}\n")
+
+    def _committed_high_water(self) -> int | None:
+        """Max committed seqno per the marker journal; None for a legacy
+        store that has data but predates markers (reads fall back to
+        trusting the data files, the pre-journal behavior)."""
+        if not os.path.isdir(self._txn_dir):
+            return None
+        highs = []
+        for name in os.listdir(self._txn_dir):
+            if name.startswith("commit_base="):
+                b, n = name.removeprefix("commit_base=").split("_n=")
+                highs.append(int(b) + int(n))
+        return max(highs, default=None)
+
+    def _committed(self, log: DataFrame | None) -> DataFrame | None:
+        """Apply the committed-read filter (snapshot isolation against an
+        in-flight or crashed writer). A parquet row-group whose seqno
+        stats sit above the high-water is skipped at scan time."""
+        if log is None:
+            return None
+        hw = self._committed_high_water()
+        if hw is None:
+            return log
+        return log.filter(F.col("seqno") <= hw)
+
     def recover_claims(self) -> int:
         """Clear claims that no committed data backs: a writer that claimed
         ``base == max_seqno()`` and died before its write landed leaves a
@@ -182,7 +220,51 @@ class MarasaLog:
             if int(name.split("=", 1)[1]) >= high:
                 os.unlink(f"{self._txn_dir}/{name}")
                 removed += 1
+        self._vacuum_uncommitted(high)
         return removed
+
+    def _vacuum_uncommitted(self, hw: int) -> int:
+        """Physically remove data rows above the committed high-water — the
+        orphans a writer that crashed between its data job and its commit
+        marker leaves behind. They are already INVISIBLE (the committed
+        filter), but they must not stay on disk: the next append re-issues
+        the same seqnos from the committed base, and once its marker lands
+        the orphans would surface as duplicates. Bounded work: only the
+        (ns, segment) partitions that actually contain orphans are
+        rewritten (dynamic partition overwrite); fully-orphan partitions
+        are deleted outright. Returns the number of rows removed."""
+        raw = self._read_dir(self.log_dir)
+        if raw is None:
+            return 0
+        orphans = raw.filter(F.col("seqno") > hw)
+        dirty = [
+            (r["ns"], r["segment"])
+            for r in orphans.select("ns", "segment").distinct().collect()
+        ]  # metadata-scale: one row per affected partition
+        if not dirty:
+            return 0
+        import shutil
+
+        n_removed = 0
+        for ns, seg in dirty:
+            part_dir = f"{self.log_dir}/ns={ns}/segment={seg}"
+            # tmp lives OUTSIDE log/ so a crash mid-vacuum can't leave a
+            # pseudo-partition dir that breaks partition discovery
+            tmp_dir = f"{self.path}/_vacuum_ns={ns}_seg={seg}"
+            # schema inferred: partition data files carry only the
+            # non-partition columns (key, seqno, ts, value); ns/segment
+            # come from the directory name on outer reads
+            part = self.spark.read.parquet(part_dir)
+            keep = part.filter(F.col("seqno") <= hw)
+            keep.write.mode("overwrite").parquet(tmp_dir)  # rewrite, no collect
+            n_keep = self.spark.read.parquet(tmp_dir).count()
+            n_removed += part.count() - n_keep
+            shutil.rmtree(part_dir, ignore_errors=True)
+            if n_keep:
+                os.rename(tmp_dir, part_dir)
+            else:
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+        return n_removed
 
     # -- storage seam --------------------------------------------------------
     # Every physical read/write goes through these three methods and nothing
@@ -235,7 +317,7 @@ class MarasaLog:
         """The complete retained history. Compaction adds a snapshot but —
         like marasa's segments — does not delete log files, so history and
         time travel stay exact."""
-        log = self._read_dir(self.log_dir)
+        log = self._committed(self._read_dir(self.log_dir))
         return log if log is not None else self._union_snapshot_tail()
 
     def _latest_snapshot_seq(self) -> int:
@@ -251,7 +333,7 @@ class MarasaLog:
     def _union_snapshot_tail(self) -> DataFrame | None:
         """snapshot(≤S) ∪ log-tail(>S) — the bounded-replay read set."""
         s = self._latest_snapshot_seq()
-        tail = self._read_dir(self.log_dir)
+        tail = self._committed(self._read_dir(self.log_dir))
         if s == 0:
             return tail
         snap = self._read_dir(f"{self.snap_dir}/upto={s}")

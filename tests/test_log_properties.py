@@ -15,6 +15,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from marasa_spark.log import MarasaLog
 
 NS = ["alpha", "beta"]
@@ -179,3 +181,76 @@ def test_concurrent_append_conflict_detected(spark, tmp_base):
     # seqnos are contiguous and collision-free across the whole history
     seqs = [r["seqno"] for r in writer_b.changes(0).orderBy("seqno").collect()]
     assert seqs == [1, 2, 3, 4]
+
+
+def test_uncommitted_batch_is_invisible_to_readers(spark, tmp_base):
+    """Read atomicity against an in-flight writer: data files that landed
+    WITHOUT a commit marker (a writer mid-append, or crashed between its
+    data job and its marker) must be invisible to every read path —
+    latest, asof, history-by-changes, and max_seqno (so a new writer
+    numbers from the committed base, not the orphan one)."""
+    path = str(tmp_base / "atomic_store")
+    store = MarasaLog(spark, path)
+    df = spark.createDataFrame(
+        [("n", "k1", "v1"), ("n", "k2", "v2")],
+        "ns string, key string, value string",
+    )
+    assert store.append(df) == 2
+
+    # simulate the in-flight writer: claim + data files, NO commit marker
+    store._claim_base(2)
+    orphan = store._number_batch(
+        spark.createDataFrame(
+            [("n", "k1", "ORPHAN"), ("n", "k3", "ORPHAN")],
+            "ns string, key string, value string",
+        ),
+        base=2,
+    ).withColumn(
+        "segment",
+        (F.floor(F.col("seqno") / store.segment_size) * store.segment_size).cast("long"),
+    )
+    store._write_log_batch(orphan)
+
+    assert store.max_seqno() == 2
+    latest = {r["key"]: r["value"] for r in store.latest().collect()}
+    assert latest == {"k1": "v1", "k2": "v2"}
+    assert store.changes(0).count() == 2
+    assert store.get("n", "k3") is None
+
+
+def test_recover_vacuums_crashed_writer_orphans(spark, tmp_base):
+    """Crash recovery must physically remove the orphan rows, because the
+    next append re-issues the same seqnos from the committed base — if
+    the orphans stayed on disk, that batch's commit marker would surface
+    them as duplicates."""
+    path = str(tmp_base / "vacuum_store")
+    store = MarasaLog(spark, path)
+    df = spark.createDataFrame(
+        [("n", "k1", "v1")], "ns string, key string, value string"
+    )
+    assert store.append(df) == 1
+    store._claim_base(1)
+    orphan = store._number_batch(
+        spark.createDataFrame(
+            [("n", "k1", "ORPHAN")], "ns string, key string, value string"
+        ),
+        base=1,
+    ).withColumn(
+        "segment",
+        (F.floor(F.col("seqno") / store.segment_size) * store.segment_size).cast("long"),
+    )
+    store._write_log_batch(orphan)
+
+    assert store.recover_claims() == 1
+    # orphans are gone from DISK, not just filtered
+    raw = spark.read.parquet(store.log_dir)
+    assert raw.filter(F.col("seqno") > 1).count() == 0
+
+    # the re-issued seqno now commits cleanly with no duplicate surfacing
+    assert store.append(
+        spark.createDataFrame(
+            [("n", "k1", "v2")], "ns string, key string, value string"
+        )
+    ) == 2
+    assert {r["value"] for r in store.history("n", "k1").collect()} == {"v1", "v2"}
+    assert store.get("n", "k1") == "v2"
