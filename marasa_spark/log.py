@@ -37,6 +37,7 @@ Scale posture (100 TB):
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -105,6 +106,30 @@ class MarasaLog:
         n = int(obs.get["n"])
         self._commit_base(base, n)
         return base + n
+
+    def append_retrying(
+        self, records: DataFrame, max_attempts: int = 10, backoff_s: float = 0.2
+    ) -> int:
+        """Optimistic-concurrency append: :meth:`append`, but a
+        :class:`LogWriteConflict` (another writer claimed our base seqno)
+        is retried after a linear backoff instead of surfacing — the
+        Delta/Iceberg commit-loop protocol on top of the same claim CAS.
+        Each retry re-reads the high-water, so once the winning writer's
+        commit marker lands, the loser rebases onto the new tail and its
+        claim succeeds; concurrent writers therefore SERIALIZE rather than
+        fail. Bounded: after ``max_attempts`` losses (a writer that claimed
+        and died holds the base forever until :meth:`recover_claims`) the
+        last conflict is re-raised with its recovery hint intact. The
+        records lineage is re-evaluated per attempt — pass a deterministic
+        input, as with any retried write job."""
+        for attempt in range(max_attempts):
+            try:
+                return self.append(records)
+            except LogWriteConflict:
+                if attempt == max_attempts - 1:
+                    raise
+                time.sleep(backoff_s * (attempt + 1))
+        raise AssertionError("unreachable")  # pragma: no cover
 
     def _number_batch(self, records: DataFrame, base: int) -> DataFrame:
         """Stamp ``seqno = base + rank in (ns, key, ts, value) order`` onto

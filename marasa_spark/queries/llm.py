@@ -2348,3 +2348,98 @@ def k55_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("c_ab") >= 0.9) | (F.col("c_ba") >= 0.9))
     )
+
+
+# ---------------------------------------------------------------------------
+# k56 — temperature-weighted source sampling (the multilingual mix formula)
+# ---------------------------------------------------------------------------
+
+K56_ORACLE = f"""
+WITH g AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_docs) AS DOUBLE) AS N,
+         sum(pow(CAST(n_docs AS DOUBLE), CAST(0.7 AS DOUBLE))) AS S
+  FROM g
+)
+SELECT source, n_docs,
+       {r2sql("CAST(n_docs AS DOUBLE) / N", 6)} AS p_raw,
+       {r2sql("pow(CAST(n_docs AS DOUBLE), CAST(0.7 AS DOUBLE)) / S", 6)} AS p_temp,
+       {r2sql("(pow(CAST(n_docs AS DOUBLE), CAST(0.7 AS DOUBLE)) / S) / (CAST(n_docs AS DOUBLE) / N)", 6)} AS boost
+FROM g, tot
+"""
+
+
+@register("k56_temperature_sampling", oracle=K56_ORACLE, group="K")
+def k56_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted sampling rates per source: p_i ∝ n_i^α with
+    α = 0.7 — the exponentiated-count formula multilingual / multi-source
+    corpora use (XLM-R, mT5) to up-sample small sources without letting
+    the head domains drown them. Emits, per source, its natural share
+    p_raw, its temperature share p_temp, and the resampling boost
+    p_temp / p_raw a sampler (e.g. m25's A-Res weights, or a per-source
+    m1-style hash rate) would apply. One groupBy shuffle over the corpus;
+    the totals (N, Σ n^α) come from a second aggregate over the tiny
+    per-source frame and ride a broadcast cross join — nothing about this
+    changes at 100 TB because everything after the first shuffle is
+    O(#sources). All ratios computed from unrounded doubles on both
+    engines, then r2-floored at 6 decimals."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = g.agg(
+        F.sum("n_docs").cast("double").alias("_N"),
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(0.7))).alias("_S"),
+    )
+    n = F.col("n_docs").cast("double")
+    p_raw = n / F.col("_N")
+    p_temp = F.pow(n, F.lit(0.7)) / F.col("_S")
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        r2(p_raw, 6).alias("p_raw"),
+        r2(p_temp, 6).alias("p_temp"),
+        r2(p_temp / p_raw, 6).alias("boost"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k57 — dataset card: the per-language corpus summary artifact
+# ---------------------------------------------------------------------------
+
+K57_ORACLE = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+       {r2sql("sum(CAST(n_chars AS DOUBLE)) / count(*)", 2)} AS avg_chars,
+       {r2sql("CAST(1 AS DOUBLE) - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*)", 6)} AS dup_rate
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("k57_dataset_card", oracle=K57_ORACLE, group="K")
+def k57_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the one-table corpus summary a training run records
+    next to its data snapshot — per language: document count, distinct
+    sources, total/average characters, and the exact-duplicate rate
+    (1 − distinct md5(text) / count). Everything is a single groupBy(lang)
+    with partial aggregation; the two DISTINCTs expand to the standard
+    two-phase distinct-agg plan (d2's shape). The md5 runs JVM-side at
+    scan speed, so at 100 TB this is one pass over the corpus producing a
+    #languages-row artifact — cheap enough to regenerate per snapshot and
+    diff across ingests (m23's drift check is the companion op)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("n_chars_total"),
+        r2(F.sum(F.col("n_chars").cast("double")) / F.count(F.lit(1)), 2).alias(
+            "avg_chars"
+        ),
+        r2(
+            F.lit(1.0)
+            - F.countDistinct(F.md5("text")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )

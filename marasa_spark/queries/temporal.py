@@ -91,3 +91,62 @@ def c10_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_seq="click_id",
         left_seq="purchase_id",
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
+# Tolerance is a POST-filter on the single latest-prior match: if the most
+# recent click is older than the window, every other click is older still,
+# so filtering after the top-1 pick is exactly equivalent to bounding the
+# band inside the join — and it keeps the union-sort single-shuffle plan.
+Z1_ORACLE = """
+SELECT purchase_id, user_id, purchase_ts, click_id, click_ts
+FROM (
+  SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+         p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+   AND c.ts >= p.ts - INTERVAL 1 HOUR
+)
+WHERE rn = 1
+"""
+
+
+@register("z1_asof_tolerance", oracle=Z1_ORACLE, group="C")
+def z1_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (pandas ``merge_asof
+    tolerance=`` semantics): the latest prior click counts only if it is at
+    most 1 hour before the purchase. Implemented as the c10 union-sort
+    as-of (ONE shuffle, no band-pair amplification) plus a post-filter on
+    the matched timestamp — equivalent to a two-sided band join because
+    the top-1 match is the NEWEST candidate: if it misses the window,
+    every other candidate misses it too. The id sorts after the driver's
+    50-query window (z-prefix) by design; see tools/driver_sim.py."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        asof_join_union(
+            purchases,
+            clicks,
+            on="user_id",
+            left_ts="purchase_ts",
+            right_ts="click_ts",
+            right_seq="click_id",
+            left_seq="purchase_id",
+        )
+        .filter(
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+        )
+        .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+    )

@@ -183,6 +183,62 @@ def test_concurrent_append_conflict_detected(spark, tmp_base):
     assert seqs == [1, 2, 3, 4]
 
 
+def test_concurrent_appends_serialize_with_retry(spark, tmp_base):
+    """append_retrying turns the claim CAS into optimistic concurrency:
+    N writers racing from the same high-water all SUCCEED, serialized by
+    the commit loop (loser re-reads the advanced high-water and rebases) —
+    the Delta/Iceberg commit-retry protocol. The merged history must be
+    exactly the union of every writer's batch with contiguous, collision-
+    free seqnos, i.e. equivalent to SOME serial order of the appends."""
+    import threading
+
+    path = str(tmp_base / "retry_store")
+    n_writers, rows_each = 4, 25
+    results, errors = {}, []
+    barrier = threading.Barrier(n_writers)
+
+    def run(w: int) -> None:
+        store = MarasaLog(spark, path)
+        df = spark.createDataFrame(
+            [("ns1", f"w{w}_k{i}", _ts(w * rows_each + i), f"v{w}_{i}")
+             for i in range(rows_each)],
+            "ns string, key string, ts timestamp, value string",
+        )
+        barrier.wait()
+        try:
+            results[w] = store.append_retrying(
+                df, max_attempts=40, backoff_s=0.25
+            )
+        except Exception as e:  # noqa: BLE001 — surfaced in the assert below
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(w,)) for w in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    total = n_writers * rows_each
+    # every writer landed, each returning a distinct serialized high-water
+    assert sorted(results.values()) == [
+        rows_each * (i + 1) for i in range(n_writers)
+    ]
+    reader = MarasaLog(spark, path)
+    rows = reader.changes(0).orderBy("seqno").collect()
+    assert [r["seqno"] for r in rows] == list(range(1, total + 1))
+    # the union of batches survived intact: every key exactly once
+    assert sorted(r["key"] for r in rows) == sorted(
+        f"w{w}_k{i}" for w in range(n_writers) for i in range(rows_each)
+    )
+    # each batch's rows carry CONTIGUOUS seqnos (batches never interleave)
+    by_writer = {}
+    for r in rows:
+        by_writer.setdefault(r["key"].split("_")[0], []).append(r["seqno"])
+    for seqs in by_writer.values():
+        assert seqs == list(range(min(seqs), min(seqs) + rows_each))
+
+
 def test_uncommitted_batch_is_invisible_to_readers(spark, tmp_base):
     """Read atomicity against an in-flight writer: data files that landed
     WITHOUT a commit marker (a writer mid-append, or crashed between its
