@@ -197,3 +197,68 @@ def asof_join_grouped(
 
     # cogroup: one shuffle each side on the key, linear merge per group
     return left.groupBy(on).cogroup(right.groupBy(on)).applyInPandas(merge, out_schema)
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_seq: str,
+    tolerance_s: int,
+    left_seq: str | None = None,
+) -> DataFrame:
+    """Tolerance-bounded as-of join, bucketed by TIME — the hot-key escape
+    hatch the union-sort variant's docstring promises. A tolerance turns
+    as-of into a bounded-lookback problem: a left row at ``t`` can only
+    match right rows in ``[t - tol, t]``, i.e. in its own time bucket
+    (width = tolerance) or the one before. So: bucket both sides on
+    ``floor(ts / tol)``, replicate each right row into (its bucket, its
+    bucket + 1), and the match becomes an EQUI join on (key, bucket) with
+    the two-sided band as a residual — followed by the standard top-1
+    window per left row.
+
+    Why this shape at 100 TB: the union-sort as-of puts each key on ONE
+    task, so a key holding 10% of the stream serializes 10% of the work.
+    Here the shuffle key is (key, time-bucket): a hot key spreads across
+    as many tasks as it spans tolerance windows, and per-task state is
+    bounded by key-density × 2·tolerance regardless of total history. The
+    ×2 replication of the right side is the entire overhead. Inner
+    semantics, same tiebreak as :func:`asof_join` (max right_ts, then max
+    right_seq); NULL timestamps on either side never match (NULL bucket
+    fails the equi join; NULL right_ts fails the band).
+    """
+    overlap = (set(left.columns) & set(right.columns)) - {on}
+    if overlap:
+        raise ValueError(f"column names must be disjoint, overlap: {overlap}")
+    lcols = left.columns
+    rpay = [c for c in right.columns if c != on]
+    tol_us = F.lit(int(tolerance_s) * 1_000_000)
+
+    def bucket_of(ts: str) -> Column:
+        return F.floor(F.unix_micros(F.col(ts)) / tol_us)
+
+    l_b = left.withColumn("_bkt", bucket_of(left_ts))
+    r_b = (
+        right.withColumn(
+            "_bkt", F.explode(F.array(bucket_of(right_ts), bucket_of(right_ts) + 1))
+        )
+        .withColumnRenamed(on, "_r_on")
+    )
+    cond = (
+        (l_b[on] == r_b["_r_on"])
+        & (l_b["_bkt"] == r_b["_bkt"])
+        & (r_b[right_ts] <= l_b[left_ts])
+        & (r_b[right_ts] >= l_b[left_ts] - F.expr(f"INTERVAL {int(tolerance_s)} SECONDS"))
+    )
+    joined = l_b.join(r_b, cond, "inner").drop(r_b["_bkt"]).drop("_r_on")
+    part = [F.col(left_seq)] if left_seq else [F.col(on), F.col(left_ts)]
+    w = Window.partitionBy(*part).orderBy(
+        F.col(right_ts).desc(), F.col(right_seq).desc()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*lcols, *rpay)
+    )

@@ -150,3 +150,37 @@ def z1_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
     )
+
+
+@register("z2_asof_tolerance_bucketed", oracle=Z1_ORACLE, group="C")
+def z2_asof_tolerance_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same tolerance as-of as z1, through the SKEW-PROOF plan:
+    ops.asof.asof_join_bucketed shuffles on (user, time-bucket) instead of
+    user alone, so a hot user spreads across one task per tolerance window
+    instead of serializing on one. Same oracle as z1 — two independent
+    physical strategies, one declared semantics, which is itself the
+    correctness argument (plus the equivalence test in
+    tests/test_asof.py)."""
+    from marasa_spark.ops.asof import asof_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    return asof_join_bucketed(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_seq="click_id",
+        tolerance_s=3600,
+        left_seq="purchase_id",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")

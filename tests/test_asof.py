@@ -155,3 +155,84 @@ def test_asof_default_left_seq_keeps_distinct_keys(spark):
         ).collect()
     }
     assert got == {(1, 10), (2, 20)}
+
+
+def test_bucketed_tolerance_asof_matches_band_with_tolerance(spark, sf_dir):
+    """The (key, time-bucket) equi-join variant must equal the band join
+    with the same tolerance — two physical strategies, one semantics. Also
+    pins the boundary cases: a match EXACTLY tolerance old still matches
+    (inclusive lower bound), bucket replication never duplicates a left
+    row, and the candidate set crossing a bucket edge is found via the
+    +1-bucket replica."""
+    from marasa_spark.ops.asof import asof_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    tol = 3600
+    band = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_seq="click_id",
+        left_seq="purchase_id",
+        tolerance=F.expr(f"INTERVAL {tol} SECONDS"),
+    )
+    bucketed = asof_join_bucketed(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_seq="click_id",
+        tolerance_s=tol,
+        left_seq="purchase_id",
+    )
+    band_rows = {(r["purchase_id"], r["click_id"]) for r in band.collect()}
+    bucketed_rows = {(r["purchase_id"], r["click_id"]) for r in bucketed.collect()}
+    assert bucketed_rows == band_rows
+    assert len(bucketed_rows) > 0
+    # no left row appears twice (the ×2 right replication must not leak)
+    ids = [r["purchase_id"] for r in bucketed.collect()]
+    assert len(ids) == len(set(ids))
+
+
+def test_bucketed_asof_exact_tolerance_boundary(spark):
+    """A right row exactly `tolerance` before the left row matches
+    (inclusive), one microsecond older does not — on BOTH variants."""
+    from marasa_spark.ops.asof import asof_join_bucketed
+
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 12:00:00"), (2, "k", "2024-01-01 18:00:00")],
+        "lid long, k string, lts string",
+    ).select("lid", "k", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [
+            (10, "k", "2024-01-01 11:00:00"),        # exactly 1h before lid=1
+            (20, "k", "2024-01-01 16:59:59.999999"),  # 1h + 1µs before lid=2
+        ],
+        "rid long, k string, rts string",
+    ).select("rid", "k", F.col("rts").cast("timestamp").alias("rts"))
+    for df in (
+        asof_join_bucketed(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_seq="rid", tolerance_s=3600, left_seq="lid",
+        ),
+        asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_seq="rid", left_seq="lid",
+            tolerance=F.expr("INTERVAL 3600 SECONDS"),
+        ),
+    ):
+        rows = {(r["lid"], r["rid"]) for r in df.collect()}
+        assert rows == {(1, 10)}

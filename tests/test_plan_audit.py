@@ -186,6 +186,16 @@ def test_interval_overlap_is_equi_join(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+def test_bucketed_asof_is_equi_join(spark):
+    """z2: time-bucketing must turn the tolerance as-of into an EQUI join
+    on (key, bucket) — the band bounds stay residual predicates, never a
+    nested loop — and the shuffle must carry the bucket (the skew-spread
+    claim: a hot key distributes across its time buckets)."""
+    plan = plan_of(spark, "z2_asof_tolerance_bucketed")
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "_bkt" in plan  # bucket participates in the join key
+
+
 def test_dpp_prunes_fact_partitions(spark):
     """c22: the dim filter's values must reach the fact scan as a runtime
     PartitionFilter (dynamicpruningexpression) — without DPP the join
