@@ -98,9 +98,50 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": sf,
+                "calibration": calibration_probe(spark, sf_dir),
             }
         )
     )
+
+
+def calibration_probe(spark, sf_dir: str) -> dict[str, float]:
+    """Fixed, engine-independent workload timed in the same run: DuckDB
+    (threads=4, warm best-of-3) aggregating lineitem. Bench numbers are
+    only comparable across rounds on the SAME hardware — the per-round
+    driver box changes (round 5's VM measures ~1.3-1.7x slower than the
+    box BASELINE.md was measured on; see BASELINE.md §Box calibration) —
+    so every BENCH_r{N}.json carries this yardstick: divide per-query
+    times by (calibration / the round-4 reference calibration) to compare
+    rounds box-neutrally."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("PRAGMA threads=4")
+    q = (
+        "SELECT l_returnflag, count(*), sum(l_extendedprice * (1 - l_discount)) "
+        f"FROM '{sf_dir}/lineitem.parquet' GROUP BY l_returnflag"
+    )
+    con.execute(q).fetchall()  # warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        con.execute(q).fetchall()
+        times.append(time.perf_counter() - t0)
+    duck = min(times)
+
+    # JVM multi-core probe on the same warmed session the bench used — this
+    # is the one that tracks the contention actually hitting the queries
+    probe = spark.range(50_000_000).selectExpr("sum(id) AS s")
+    probe.collect()  # warm
+    jtimes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        probe.collect()
+        jtimes.append(time.perf_counter() - t0)
+    return {
+        "duckdb_lineitem_agg_sec": round(duck, 4),
+        "spark_range_sum_sec": round(min(jtimes), 4),
+    }
 
 
 if __name__ == "__main__":

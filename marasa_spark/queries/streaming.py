@@ -506,3 +506,76 @@ def i13_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
         "left",
     ).select("user_id", "click_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# i14 — checkpoint-resumed incremental ingestion (exactly-once across runs)
+# ---------------------------------------------------------------------------
+
+I14_ORACLE = f"""
+SELECT event_type, count(*) AS n, {r2sql("sum(value)")} AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("i14_incremental_stream_checkpoint", oracle=I14_ORACLE, group="I")
+def i14_incremental_stream_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest contract, oracle-ENFORCED: two separate availableNow
+    runs over a growing file directory share one checkpoint, so the second
+    run processes ONLY the files that arrived after the first — and each
+    input row lands in the parquet sink exactly once. The oracle aggregates
+    the sink against the batch SQL over all events: if the checkpoint
+    failed (second run reprocessing the first run's files), the first
+    half's counts double and the value-hash breaks; if resume skipped new
+    files, counts fall short. This is a5's stream≡batch check upgraded to
+    RESTART≡batch. At 100 TB this is the shape of every incremental
+    pipeline here: file listing bounded by the checkpoint's processed-set,
+    per-run cost proportional to the DELTA, not the directory. The
+    per-run delta property itself (run2 touches only new files, an idle
+    resume appends nothing) is pinned by
+    tests/test_streaming.py::test_stream_checkpoint_resume_exactly_once."""
+    import os
+    import shutil
+
+    from marasa_spark.session import ensure_session_configs
+    from marasa_spark.streaming.runtime import (
+        EVENTS_STAGED_SCHEMA,
+        stage_event_chunks,
+    )
+
+    ensure_session_configs(spark)
+    side = fresh_scratch("i14_side", sf_dir, create=True)
+    stage_event_chunks(spark, sf_dir, side, n_chunks=4)
+    stage = fresh_scratch("i14_stage", sf_dir, create=True)
+    out = fresh_scratch("i14_out", sf_dir, create=True)
+    data_dir, ckpt_dir = f"{out}/data", f"{out}/ckpt"
+
+    def run_available_now() -> None:
+        q = (
+            spark.readStream.schema(EVENTS_STAGED_SCHEMA)
+            .parquet(stage)
+            .writeStream.format("parquet")
+            .option("path", data_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if q.isActive:  # pragma: no cover - deadline guard, mirrors i12
+            q.stop()
+            raise RuntimeError("i14 availableNow run exceeded its deadline")
+
+    for batch_chunks in (("chunk_00", "chunk_01"), ("chunk_02", "chunk_03")):
+        for name in sorted(os.listdir(side)):
+            if name.startswith(batch_chunks):
+                shutil.copy(f"{side}/{name}", f"{stage}/{name}")
+        run_available_now()
+
+    return (
+        spark.read.schema(EVENTS_STAGED_SCHEMA)
+        .parquet(data_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("sum_value"))
+    )
