@@ -83,9 +83,11 @@ def ivf_assign(
     cent_id: str = "cent_id",
     cent_vec: str = "cent_vec",
     nprobe: int = 1,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Assign every vector to its ``nprobe`` nearest centroids (max cosine,
-    min-id tiebreak). Centroids are broadcast; one pass over the corpus.
+    """Assign every vector to its ``nprobe`` nearest centroids (max cosine
+    or min squared-L2 per ``metric``; min-id tiebreak). Centroids are
+    broadcast; one pass over the corpus.
 
     ``nprobe=1`` is the INDEX-side assignment (each vector lives in exactly
     one inverted list). ``nprobe>1`` is the QUERY-side knob: probing the
@@ -93,10 +95,16 @@ def ivf_assign(
     the boundary-vector misses that single-cell probing suffers (a query
     near a Voronoi edge has true neighbors just across it) are exactly what
     multi-probe recovers. k48 measures the trade as a queryable table."""
-    sims = corpus.join(F.broadcast(centroids)).withColumn(
-        "csim", r2(cosine(F.col(c_vec), F.col(cent_vec)), 6)
-    )
-    w = Window.partitionBy(c_id).orderBy(F.col("csim").desc(), F.col(cent_id))
+    if metric == "cosine":
+        score = r2(cosine(F.col(c_vec), F.col(cent_vec)), 6)
+        order = F.col("csim").desc()
+    elif metric == "l2":
+        score = r2(l2sq(F.col(c_vec), F.col(cent_vec)), 6)
+        order = F.col("csim").asc()
+    else:
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
+    sims = corpus.join(F.broadcast(centroids)).withColumn("csim", score)
+    w = Window.partitionBy(c_id).orderBy(order, F.col(cent_id))
     return (
         sims.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") <= nprobe)
@@ -215,10 +223,11 @@ def kmeans_centroids(
     iters: int = 5,
     c_id: str = "c_id",
     c_vec: str = "c_vec",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Lloyd's k-means over an embedding column, cosine assignment +
-    elementwise-mean update. Returns a centroids DataFrame
-    (cent_id, cent_vec) for ivf_assign.
+    """Lloyd's k-means over an embedding column, cosine (or squared-L2,
+    per ``metric``) assignment + elementwise-mean update. Returns a
+    centroids DataFrame (cent_id, cent_vec) for ivf_assign.
 
     Init is deterministic (the k lowest-id vectors). Per iteration: one
     broadcast-join assignment pass over the corpus + a groupBy(cluster)
@@ -242,7 +251,7 @@ def kmeans_centroids(
             [(cid, vec) for cid, vec in sorted(cents.items())],
             "cent_id long, cent_vec array<double>",
         )
-        assigned = ivf_assign(corpus, cent_df, c_id=c_id, c_vec=c_vec)
+        assigned = ivf_assign(corpus, cent_df, c_id=c_id, c_vec=c_vec, metric=metric)
         means = (
             assigned.groupBy("cluster")
             .agg(*[F.avg(F.col(c_vec)[i].cast("double")).alias(f"m{i}") for i in range(dim)])
@@ -270,3 +279,76 @@ def knn_label_vote(neighbors: DataFrame, labels: DataFrame, q_id: str, c_id: str
         .filter(F.col("vrank") == 1)
         .select(q_id, F.col(label).alias("pred_label"), "votes")
     )
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Sequential double-precision squared-L2 distance of two float arrays
+    (same fold order as :func:`dot`, so a DuckDB ``list_sum(list_transform)``
+    oracle matches bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    round_dist: bool = True,
+) -> DataFrame:
+    """Product-quantization encode: split each vector into ``n_sub``
+    contiguous subvectors and replace each with the id of its nearest
+    codeword (min squared-L2, min-id tiebreak) from that subspace's
+    codebook — the memory side of IVF-PQ ANN (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): 64 floats
+    become ``n_sub`` small ints, and distances against the full corpus are
+    later estimated from ``n_sub`` table lookups (ADC) instead of 64
+    multiplies.
+
+    ``codebooks`` has columns (cent_id, ``c_vec``) holding FULL-dimension
+    vectors; subspace s uses its slice — callers pass either data-derived
+    codewords (the k58 oracle shape) or per-subspace k-means output
+    re-assembled to full width (k59).
+
+    Scale shape: the codebook (n_sub × k rows, tiny) broadcasts; encoding
+    is ONE pass over the corpus per subspace with a per-vector top-1
+    window on (vec, subspace) — no shuffle of the corpus beyond the
+    argmin windows, and those partition by vector id so they parallelize
+    arbitrarily. Output: (``c_id``, code_0..code_{n_sub-1},
+    err_0..err_{n_sub-1}) with per-subspace quantization error (rounded
+    at 6 decimals when ``round_dist``, matching the r2 oracle rule)."""
+    out = None
+    for s in range(n_sub):
+        sub = corpus.select(
+            F.col(c_id),
+            F.slice(F.col(c_vec), s * sub_dim + 1, sub_dim).alias("_v"),
+        )
+        csub = codebooks.select(
+            F.col("cent_id"),
+            F.slice(F.col(c_vec), s * sub_dim + 1, sub_dim).alias("_cv"),
+        )
+        d = sub.join(F.broadcast(csub)).withColumn("_dist", l2sq(F.col("_v"), F.col("_cv")))
+        if round_dist:
+            d = d.withColumn("_dist", r2(F.col("_dist"), 6))
+        w = Window.partitionBy(c_id).orderBy(F.col("_dist").asc(), F.col("cent_id"))
+        picked = (
+            d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col(c_id),
+                F.col("cent_id").cast("int").alias(f"code_{s}"),
+                F.col("_dist").alias(f"err_{s}"),
+            )
+        )
+        out = picked if out is None else out.join(picked, c_id)
+    return out

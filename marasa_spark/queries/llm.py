@@ -2443,3 +2443,162 @@ def k57_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k58 — product-quantization encode (the memory side of IVF-PQ ANN)
+# ---------------------------------------------------------------------------
+
+def _pq_l2_sql(a: str, b: str, off: int, n: int) -> str:
+    """DuckDB squared-L2 over a length-``n`` slice starting at 1-based
+    offset ``off+1`` — same sequential fold order as ops.similarity.l2sq."""
+    xa = f"CAST({a}[{off} + i] AS DOUBLE)"
+    xb = f"CAST({b}[{off} + i] AS DOUBLE)"
+    return (
+        f"list_sum(list_transform(range(1, {n + 1}),"
+        f" i -> ({xa} - {xb}) * ({xa} - {xb})))"
+    )
+
+
+def _pq_sub_cte(s: int, sub_dim: int) -> str:
+    d = r2sql(_pq_l2_sql("e.embedding", "cb.cv", s * sub_dim, sub_dim), 6)
+    return f"""s{s} AS (
+  SELECT vec_id, CAST(cent_id AS INTEGER) AS code_{s}, dist AS err_{s} FROM (
+    SELECT e.vec_id, cb.cent_id, {d} AS dist,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d} ASC, cb.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cb
+  ) WHERE rn = 1
+)"""
+
+
+K58_ORACLE = f"""
+WITH cb AS (
+  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+{_pq_sub_cte(0, 16)},
+{_pq_sub_cte(1, 16)},
+{_pq_sub_cte(2, 16)},
+{_pq_sub_cte(3, 16)}
+SELECT vec_id, code_0, code_1, code_2, code_3,
+       err_0, err_1, err_2, err_3
+FROM s0 JOIN s1 USING (vec_id) JOIN s2 USING (vec_id) JOIN s3 USING (vec_id)
+"""
+
+
+@register("k58_pq_encode", oracle=K58_ORACLE, group="K")
+def k58_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): each 64-d embedding splits
+    into 4 16-d subvectors, each replaced by the id of its nearest codeword
+    (squared-L2, min-id tiebreak) — 64 floats become 4 small ints, the
+    compressed representation IVF-PQ searches over. Codebooks here are the
+    first 8 vectors' subspace slices (the k16 data-derived-constants shape),
+    which makes the whole encode hash-oracle-able; k59 is the k-means-
+    trained variant with an ADC search and a recall gate. Scale: codebooks
+    broadcast, one corpus pass + a per-vector argmin window per subspace —
+    embarrassingly parallel, no corpus shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    cb = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    return S.pq_encode(corpus, cb, n_sub=4, sub_dim=16).select(
+        F.col("c_id").alias("vec_id"),
+        "code_0", "code_1", "code_2", "code_3",
+        "err_0", "err_1", "err_2", "err_3",
+    )
+
+
+# ---------------------------------------------------------------------------
+# k59 — IVF-PQ ANN search with trained codebooks + ADC (rows-only, recall-gated)
+# ---------------------------------------------------------------------------
+
+@register("k59_ann_ivfpq", oracle=None, group="K")
+def k59_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search, the trained half of k58: per-subspace L2 k-means
+    codebooks (Lloyd's, deterministic init — the only driver-side data is
+    each 8×16 codebook, the MLlib model-collect pattern), PQ-encode the
+    corpus, then answer 5 probe queries by Asymmetric Distance Computation:
+    est_dist(q, x) = Σ_s l2(q_s, codeword[code_s(x)]) — a join of the
+    corpus CODES (4 small ints/vector) against a 160-row broadcast
+    query-to-codeword distance table, never the raw vectors — then an
+    EXACT re-rank of the top-100 ADC shortlist (the refine stage every
+    production IVF-PQ deployment runs). This is why PQ scales: the
+    full-corpus pass touches 4 ints + 4 lookups per vector; exact floats
+    are read for only 100 candidates per query. Rows-only by contract
+    (k-means is iterative); recall@10 vs exact L2 pinned ≥0.7 in
+    tests/test_llm_ops.py (measured 0.90 at sf0.01)."""
+    from marasa_spark.ops.similarity import kmeans_centroids, l2sq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    n_sub, sub_dim, k = 4, 16, 8
+
+    codes_parts = []
+    qdist_parts = []
+    queries_full = corpus.filter(F.col("c_id") < 5)
+    for s in range(n_sub):
+        sub = corpus.select(
+            "c_id", F.slice("c_vec", s * sub_dim + 1, sub_dim).alias("c_vec")
+        )
+        cents = kmeans_centroids(sub, k=k, dim=sub_dim, iters=3, metric="l2")
+        d = sub.join(F.broadcast(cents)).withColumn(
+            "_dist", r2(l2sq(F.col("c_vec"), F.col("cent_vec")), 6)
+        )
+        w = W.partitionBy("c_id").orderBy(F.col("_dist").asc(), F.col("cent_id"))
+        codes_parts.append(
+            d.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("c_id", F.lit(s).alias("s"), F.col("cent_id").alias("code"))
+        )
+        qsub = queries_full.select(
+            F.col("c_id").alias("q_id"),
+            F.slice("c_vec", s * sub_dim + 1, sub_dim).alias("q_vec"),
+        )
+        qdist_parts.append(
+            qsub.join(F.broadcast(cents)).select(
+                "q_id",
+                F.lit(s).alias("s"),
+                F.col("cent_id"),
+                r2(l2sq(F.col("q_vec"), F.col("cent_vec")), 6).alias("qdist"),
+            )
+        )
+    codes = codes_parts[0]
+    for p in codes_parts[1:]:
+        codes = codes.unionByName(p)
+    qdists = qdist_parts[0]
+    for p in qdist_parts[1:]:
+        qdists = qdists.unionByName(p)
+
+    est = (
+        codes.join(
+            F.broadcast(qdists),
+            (codes.s == qdists.s) & (codes.code == qdists.cent_id),
+        )
+        .filter(F.col("c_id") != F.col("q_id"))
+        .groupBy("q_id", "c_id")
+        .agg(r2(F.sum("qdist"), 6).alias("est_dist"))
+    )
+    wq = W.partitionBy("q_id").orderBy(F.col("est_dist").asc(), F.col("c_id"))
+    shortlist = (
+        est.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= 100)
+        .select("q_id", "c_id")
+    )
+    # refine: exact L2 re-rank of the 100-candidate shortlist — the
+    # standard IVF-PQ+refine pipeline. The exact distance touches only
+    # 100 vectors per query (vs the whole corpus for brute force); ADC's
+    # job is candidate generation, not final ordering. Measured recall@10
+    # vs exact search: 0.26 without this stage, 0.90 with it (sf0.01).
+    qv = queries_full.select(F.col("c_id").alias("q_id"), F.col("c_vec").alias("q_vec"))
+    cand = (
+        shortlist.join(F.broadcast(qv), "q_id")
+        .join(corpus, "c_id")
+        .withColumn("dist", r2(l2sq(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    wr = W.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("c_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 10)
+        .select("q_id", F.col("c_id").alias("n_id"), "rank", "dist")
+    )
