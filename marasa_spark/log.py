@@ -309,6 +309,33 @@ class MarasaLog:
         """Physical snapshot materialization at high-water ``upto``."""
         state.write.mode("overwrite").parquet(f"{self.snap_dir}/upto={upto}")
 
+    def clone_to(self, dest_path: str) -> "MarasaLog":
+        """Consistent backup: copy the COMMITTED change history into a new
+        store at ``dest_path``, seqnos preserved verbatim, covered by one
+        commit marker at the source's committed high-water. Because the
+        copy reads through :meth:`changes` (the committed filter), an
+        in-flight or crashed writer's half-landed rows are invisible to
+        the backup by construction — a backup taken mid-append is exactly
+        the last committed state, never a torn one. Snapshots are not
+        copied (they are derived data; the restored store re-compacts on
+        its own schedule). One distributed read + one partitioned write;
+        no driver-side data path."""
+        rows = self.changes(0)
+        dest = MarasaLog(self.spark, dest_path, segment_size=self.segment_size)
+        batch = rows.withColumn(
+            "segment",
+            (F.floor(F.col("seqno") / dest.segment_size) * dest.segment_size).cast(
+                "long"
+            ),
+        )
+        dest._write_log_batch(batch)
+        hw = self._committed_high_water()
+        if hw is None:
+            hw = self.max_seqno()
+        os.makedirs(dest._txn_dir, exist_ok=True)
+        dest._commit_base(0, hw)
+        return dest
+
     def put(self, ns: str, **changes: str) -> int:
         """marasa ``put(ns, key=value, ...)`` — tiny-batch convenience over
         :meth:`append`."""

@@ -465,3 +465,37 @@ def j11_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.append(_events_as_log(spark, sf_dir))
     keys = [str(i) for i in range(10)]
     return store.lookup("click", keys).select("ns", "key", "value")
+
+
+# ---------------------------------------------------------------------------
+# z3 — backup/restore: clone the committed history, read from the restore
+# ---------------------------------------------------------------------------
+
+# same latest-state fold as A4 (the backup must be indistinguishable from
+# the source store to every reader)
+Z3_ORACLE = """
+SELECT event_type AS ns, CAST(user_id AS VARCHAR) AS key, props AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                               ORDER BY ts DESC, props DESC) AS rn
+  FROM events
+  WHERE event_id < 500
+)
+WHERE rn = 1
+"""
+
+
+@register("z3_log_backup_restore", oracle=Z3_ORACLE, group="J")
+def z3_log_backup_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backup/restore round-trip: write a store, ``clone_to`` a second
+    location (committed rows only, seqnos verbatim, one covering commit
+    marker), then serve ``latest()`` FROM THE RESTORE — hash-checked
+    against the same oracle as the source (a4), so the backup is proven
+    reader-indistinguishable, not just file-copied. The torn-backup case
+    (clone taken while a writer's uncommitted batch is on disk) is pinned
+    in tests/test_log_properties.py::test_clone_excludes_uncommitted."""
+    src = MarasaLog(spark, fresh_scratch("z3_log_src", sf_dir))
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    src.append(_events_as_log(spark, sf_dir, events=ev))
+    restored = src.clone_to(fresh_scratch("z3_log_dst", sf_dir))
+    return restored.latest().select("ns", "key", "value")

@@ -310,3 +310,45 @@ def test_recover_vacuums_crashed_writer_orphans(spark, tmp_base):
     ) == 2
     assert {r["value"] for r in store.history("n", "k1").collect()} == {"v1", "v2"}
     assert store.get("n", "k1") == "v2"
+
+
+def test_clone_excludes_uncommitted(spark, tmp_base):
+    """A backup taken while a writer's data files are on disk WITHOUT a
+    commit marker must contain exactly the last committed state — the
+    clone reads through the committed filter, so a torn backup is
+    impossible by construction. Also: the restored store is
+    reader-equivalent (latest, changes, max_seqno) and independently
+    writable (its next append numbers from the copied high-water)."""
+    path = str(tmp_base / "clone_src")
+    store = MarasaLog(spark, path)
+    df1 = spark.createDataFrame(
+        [("ns1", "a", _ts(1), "v1"), ("ns1", "b", _ts(2), "v2")],
+        "ns string, key string, ts timestamp, value string",
+    )
+    store.append(df1)
+
+    # simulate an in-flight writer: claim + data landed, NO commit marker
+    base = store.max_seqno()
+    store._claim_base(base)
+    orphan = spark.createDataFrame(
+        [("ns1", "c", _ts(3), "torn")],
+        "ns string, key string, ts timestamp, value string",
+    )
+    batch = store._number_batch(orphan, base).withColumn(
+        "segment", F.lit(0).cast("long")
+    )
+    store._write_log_batch(batch)
+
+    restored = store.clone_to(str(tmp_base / "clone_dst"))
+    rows = {(r["key"], r["value"]) for r in restored.latest().collect()}
+    assert rows == {("a", "v1"), ("b", "v2")}, "torn row leaked into backup"
+    assert restored.max_seqno() == 2
+    seqs = [r["seqno"] for r in restored.changes(0).orderBy("seqno").collect()]
+    assert seqs == [1, 2]
+
+    # the restore is a first-class store: appends continue the numbering
+    assert restored.append(df1.limit(1)) == 3
+
+    # source recovery still works after the backup
+    store.recover_claims()
+    assert store.max_seqno() == 2
