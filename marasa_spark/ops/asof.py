@@ -262,3 +262,78 @@ def asof_join_bucketed(
         .filter(F.col("_rn") == 1)
         .select(*lcols, *rpay)
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_seq: str,
+    left_seq: str,
+) -> DataFrame:
+    """``merge_asof(direction="nearest")``: each left row takes the right
+    row with the smallest |right_ts − left_ts|; on an exact distance tie
+    the BACKWARD (earlier) candidate wins, and among right rows sharing a
+    timestamp the greatest ``right_seq`` wins — fully deterministic.
+
+    Built as two union-sort as-of passes (backward on the timestamp,
+    forward on its negation — "latest prior" under a reversed clock IS
+    "earliest following"), each ONE shuffle on the key with no pair
+    amplification, then a per-row pick of the closer match. Inner
+    semantics: left rows with no candidate on either side drop. Output:
+    all left columns + right payload + ``matched_dir``
+    ('backward'|'forward').
+
+    Scale: 2× the union-sort as-of cost — still linear, still skew-spread
+    only by key (use the z2 bucketed shape per direction if a tolerance
+    is known and keys are hot).
+    """
+    rpay = [c for c in right.columns if c != on]
+
+    def negate(df: DataFrame, ts: str, out: str) -> DataFrame:
+        return df.withColumn(out, -F.unix_micros(F.col(ts)))
+
+    back = asof_join_union(
+        left, right, on=on, left_ts=left_ts, right_ts=right_ts,
+        right_seq=right_seq, left_seq=left_seq, how="left",
+    ).select(
+        *left.columns, *[F.col(c).alias(f"_b_{c}") for c in rpay]
+    )
+    l_neg = negate(left, left_ts, "_lneg")
+    r_neg = negate(right, right_ts, "_rneg")
+    fwd = asof_join_union(
+        l_neg, r_neg, on=on, left_ts="_lneg", right_ts="_rneg",
+        right_seq=right_seq, left_seq=left_seq, how="left",
+    ).select(
+        F.col(left_seq),
+        *[F.col(c).alias(f"_f_{c}") for c in rpay],
+    )
+    both = back.join(fwd, left_seq)
+    lts = F.unix_micros(F.col(left_ts))
+    d_b = F.when(
+        F.col(f"_b_{right_ts}").isNotNull(),
+        lts - F.unix_micros(F.col(f"_b_{right_ts}")),
+    )
+    d_f = F.when(
+        F.col(f"_f_{right_ts}").isNotNull(),
+        F.unix_micros(F.col(f"_f_{right_ts}")) - lts,
+    )
+    take_b = F.when(
+        d_b.isNotNull() & (d_f.isNull() | (d_b <= d_f)), F.lit(True)
+    ).otherwise(F.lit(False))
+    picked = [
+        F.when(take_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}")).alias(c)
+        for c in rpay
+    ]
+    return (
+        both.filter(d_b.isNotNull() | d_f.isNotNull())
+        .select(
+            *left.columns,
+            *picked,
+            F.when(take_b, F.lit("backward")).otherwise(F.lit("forward")).alias(
+                "matched_dir"
+            ),
+        )
+    )

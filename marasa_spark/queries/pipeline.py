@@ -1375,3 +1375,62 @@ def m31_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("l_quantity")).alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m32 — Hilbert-curve layout (the locality-superior sibling of m27)
+# ---------------------------------------------------------------------------
+
+from marasa_spark.ops.layout import hilbert_sql, with_hilbert  # noqa: E402
+
+_M32_BASE = (
+    "(SELECT (l_partkey % 64) AS x, (l_suppkey % 64) AS y FROM lineitem)"
+)
+
+M32_ORACLE = f"""
+WITH h AS (
+  {hilbert_sql(_M32_BASE, ["x", "y"], bits=6)}
+)
+SELECT CAST(floor(hval / CAST(256 AS DOUBLE)) AS BIGINT) AS file_bucket,
+       count(*) AS n,
+       min(x) AS min_p, max(x) AS max_p,
+       min(y) AS min_s, max(y) AS max_s
+FROM h
+GROUP BY file_bucket
+"""
+
+
+@register("m32_hilbert_layout", oracle=M32_ORACLE, group="M")
+def m32_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout assignment + the m27 locality audit, on a 64×64
+    grid (part, supplier each reduced to 6 bits; 16 file buckets of 256
+    curve positions). Hilbert dominates Morton for file skipping because
+    the curve NEVER jumps: consecutive positions are always grid
+    neighbors, so a contiguous curve range — i.e. a file — is one
+    connected blob with a tight bounding box, where Morton's quadrant
+    seams give some files full-width spans. The property is pinned in
+    tests/test_layout.py (unit-step adjacency over the whole grid +
+    mean bounding-box area vs m27 on the same data). Like m27 the bucket
+    is a stateless per-row expression chain — no global sort, no sampled
+    boundaries; the stateful per-level rotation is materialized as
+    columns, still wholly JVM-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_partkey") % 64).alias("x"), (F.col("l_suppkey") % 64).alias("y")
+    )
+    h = with_hilbert(base, F.col("x"), F.col("y"), out="hval", bits=6)
+    return (
+        h.select(
+            F.floor(F.col("hval") / F.lit(256.0)).cast("long").alias("file_bucket"),
+            "x",
+            "y",
+        )
+        .groupBy("file_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_p"),
+            F.max("x").alias("max_p"),
+            F.min("y").alias("min_s"),
+            F.max("y").alias("max_s"),
+        )
+    )

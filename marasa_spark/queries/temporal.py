@@ -184,3 +184,61 @@ def z2_asof_tolerance_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance_s=3600,
         left_seq="purchase_id",
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
+# nearest: min |Δt|; exact-distance ties prefer the BACKWARD candidate;
+# same-timestamp right rows resolve to max event_id — mirrored exactly in
+# the two-pass union-sort implementation (ops/asof.py asof_join_nearest).
+Z5_ORACLE = """
+SELECT purchase_id, user_id, purchase_ts, click_id, click_ts, matched_dir
+FROM (
+  SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+         p.ts AS purchase_ts, c.event_id AS click_id, c.ts AS click_ts,
+         CASE WHEN c.ts <= p.ts THEN 'backward' ELSE 'forward' END AS matched_dir,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+                    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END ASC,
+                    c.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id
+)
+WHERE rn = 1
+"""
+
+
+@register("z5_asof_nearest", oracle=Z5_ORACLE, group="C")
+def z5_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof direction='nearest': the closest click to each purchase
+    in either time direction (ties: backward wins, then max click_id).
+    Two union-sort as-of passes — backward on ts, forward on negated ts —
+    then a per-row closer-match pick; see ops.asof.asof_join_nearest. The
+    oracle expresses the same semantics as one window over ALL candidate
+    pairs, so the hash check proves the two-pass trick equals the direct
+    definition."""
+    from marasa_spark.ops.asof import asof_join_nearest
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    return asof_join_nearest(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_seq="click_id",
+        left_seq="purchase_id",
+    ).select(
+        "purchase_id", "user_id", "purchase_ts", "click_id", "click_ts",
+        "matched_dir",
+    )

@@ -30,6 +30,9 @@ SWEEP = [
     "m25_weighted_sample",  # pow-priority top-k boundary
     "d21_bitmap_distinct",  # bitmap merge associativity
     "c10_join_asof",    # union-sort asof: window order under repartition
+    "z2_asof_tolerance_bucketed",  # bucket-replicated asof under repartition
+    "k56_temperature_sampling",    # pow-share rounding boundary
+    "k58_pq_encode",    # argmin codeword tiebreaks
 ]
 
 
