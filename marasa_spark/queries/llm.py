@@ -2494,9 +2494,10 @@ def k58_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed representation IVF-PQ searches over. Codebooks here are the
     first 8 vectors' subspace slices (the k16 data-derived-constants shape),
     which makes the whole encode hash-oracle-able; k59 is the k-means-
-    trained variant with an ADC search and a recall gate. Scale: codebooks
-    broadcast, one corpus pass + a per-vector argmin window per subspace —
-    embarrassingly parallel, no corpus shuffle."""
+    trained variant with an ADC search and a recall gate. Scale: ONE
+    corpus pass for all subspaces (explode → broadcast codebook join →
+    one argmin window → pivot back; see ops.similarity.pq_encode),
+    exchange-budget-pinned."""
     e = load_table(spark, sf_dir, "embeddings")
     corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     cb = e.filter(F.col("vec_id") < 8).select(
@@ -2528,47 +2529,68 @@ def k59_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     are read for only 100 candidates per query. Rows-only by contract
     (k-means is iterative); recall@10 vs exact L2 pinned ≥0.7 in
     tests/test_llm_ops.py (measured 0.90 at sf0.01)."""
-    from marasa_spark.ops.similarity import kmeans_centroids, l2sq
+    from marasa_spark.ops.similarity import kmeans_centroids, l2sq, pq_encode
 
     e = load_table(spark, sf_dir, "embeddings")
     corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     n_sub, sub_dim, k = 4, 16, 8
-
-    codes_parts = []
-    qdist_parts = []
     queries_full = corpus.filter(F.col("c_id") < 5)
+
+    # train one 8×16 codebook per subspace; assemble the k×64 full-width
+    # codebook driver-side (k-means already collects exactly this model —
+    # assembly adds zero new driver data) so the encode is the single-pass
+    # pq_encode plan instead of a per-subspace loop of joins
+    sub_cents: list[dict[int, list[float]]] = []
     for s in range(n_sub):
         sub = corpus.select(
             "c_id", F.slice("c_vec", s * sub_dim + 1, sub_dim).alias("c_vec")
         )
         cents = kmeans_centroids(sub, k=k, dim=sub_dim, iters=3, metric="l2")
-        d = sub.join(F.broadcast(cents)).withColumn(
-            "_dist", r2(l2sq(F.col("c_vec"), F.col("cent_vec")), 6)
+        sub_cents.append(
+            {r["cent_id"]: list(r["cent_vec"]) for r in cents.collect()}
         )
-        w = W.partitionBy("c_id").orderBy(F.col("_dist").asc(), F.col("cent_id"))
-        codes_parts.append(
-            d.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("c_id", F.lit(s).alias("s"), F.col("cent_id").alias("code"))
-        )
-        qsub = queries_full.select(
-            F.col("c_id").alias("q_id"),
-            F.slice("c_vec", s * sub_dim + 1, sub_dim).alias("q_vec"),
-        )
-        qdist_parts.append(
-            qsub.join(F.broadcast(cents)).select(
-                "q_id",
-                F.lit(s).alias("s"),
-                F.col("cent_id"),
-                r2(l2sq(F.col("q_vec"), F.col("cent_vec")), 6).alias("qdist"),
+    full_cb = spark.createDataFrame(
+        [
+            (cid, [v for s in range(n_sub) for v in sub_cents[s][cid]])
+            for cid in range(k)
+        ],
+        "cent_id long, c_vec array<double>",
+    )
+
+    wide = pq_encode(corpus, full_cb, n_sub=n_sub, sub_dim=sub_dim)
+    codes = wide.selectExpr(
+        "c_id",
+        "stack(4, 0, code_0, 1, code_1, 2, code_2, 3, code_3) AS (s, code)",
+    )
+    qdists = queries_full.select(
+        F.col("c_id").alias("q_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("c_vec", s * sub_dim + 1, sub_dim)
+                    for s in range(n_sub)
+                ]
             )
-        )
-    codes = codes_parts[0]
-    for p in codes_parts[1:]:
-        codes = codes.unionByName(p)
-    qdists = qdist_parts[0]
-    for p in qdist_parts[1:]:
-        qdists = qdists.unionByName(p)
+        ).alias("s", "q_sub"),
+    ).join(
+        F.broadcast(
+            full_cb.select(
+                "cent_id",
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.slice("c_vec", s * sub_dim + 1, sub_dim)
+                            for s in range(n_sub)
+                        ]
+                    )
+                ).alias("s", "cb_sub"),
+            )
+        ),
+        "s",
+    ).select(
+        "q_id", "s", "cent_id",
+        r2(l2sq(F.col("q_sub"), F.col("cb_sub")), 6).alias("qdist"),
+    )
 
     est = (
         codes.join(

@@ -49,6 +49,15 @@ EXCHANGE_BUDGET = {
     "k6_sim_cosine_topk": 4,
     "j2_log_latest": 2,
     "f2_topk_global": 0,
+    # round-5 additions, measured on the reviewed plans
+    "z1_asof_tolerance": 2,
+    "z2_asof_tolerance_bucketed": 4,
+    "z5_asof_nearest": 6,
+    "m32_hilbert_layout": 2,
+    "k56_temperature_sampling": 8,
+    "k57_dataset_card": 4,
+    "k58_pq_encode": 6,
+    "i14_incremental_stream_checkpoint": 2,
 }
 
 
