@@ -142,3 +142,31 @@ def hilbert_sql(base: str, carries: list[str], x: str = "x", y: str = "y", bits:
   hval + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry}) AS hval
 FROM ({q})"""
     return f"SELECT {carry}, hval FROM ({q})"
+
+
+def z_interleave_nd(cols: list[Column], bits: int = 6) -> Column:
+    """N-dimensional Morton value: dimension j contributes its bit i at
+    output position ``i*N + j``. Generalizes :func:`z_interleave` (N=2);
+    same pure floor/mod arithmetic, same scale posture — the bucket is
+    still a stateless per-row expression at any N."""
+    n = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            bit = F.floor(c / F.lit(float(2**i))).cast("long") % 2
+            terms.append(bit * F.lit(2 ** (i * n + j)))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z
+
+
+def z_interleave_nd_sql(cols: list[str], bits: int = 6) -> str:
+    """DuckDB twin of :func:`z_interleave_nd`."""
+    n = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            bit = f"(CAST(floor(({c}) / CAST({2**i} AS DOUBLE)) AS BIGINT) % 2)"
+            terms.append(f"{bit} * {2 ** (i * n + j)}")
+    return " + ".join(terms)

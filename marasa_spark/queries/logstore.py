@@ -499,3 +499,55 @@ def z3_log_backup_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.append(_events_as_log(spark, sf_dir, events=ev))
     restored = src.clone_to(fresh_scratch("z3_log_dst", sf_dir))
     return restored.latest().select("ns", "key", "value")
+
+
+# ---------------------------------------------------------------------------
+# i15 — CDC tail as a STREAM: subscribe to the log's change feed
+# ---------------------------------------------------------------------------
+
+I15_ORACLE = """
+WITH ev AS (SELECT * FROM events WHERE event_id < 500),
+     c AS (SELECT count(*) AS n FROM ev WHERE event_type = 'click'),
+     p AS (SELECT count(*) AS n FROM ev WHERE event_type = 'purchase')
+SELECT 'click' AS ns, c.n AS n, c.n AS max_seqno FROM c
+UNION ALL
+SELECT 'purchase' AS ns, p.n AS n, c.n + p.n AS max_seqno FROM c, p
+"""
+
+
+@register("i15_log_cdc_stream", oracle=I15_ORACLE, group="I")
+def i15_log_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reverse of i10: a Structured Streaming reader tailing the log
+    store's change feed — 'the log is the database' made subscribable.
+    Two appends land (clicks, then purchases); a file stream over the
+    log directory replays the committed changes, and the streamed
+    per-namespace rollup (count + high-water seqno) is hash-checked
+    against SQL that replays the append arithmetic — proving the stream
+    sees every committed change exactly once AND the seqno numbering the
+    writers produced. The committed filter is applied in the stream (the
+    same seqno <= high-water predicate batch readers use), so an
+    in-flight writer's unmarked files would be invisible here too. At
+    scale this is the standing consumer: new log files become
+    micro-batches, checkpointed like i14, namespace directories prune at
+    the listing."""
+    from marasa_spark.log import DISK_SCHEMA
+    from marasa_spark.streaming.runtime import run_to_memory
+
+    store = MarasaLog(spark, fresh_scratch("i15_log", sf_dir))
+    log_df = _events_as_log(
+        spark, sf_dir,
+        events=load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500),
+    )
+    store.append(log_df.filter(F.col("ns") == "click"))
+    store.append(log_df.filter(F.col("ns") == "purchase"))
+    hw = store._committed_high_water()
+
+    stream = (
+        spark.readStream.schema(DISK_SCHEMA)
+        .parquet(store.log_dir)
+        .filter(F.col("seqno") <= F.lit(hw))
+    )
+    agg = stream.groupBy("ns").agg(
+        F.count(F.lit(1)).alias("n"), F.max("seqno").alias("max_seqno")
+    )
+    return run_to_memory(agg, "complete")

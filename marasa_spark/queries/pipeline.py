@@ -1434,3 +1434,61 @@ def m32_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("max_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m33 — 3-D Z-order: the N-dimensional generalization of m27
+# ---------------------------------------------------------------------------
+
+from marasa_spark.ops.layout import z_interleave_nd, z_interleave_nd_sql  # noqa: E402
+
+_M33_Z = z_interleave_nd_sql(
+    ["l_partkey % 16", "l_suppkey % 16", "month(l_shipdate) - 1"], bits=4
+)
+
+M33_ORACLE = f"""
+WITH z AS (
+  SELECT (l_partkey % 16) AS px, (l_suppkey % 16) AS sx,
+         (month(l_shipdate) - 1) AS mx,
+         {_M33_Z} AS zval
+  FROM lineitem
+)
+SELECT CAST(floor(zval / CAST(256 AS DOUBLE)) AS BIGINT) AS file_bucket,
+       count(*) AS n,
+       min(px) AS min_p, max(px) AS max_p,
+       min(sx) AS min_s, max(sx) AS max_s,
+       min(mx) AS min_m, max(mx) AS max_m
+FROM z
+GROUP BY file_bucket
+"""
+
+
+@register("m33_zorder_3d", oracle=M33_ORACLE, group="M")
+def m33_zorder_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-dimensional Z-order (part × supplier × ship-month, 4 bits
+    each): the co-clustering a fact table wants when queries filter on any
+    subset of three dimensions. Each of the 16 file buckets (256 curve
+    positions) covers a bounded BOX of the 16×16×12 key space, so min/max
+    file stats prune on one-, two- or three-column predicates alike —
+    single-key sorting would leave two of the three spans at full width.
+    Same stateless per-row arithmetic as m27 at N=3; the audit emits each
+    bucket's span on all three dimensions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    px = F.col("l_partkey") % 16
+    sx = F.col("l_suppkey") % 16
+    mx = F.month("l_shipdate") - 1
+    z = z_interleave_nd([px, sx, mx], bits=4)
+    return (
+        li.select(px.alias("px"), sx.alias("sx"), mx.alias("mx"), z.alias("zval"))
+        .select(
+            F.floor(F.col("zval") / F.lit(256.0)).cast("long").alias("file_bucket"),
+            "px", "sx", "mx",
+        )
+        .groupBy("file_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("px").alias("min_p"), F.max("px").alias("max_p"),
+            F.min("sx").alias("min_s"), F.max("sx").alias("max_s"),
+            F.min("mx").alias("min_m"), F.max("mx").alias("max_m"),
+        )
+    )
