@@ -369,3 +369,49 @@ def g7_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionByName(s, allowMissingColumns=True).select(
         "entity_key", "acctbal", "mktsegment", "nationkey", "kind"
     )
+
+
+# ---------------------------------------------------------------------------
+# z7 — the SQL front end as a driver-checked row (one text, two engines)
+# ---------------------------------------------------------------------------
+
+# ONE query text executed verbatim by BOTH spark.sql and DuckDB — the
+# dual-front-end claim (SURVEY §3.2 EP3, tests/test_sql_frontend.py)
+# reduced to a hash-checked registry row. Dialect-shared subset only:
+# ANSI joins/group/window, date literals, explicit DOUBLE casts, the
+# r2sql floor-round, and a unique tiebreak on the top-k boundary.
+Z7_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority, revenue
+FROM (
+  SELECT o_orderkey, o_orderdate, o_orderpriority,
+         CAST(floor(sum(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)) * 100 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 100 AS revenue,
+         row_number() OVER (
+           ORDER BY CAST(floor(sum(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)) * 100 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 100 DESC,
+                    o_orderkey) AS rk
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < DATE '1995-03-15'
+    AND l_shipdate > DATE '1995-03-15'
+  GROUP BY o_orderkey, o_orderdate, o_orderpriority
+)
+WHERE rk <= 10
+"""
+
+
+@register("z7_sql_frontend_q3", oracle=Z7_SQL, group="B")
+def z7_sql_frontend_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority revenue top-10) submitted through
+    ``spark.sql`` with the IDENTICAL text the DuckDB oracle runs — the
+    registered proof that the SQL front end is a first-class entry point:
+    one query string, two engines, one value hash. Catalyst plans it like
+    the DataFrame builds (broadcast dim, shuffled fact joins, partial
+    aggs, rank pushdown into the top-k window); the rounding rides the
+    same floor-arithmetic convention as r2sql so the text stays
+    dialect-shared. The global row_number is bounded by the top-k filter
+    (rank pushdown — Spark 4 computes it with a k-heap per partition)."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(Z7_SQL)

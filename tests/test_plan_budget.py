@@ -58,6 +58,7 @@ EXCHANGE_BUDGET = {
     "k57_dataset_card": 4,
     "k58_pq_encode": 6,
     "i14_incremental_stream_checkpoint": 2,
+    "z7_sql_frontend_q3": 6,
 }
 
 
