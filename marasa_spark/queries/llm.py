@@ -2624,3 +2624,86 @@ def k59_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("q_id", F.col("c_id").alias("n_id"), "rank", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# k60 — containment dedup via prefix filtering (the k55 SCALE path, exact)
+# ---------------------------------------------------------------------------
+
+@register("k60_containment_prefix_join", oracle=K55_ORACLE, group="K")
+def k60_containment_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k55's result through the PPJoin-style prefix-filter plan — the
+    similarity-join technique that makes exact containment search scale
+    WITHOUT the all-pairs stage. Guarantee (direction A→B): if
+    |A∩B|/|A| ≥ t then among ANY fixed ordering of A's tokens, one of the
+    first ⌊(1−t)·|A|⌋+1 must appear in B (otherwise more than (1−t)·|A|
+    of A's tokens miss B and containment is < t). So candidates =
+    (A's rarest-token prefix) ⋈ (B's full token set), run in both
+    directions, then exact verification on the candidate pairs only.
+    Ordering by ascending global document-frequency makes the joined
+    prefix tokens the RAREST ones — the join key distribution is
+    deliberately anti-skewed, tiny posting lists instead of stopwords.
+    Same oracle as k55 (two plans, one semantics): prefix filtering is
+    lossless for the ≥ t output, which the hash check proves. At 100 TB
+    the all-pairs k55 shape is impossible; this shape is one token
+    shuffle + a rare-token join + per-candidate verification."""
+    t = 0.9
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    tok = d.select(
+        F.col("doc_id"), F.explode(D.tokens(F.col("text"))).alias("w")
+    ).distinct()
+    cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df_freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tok.join(df_freq, "w")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("w"))
+            ),
+        )
+        .join(cnt, "doc_id")
+    )
+    # prefix size = ⌊n·(den−num)/den⌋ + 1 computed with EXACT arithmetic:
+    # the tempting float (1 − 0.9) is 0.0999…8, and 0.0999…8 × 10 floors
+    # to 0 instead of 1 — one prefix token where one may be missing, i.e.
+    # lost candidates. n × 1.0 / 10.0 is correctly rounded at integers.
+    num, den = 9, 10  # t = num/den
+    max_missing = F.floor(F.col("n") * F.lit(float(den - num)) / F.lit(float(den)))
+    prefix = ranked.filter(F.col("pos") <= max_missing + 1).select("doc_id", "w")
+
+    # candidates in each direction: smaller-side prefix ⋈ other side's FULL
+    # token set; normalize to doc_a < doc_b and dedup
+    full = tok
+    cand_ab = prefix.alias("p").join(
+        full.alias("f"),
+        (F.col("p.w") == F.col("f.w")) & (F.col("p.doc_id") != F.col("f.doc_id")),
+    ).select(
+        F.least("p.doc_id", "f.doc_id").alias("doc_a"),
+        F.greatest("p.doc_id", "f.doc_id").alias("doc_b"),
+    ).distinct()
+
+    inter = (
+        cand_ab.join(tok.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            tok.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.w") == F.col("tb.w")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("i").cast("double") / F.col("na").cast("double")).alias("c_ab"),
+            (F.col("i").cast("double") / F.col("nb").cast("double")).alias("c_ba"),
+        )
+        .filter((F.col("c_ab") >= t) | (F.col("c_ba") >= t))
+    )
+    return out

@@ -236,3 +236,43 @@ def test_bucketed_asof_exact_tolerance_boundary(spark):
     ):
         rows = {(r["lid"], r["rid"]) for r in df.collect()}
         assert rows == {(1, 10)}
+
+
+def test_nearest_asof_tie_and_direction_semantics(spark):
+    """Constructed boundary cases for direction='nearest': an exact
+    distance tie prefers the BACKWARD candidate; same-timestamp right
+    rows resolve to max right_seq; a left row with candidates on only
+    one side takes that side; a key with no right rows drops (inner)."""
+    from marasa_spark.ops.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 12:00:00"),  # tie: rights at 11:00 & 13:00
+            (2, "a", "2024-01-01 18:00:00"),  # forward closer (19:00 vs 13:00)
+            (3, "b", "2024-01-01 06:00:00"),  # backward-only (05:00)
+            (4, "c", "2024-01-01 00:00:00"),  # no rights at all -> dropped
+        ],
+        "lid long, k string, lts string",
+    ).select("lid", "k", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [
+            (10, "a", "2024-01-01 11:00:00"),
+            (11, "a", "2024-01-01 11:00:00"),  # same ts: max seq (11) wins
+            (20, "a", "2024-01-01 13:00:00"),
+            (30, "a", "2024-01-01 19:00:00"),
+            (40, "b", "2024-01-01 05:00:00"),
+        ],
+        "rid long, k string, rts string",
+    ).select("rid", "k", F.col("rts").cast("timestamp").alias("rts"))
+    rows = {
+        r["lid"]: (r["rid"], r["matched_dir"])
+        for r in asof_join_nearest(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_seq="rid", left_seq="lid",
+        ).collect()
+    }
+    assert rows == {
+        1: (11, "backward"),  # tie -> backward; same-ts -> max rid
+        2: (30, "forward"),
+        3: (40, "backward"),
+    }
