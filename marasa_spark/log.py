@@ -309,6 +309,30 @@ class MarasaLog:
         """Physical snapshot materialization at high-water ``upto``."""
         state.write.mode("overwrite").parquet(f"{self.snap_dir}/upto={upto}")
 
+    def append_once(self, records: DataFrame, batch_id: str) -> int:
+        """Idempotent producer append: a batch tagged with a producer-chosen
+        ``batch_id`` lands at most once — re-submitting (the retry path of
+        any at-least-once upstream) returns the recorded high-water instead
+        of duplicating rows. The tag file is written AFTER the batch
+        commits, so a producer that crashes mid-append simply retries into
+        the normal conflict/recovery machinery; the one uncovered window
+        is a crash exactly between commit marker and tag, where a retry
+        re-appends (the same window Kafka's transactional producer closes
+        with epoch+sequence state in its txn log — the Delta slot-in
+        carries txn appIds for exactly this). Concurrent DISTINCT batch
+        ids serialize via append_retrying."""
+        if "/" in batch_id or batch_id.startswith("."):
+            raise ValueError(f"invalid batch_id: {batch_id!r}")
+        os.makedirs(self._txn_dir, exist_ok=True)
+        tag = f"{self._txn_dir}/producer_batch={batch_id}"
+        if os.path.exists(tag):
+            with open(tag) as f:
+                return int(f.read().split("=", 1)[1])
+        hw = self.append_retrying(records)
+        with open(tag, "w") as f:
+            f.write(f"hw={hw}")
+        return hw
+
     def clone_to(self, dest_path: str) -> "MarasaLog":
         """Consistent backup: copy the COMMITTED change history into a new
         store at ``dest_path``, seqnos preserved verbatim, covered by one

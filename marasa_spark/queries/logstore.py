@@ -551,3 +551,39 @@ def i15_log_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.max("seqno").alias("max_seqno")
     )
     return run_to_memory(agg, "complete")
+
+
+# ---------------------------------------------------------------------------
+# z8 — idempotent producer: the same batch submitted twice lands once
+# ---------------------------------------------------------------------------
+
+Z8_ORACLE = """
+SELECT event_type AS ns, CAST(user_id AS VARCHAR) AS key, props AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                               ORDER BY ts DESC, props DESC) AS rn
+  FROM events
+  WHERE event_id < 500
+)
+WHERE rn = 1
+"""
+
+
+@register("z8_log_idempotent_append", oracle=Z8_ORACLE, group="J")
+def z8_log_idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """append_once proven by the oracle: the SAME batch is submitted twice
+    under one producer batch_id, and the store must fold to exactly the
+    single-append state — a duplicated batch would double every history
+    row and (on ts ties) flip fold winners, breaking the hash. This is
+    the producer half of exactly-once (i14 is the consumer half): an
+    at-least-once upstream can retry its submission blindly. Resubmission
+    returns the originally recorded high-water (asserted here — a wrong
+    cached seqno would be silent corruption for the caller's cursor)."""
+    store = MarasaLog(spark, fresh_scratch("z8_log", sf_dir))
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    batch = _events_as_log(spark, sf_dir, events=ev)
+    hw1 = store.append_once(batch, batch_id="ingest-2024-01-01")
+    hw2 = store.append_once(batch, batch_id="ingest-2024-01-01")  # retry
+    if hw1 != hw2:
+        raise AssertionError(f"idempotent resubmit changed high-water: {hw1} != {hw2}")
+    return store.latest().select("ns", "key", "value")

@@ -352,3 +352,26 @@ def test_clone_excludes_uncommitted(spark, tmp_base):
     # source recovery still works after the backup
     store.recover_claims()
     assert store.max_seqno() == 2
+
+
+def test_append_once_idempotence(spark, tmp_base):
+    """append_once: same batch_id is a no-op returning the recorded
+    high-water; distinct ids append normally; the tag survives a reader
+    re-open (a NEW store object over the same path still dedups)."""
+    path = str(tmp_base / "once_store")
+    store = MarasaLog(spark, path)
+    df = spark.createDataFrame(
+        [("ns1", "a", _ts(1), "v1"), ("ns1", "b", _ts(2), "v2")],
+        "ns string, key string, ts timestamp, value string",
+    )
+    assert store.append_once(df, "batch-1") == 2
+    assert store.append_once(df, "batch-1") == 2      # resubmit: no-op
+    assert store.changes(0).count() == 2
+    assert store.append_once(df, "batch-2") == 4      # new id: appends
+    reopened = MarasaLog(spark, path)
+    assert reopened.append_once(df, "batch-1") == 2   # tag is durable
+    assert reopened.changes(0).count() == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        store.append_once(df, "../escape")
