@@ -366,3 +366,27 @@ def test_ivfpq_refined_recall_floor(spark, sf_dir):
         exact.setdefault(r["q_id"], set()).add(r["c_id"])
     recalls = [len(approx[q] & exact[q]) / 10 for q in exact]
     assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+
+def test_pq_encode_generic_geometry(spark, sf_dir):
+    """pq_encode is geometry-generic: with 8 subspaces of 8 dims and the
+    first 4 vectors as codebooks, codewords still self-encode with zero
+    error in every subspace and every code is in range — the single-pass
+    explode/pivot plan must not hard-code the k58 4×16 shape."""
+    from pyspark.sql import functions as F
+
+    from marasa_spark.ops.similarity import pq_encode
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    cb = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_vec")
+    )
+    rows = pq_encode(corpus, cb, n_sub=8, sub_dim=8).collect()
+    assert len(rows) == e.count()
+    for r in rows:
+        for s in range(8):
+            assert 0 <= r[f"code_{s}"] < 4
+        if r["c_id"] < 4:
+            assert all(r[f"err_{s}"] == 0.0 for s in range(8))
+            assert all(r[f"code_{s}"] == r["c_id"] for s in range(8))
