@@ -54,6 +54,13 @@ class LogWriteConflict(RuntimeError):
     contract, same exception surface."""
 
 
+class ProducerBatchInFlight(RuntimeError):
+    """``append_once`` found the batch_id claimed but its high-water not
+    yet recorded: the owning producer is still appending, or crashed
+    between claim and record. Retry later, or clear with
+    :meth:`MarasaLog.recover_claims` once the owner is known dead."""
+
+
 LOG_SCHEMA = "ns string, key string, seqno long, ts timestamp, value string"
 # on disk, records carry a segment partition column: segment = the starting
 # seqno of the fixed-width seqno range the record falls in (marasa's "log
@@ -234,16 +241,31 @@ class MarasaLog:
         claim that blocks every retry from that base. Single-operator
         recovery step (never run while a writer is in flight); returns the
         number of claims removed. Claims below the high-water belong to
-        committed batches and are kept as the commit journal."""
+        committed batches and are kept as the commit journal. Content-less
+        producer tags (an ``append_once`` owner that died between claim
+        and record — see :class:`ProducerBatchInFlight`) are cleared too,
+        so the batch_id becomes resubmittable."""
         if not os.path.isdir(self._txn_dir):
             return 0
         high = self.max_seqno()
         removed = 0
         for name in os.listdir(self._txn_dir):
+            full = f"{self._txn_dir}/{name}"
+            if name.startswith("producer_batch="):
+                # stale temp from a crash between tmp-write and rename
+                if ".tmp." in name:
+                    os.unlink(full)
+                    removed += 1
+                    continue
+                with open(full) as f:
+                    if not f.read().startswith("hw="):
+                        os.unlink(full)
+                        removed += 1
+                continue
             if not name.startswith("base="):
                 continue
             if int(name.split("=", 1)[1]) >= high:
-                os.unlink(f"{self._txn_dir}/{name}")
+                os.unlink(full)
                 removed += 1
         self._vacuum_uncommitted(high)
         return removed
@@ -313,24 +335,51 @@ class MarasaLog:
         """Idempotent producer append: a batch tagged with a producer-chosen
         ``batch_id`` lands at most once — re-submitting (the retry path of
         any at-least-once upstream) returns the recorded high-water instead
-        of duplicating rows. The tag file is written AFTER the batch
-        commits, so a producer that crashes mid-append simply retries into
-        the normal conflict/recovery machinery; the one uncovered window
-        is a crash exactly between commit marker and tag, where a retry
-        re-appends (the same window Kafka's transactional producer closes
-        with epoch+sequence state in its txn log — the Delta slot-in
-        carries txn appIds for exactly this). Concurrent DISTINCT batch
-        ids serialize via append_retrying."""
+        of duplicating rows.
+
+        Concurrency/crash protocol (both halves atomic, so no torn state
+        is ever observable):
+
+        1. the tag is CLAIMED with O_CREAT|O_EXCL (same CAS as
+           :meth:`_claim_base`) BEFORE the append — two producers racing
+           the SAME batch_id can never both append; exactly one wins the
+           claim and the other reads the outcome;
+        2. after the batch commits, the recorded high-water is written to
+           a temp file and ``os.rename``\\ d onto the tag — a resubmit
+           either sees the full ``hw=N`` content or the empty claim,
+           never a truncated file.
+
+        A resubmit that finds an EMPTY claim (the owner is still in
+        flight, or crashed between claim and content-rename) raises
+        :class:`ProducerBatchInFlight` instead of guessing — the caller
+        retries later, or an operator who knows the owner is dead runs
+        :meth:`recover_claims` (which clears content-less tags; check the
+        commit journal for whether the dead attempt's batch landed before
+        resubmitting — the same check Kafka's transactional producer does
+        via its txn log, and the Delta slot-in does via txn appIds).
+        Concurrent DISTINCT batch ids serialize via append_retrying."""
         if "/" in batch_id or batch_id.startswith("."):
             raise ValueError(f"invalid batch_id: {batch_id!r}")
         os.makedirs(self._txn_dir, exist_ok=True)
         tag = f"{self._txn_dir}/producer_batch={batch_id}"
-        if os.path.exists(tag):
+        try:
+            fd = os.open(tag, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
             with open(tag) as f:
-                return int(f.read().split("=", 1)[1])
+                content = f.read()
+            if content.startswith("hw="):
+                return int(content.split("=", 1)[1])
+            raise ProducerBatchInFlight(
+                f"batch_id {batch_id!r} is claimed but unrecorded: its "
+                "producer is in flight or crashed; retry later or run "
+                "recover_claims() if it is known dead"
+            ) from None
         hw = self.append_retrying(records)
-        with open(tag, "w") as f:
+        tmp = f"{tag}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             f.write(f"hw={hw}")
+        os.rename(tmp, tag)
         return hw
 
     def clone_to(self, dest_path: str) -> "MarasaLog":
@@ -340,11 +389,19 @@ class MarasaLog:
         copy reads through :meth:`changes` (the committed filter), an
         in-flight or crashed writer's half-landed rows are invisible to
         the backup by construction — a backup taken mid-append is exactly
-        the last committed state, never a torn one. Snapshots are not
+        the last committed state, never a torn one. The high-water is
+        captured ONCE, before the copy job runs, and both the row filter
+        (``changes(0, until=hw)``) and the destination commit marker use
+        that same value — so a concurrent ``append_retrying`` that commits
+        mid-copy can neither leak rows into the backup nor leave the
+        marker covering seqnos that were never copied. Snapshots are not
         copied (they are derived data; the restored store re-compacts on
         its own schedule). One distributed read + one partitioned write;
         no driver-side data path."""
-        rows = self.changes(0)
+        hw = self._committed_high_water()
+        if hw is None:
+            hw = self.max_seqno()
+        rows = self.changes(0, until=hw)
         dest = MarasaLog(self.spark, dest_path, segment_size=self.segment_size)
         batch = rows.withColumn(
             "segment",
@@ -353,9 +410,6 @@ class MarasaLog:
             ),
         )
         dest._write_log_batch(batch)
-        hw = self._committed_high_water()
-        if hw is None:
-            hw = self.max_seqno()
         os.makedirs(dest._txn_dir, exist_ok=True)
         dest._commit_base(0, hw)
         return dest

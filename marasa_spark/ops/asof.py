@@ -228,6 +228,12 @@ def asof_join_bucketed(
     semantics, same tiebreak as :func:`asof_join` (max right_ts, then max
     right_seq); NULL timestamps on either side never match (NULL bucket
     fails the equi join; NULL right_ts fails the band).
+
+    Precondition (same as :func:`asof_join`): when ``left_seq`` is None
+    the top-1 window partitions by ``(on, left_ts)``, so left rows that
+    share BOTH key and timestamp collapse to one survivor. Pass a unique
+    ``left_seq`` (as z2 does) whenever (key, ts) is not unique on the
+    left side.
     """
     overlap = (set(left.columns) & set(right.columns)) - {on}
     if overlap:

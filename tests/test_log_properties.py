@@ -375,3 +375,37 @@ def test_append_once_idempotence(spark, tmp_base):
 
     with _pytest.raises(ValueError):
         store.append_once(df, "../escape")
+
+
+def test_append_once_inflight_claim(spark, tmp_base):
+    """The batch_id tag is claimed (O_EXCL) BEFORE the append and its
+    content landed by atomic rename: a resubmit that finds the claim but
+    no recorded high-water (owner in flight or crashed between claim and
+    record) raises ProducerBatchInFlight — never double-appends, never
+    crashes on a truncated tag. recover_claims clears the dead claim so
+    the id becomes resubmittable."""
+    import os
+
+    from marasa_spark.log import ProducerBatchInFlight
+
+    path = str(tmp_base / "once_inflight")
+    store = MarasaLog(spark, path)
+    df = spark.createDataFrame(
+        [("ns1", "a", _ts(1), "v1")],
+        "ns string, key string, ts timestamp, value string",
+    )
+    # simulate a crashed owner: claim exists, content never recorded
+    os.makedirs(store._txn_dir, exist_ok=True)
+    with open(f"{store._txn_dir}/producer_batch=dead-batch", "w"):
+        pass
+    # plus a stale temp from a crash between tmp-write and rename
+    with open(f"{store._txn_dir}/producer_batch=dead-batch.tmp.99999", "w") as f:
+        f.write("hw=1")
+
+    with pytest.raises(ProducerBatchInFlight):
+        store.append_once(df, "dead-batch")
+    assert store.changes(0).count() == 0, "in-flight resubmit must not append"
+
+    assert store.recover_claims() >= 2  # empty claim + stale tmp cleared
+    assert store.append_once(df, "dead-batch") == 1  # now resubmittable
+    assert store.append_once(df, "dead-batch") == 1  # and idempotent again

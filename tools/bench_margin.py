@@ -88,7 +88,8 @@ def main() -> None:
         flag = "  MISS (>2x)" if ratio > 2 else ""
         if ratio > 2:
             misses.append(q)
-        print(f"{q:22s} {v:8.3f} {base:8.3f} {ratio:6.2f}x {rc:8.3f} {rratio}")
+        rc_s = f"{rc:8.3f}" if rc else f"{'?':>8s}"
+        print(f"{q:22s} {v:8.3f} {base:8.3f} {ratio:6.2f}x {rc_s} {rratio}")
     total = sum(queries.values())
     base_total = sum(BASELINE[q] for q in queries if q in BASELINE)
     rc_total = sum(RECAL_R5[q] for q in queries if q in RECAL_R5)
