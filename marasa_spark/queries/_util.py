@@ -23,6 +23,55 @@ from pyspark.sql import functions as F
 
 SCRATCH = "/root/repo/_scratch"
 
+_swept_this_process = False
+
+
+def _newest_mtime(root: str) -> float:
+    """Staleness keys on the NEWEST mtime found inside the dir (walk), not
+    the dir's own creation mtime — a long-lived session that made its
+    scratch >2h ago but is still writing/reading files in it is live, and
+    sweeping it would race a concurrent process into its open files."""
+    newest = os.path.getmtime(root)
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(dirpath, fn)))
+            except OSError:
+                pass
+    return newest
+
+
+def sweep_stale_scratch(force: bool = False) -> int:
+    """Remove scratch dirs abandoned by dead processes (no file touched in
+    2h). Runs ONCE per process — on the first ``fresh_scratch`` call —
+    rather than on every query build: the walk is O(dirs × files) stat
+    calls, which belongs in process startup, not the query path. Dirs
+    belonging to the current pid are never swept (they may back a
+    long-lived cached read). Returns the number of dirs removed."""
+    global _swept_this_process
+    if _swept_this_process and not force:
+        return 0
+    _swept_this_process = True
+    import time
+
+    cutoff = time.time() - 2 * 3600
+    own_suffix = f"_p{os.getpid()}"
+    removed = 0
+    try:
+        for name in os.listdir(SCRATCH):
+            stale = f"{SCRATCH}/{name}"
+            if name.endswith(own_suffix) or not os.path.isdir(stale):
+                continue
+            try:
+                if _newest_mtime(stale) < cutoff:
+                    shutil.rmtree(stale, ignore_errors=True)
+                    removed += 1
+            except OSError:
+                pass
+    except OSError:
+        pass
+    return removed
+
 
 def fresh_scratch(kind: str, sf_dir: str, create: bool = False) -> str:
     """A clean per-(operator, scale-factor) scratch directory for the
@@ -31,41 +80,14 @@ def fresh_scratch(kind: str, sf_dir: str, create: bool = False) -> str:
 
     The path carries the process id so a concurrent test run and a
     driver/bench run executing the same operator never clobber each other's
-    half-written files. Same-kind directories from DEAD processes are swept
-    so repeated driver/test rounds don't accrete abandoned scratch.
-    Staleness keys on the NEWEST mtime found inside the dir (walk), not the
-    dir's own creation mtime — a long-lived session that made its scratch
-    >2h ago but is still writing/reading files in it is live, and sweeping
-    it would race a concurrent process into its open files."""
-    import time
-
+    half-written files. Directories abandoned by DEAD processes are swept
+    once per process by :func:`sweep_stale_scratch` (not per call — the
+    stale walk used to run on every query build and was flagged as I/O in
+    the query path)."""
+    sweep_stale_scratch()
     tag = sf_dir.rstrip("/").split("/")[-1]
     d = f"{SCRATCH}/{kind}_{tag}_p{os.getpid()}"
     shutil.rmtree(d, ignore_errors=True)
-    prefix = f"{kind}_{tag}_p"
-    cutoff = time.time() - 2 * 3600
-
-    def newest_mtime(root: str) -> float:
-        newest = os.path.getmtime(root)
-        for dirpath, _dirs, files in os.walk(root):
-            for fn in files:
-                try:
-                    newest = max(newest, os.path.getmtime(os.path.join(dirpath, fn)))
-                except OSError:
-                    pass
-        return newest
-
-    try:
-        for name in os.listdir(SCRATCH):
-            stale = f"{SCRATCH}/{name}"
-            if (
-                name.startswith(prefix)
-                and stale != d
-                and newest_mtime(stale) < cutoff
-            ):
-                shutil.rmtree(stale, ignore_errors=True)
-    except OSError:
-        pass
     if create:
         os.makedirs(d)
     return d
