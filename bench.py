@@ -90,6 +90,8 @@ def main() -> None:
         results[label] = round(total_t, 4)
 
     total = round(sum(results.values()), 4)
+    calib = calibration_probe(spark, sf_dir)
+    ratio = box_ratio(calib)
     print(
         json.dumps(
             {
@@ -98,10 +100,31 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": sf,
-                "calibration": calibration_probe(spark, sf_dir),
+                "calibration": calib,
+                # r5-box-equivalent numbers: raw / (this box's spark probe /
+                # the frozen R5_REF_PROBE). Cross-round comparisons use THESE
+                # (the round-5 verdict: raw-time comparison is defeated by
+                # 1.3-1.7x box swings between rounds).
+                "box_ratio_vs_r5": round(ratio, 4),
+                "value_norm": round(total / ratio, 4),
+                "queries_norm": {q: round(t / ratio, 4) for q, t in results.items()},
             }
         )
     )
+
+
+# The round-5 driver box's probe values (BENCH_r05.json "calibration") —
+# the frozen yardstick every later round normalizes to. The spark probe is
+# the normalizer (it tracks the JVM multi-core contention that actually
+# hits the queries); the duckdb probe is recorded as a cross-check.
+R5_REF_PROBE = {"duckdb_lineitem_agg_sec": 0.0308, "spark_range_sum_sec": 0.0252}
+
+
+def box_ratio(calib: dict[str, float]) -> float:
+    """this-box slowdown factor vs the frozen round-5 reference box
+    (>1 = this box is slower; divide raw times by it to get
+    r5-box-equivalent seconds)."""
+    return calib["spark_range_sum_sec"] / R5_REF_PROBE["spark_range_sum_sec"]
 
 
 def calibration_probe(spark, sf_dir: str) -> dict[str, float]:

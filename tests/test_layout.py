@@ -43,35 +43,62 @@ def test_z_buckets_bound_both_dimensions(spark, sf_dir):
 
 def test_file_skipping_index_actually_skips(spark, sf_dir):
     """m30's manifest must prune most of the 8 range files for the 6-month
-    window (6.5-year span -> ~1-2 overlapping files), and the pruned scan
-    must agree with the unpruned filter."""
+    window (6.5-year span -> ~1-2 overlapping files), the pruned scan
+    must agree with the unpruned filter, and — the round-5 verdict's
+    plan-shape requirement — the prune must be a JVM-side filter over the
+    persisted manifest (stat predicate pushed into the manifest's parquet
+    scan), with the driver collecting ONLY the final surviving path list."""
+    import datetime
+
     from pyspark.sql import functions as F
 
     from marasa_spark.catalog import load_table
+    from marasa_spark.ops.manifest import (
+        overlaps,
+        pruned_manifest,
+        pruned_paths,
+        write_manifest,
+    )
     from marasa_spark.queries._util import fresh_scratch
 
     d = fresh_scratch("m30test", sf_dir)
     load_table(spark, sf_dir, "orders").repartitionByRange(
         8, "o_orderdate"
     ).write.mode("overwrite").parquet(d)
+    write_manifest(spark, d, ["o_orderdate"])
     back = spark.read.parquet(d)
-    manifest = (
-        back.groupBy(F.input_file_name().alias("f"))
-        .agg(F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx"))
-        .collect()
-    )
-    import datetime
 
     lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 7, 1)
-    files = [r["f"] for r in manifest if r["mn"] < hi and r["mx"] >= lo]
-    assert len(manifest) == 8
+    pred = overlaps("o_orderdate", lo, hi)
+    assert spark.read.parquet(d + "_manifest").count() == 8
+
+    # plan shape: the prune filter reaches the manifest scan as a
+    # pushed-down parquet predicate — the prune never leaves the JVM
+    surviving = pruned_manifest(spark, d, pred).select("file")
+    plan = surviving._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "min_o_orderdate" in plan.split(
+        "PushedFilters"
+    )[1][:300], "stat predicate not pushed into the manifest scan:\n" + plan[:1200]
+
+    files = pruned_paths(spark, d, pred)
     assert 0 < len(files) <= 2, f"expected <=2 overlapping files, got {len(files)}"
-    pred = (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+
+    # the m30 operator body itself must contain no collect() — the only
+    # driver crossing lives in ops/manifest.pruned_paths
+    import inspect
+
+    from marasa_spark.registry import REGISTRY
+    import marasa_spark.queries  # noqa: F401
+
+    src = inspect.getsource(REGISTRY["m30_file_skipping_index"].fn)
+    assert ".collect()" not in src, "m30 regained a driver-side stats collect"
+
+    row_pred = (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")) & (
         F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")
     )
     assert (
-        spark.read.parquet(*files).filter(pred).count()
-        == back.filter(pred).count()
+        spark.read.parquet(*files).filter(row_pred).count()
+        == back.filter(row_pred).count()
     )
 
 

@@ -28,7 +28,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from bench import HEADLINE  # noqa: E402
+from bench import HEADLINE, box_ratio, calibration_probe  # noqa: E402
 from marasa_spark.registry import REGISTRY, queries_map  # noqa: E402
 from marasa_spark.session import get_spark  # noqa: E402
 
@@ -136,6 +136,28 @@ def main() -> None:
     # same bench-box advisory tuning as bench.py (see its comment)
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
 
+    # box-speed calibration (round-5 verdict #1): raw times on a VM whose
+    # speed swings 1.3-1.7x between rounds defeat raw-time flags, so every
+    # op gets a sec_norm = sec / (this box's spark probe / the frozen r5
+    # reference probe) and ALL cross-round flagging uses sec_norm.
+    calib = calibration_probe(spark, sf_dir)
+    ratio = box_ratio(calib)
+    print(f"calibration: {calib} -> box_ratio_vs_r5={ratio:.3f}", file=sys.stderr)
+
+    # prior sweep (read BEFORE overwrite) for normalized cross-round
+    # regression detection
+    path = os.path.join(REPO, "BENCHFULL.json")
+    prior_norm: dict[str, float] = {}
+    prior_label = None
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+        prior_ratio = prior.get("box_ratio_vs_r5", 1.0)  # r5 sweep ≡ ratio 1.0
+        prior_label = prior.get("label", "prior")
+        for qid, o in prior.get("ops", {}).items():
+            if "sec" in o:
+                prior_norm[qid] = o.get("sec_norm", round(o["sec"] / prior_ratio, 4))
+
     qmap = queries_map()
     headline_ids = {qid for ids in HEADLINE.values() for qid in ids}
 
@@ -146,23 +168,30 @@ def main() -> None:
         group = REGISTRY[qid].group
         if qid in merged:
             ops[qid] = {**merged[qid], "group": group}
-            continue
-        try:
-            build_s, t = bench_op(spark, fn, sf_dir, args.runs)
-            ops[qid] = {
-                "sec": round(t, 4),
-                "build_s": round(build_s, 4),
-                "group": group,
-            }
-            print(f"{qid:28s} {t:8.4f}s  (build {build_s:7.3f}s)", file=sys.stderr)
-        except Exception as e:  # record, keep sweeping
-            ops[qid] = {"error": f"{type(e).__name__}: {e}", "group": group}
-            print(f"{qid:28s} ERROR {type(e).__name__}: {e}", file=sys.stderr)
+        else:
+            try:
+                build_s, t = bench_op(spark, fn, sf_dir, args.runs)
+                ops[qid] = {
+                    "sec": round(t, 4),
+                    "build_s": round(build_s, 4),
+                    "group": group,
+                }
+                print(f"{qid:28s} {t:8.4f}s  (build {build_s:7.3f}s)", file=sys.stderr)
+            except Exception as e:  # record, keep sweeping
+                ops[qid] = {"error": f"{type(e).__name__}: {e}", "group": group}
+                print(f"{qid:28s} ERROR {type(e).__name__}: {e}", file=sys.stderr)
+        if "sec" in ops[qid]:
+            ops[qid]["sec_norm"] = round(ops[qid]["sec"] / ratio, 4)
 
     # per-group threshold: 2x the slowest headline op IN that group;
-    # fallback (no headline rep in group): 2x the slowest headline op anywhere
+    # fallback (no headline rep in group): 2x the slowest headline op anywhere.
+    # All thresholding runs on sec_norm (box-neutral) — within one sweep the
+    # ratio cancels, but merge-from mixes timings from different sessions
+    # and the recorded thresholds must be comparable across rounds.
     headline_t = {
-        qid: ops[qid]["sec"] for qid in headline_ids if qid in ops and "sec" in ops[qid]
+        qid: ops[qid]["sec_norm"]
+        for qid in headline_ids
+        if qid in ops and "sec_norm" in ops[qid]
     }
     global_max = max(headline_t.values()) if headline_t else 0.0
     group_max: dict[str, float] = {}
@@ -188,11 +217,24 @@ def main() -> None:
         qid
         for qid, o in ops.items()
         if headline_t  # --only sweeps without headline reps can't threshold
-        and "sec" in o
-        and o["sec"] > thresholds.get(o["group"], max(2 * global_max, floor))
+        and "sec_norm" in o
+        and o["sec_norm"] > thresholds.get(o["group"], max(2 * global_max, floor))
     )
     flagged = [qid for qid in over if qid not in WAIVERS]
     waived = {qid: WAIVERS[qid] for qid in over if qid in WAIVERS}
+
+    # normalized cross-round regression: an op whose r5-box-equivalent time
+    # grew >1.5x vs the prior sweep AND is slow enough to matter (>0.5 s
+    # normalized — sub-second jitter is not a regression signal). This is
+    # the check box-speed swings used to defeat.
+    regressed = {
+        qid: {"prior_norm": prior_norm[qid], "now_norm": o["sec_norm"]}
+        for qid, o in ops.items()
+        if "sec_norm" in o
+        and qid in prior_norm
+        and o["sec_norm"] > 0.5
+        and o["sec_norm"] > 1.5 * prior_norm[qid]
+    }
     # build-time outliers (lineage bugs like an uncached iterative input
     # re-executing its parent per round) hide from the collect metric
     build_flagged = sorted(
@@ -203,22 +245,45 @@ def main() -> None:
     out = {
         "sf": sf,
         "runs": args.runs,
+        "label": time.strftime("%Y-%m-%d %H:%M"),
         "protocol": "warm_best_of_N_collect_on_built_plan",
+        "calibration": calib,
+        "box_ratio_vs_r5": round(ratio, 4),
         "n_ops": len(ops),
         "ops": ops,
-        "group_thresholds_2x_headline_max_with_hysteresis": thresholds,
+        "group_thresholds_2x_headline_max_with_hysteresis_norm": thresholds,
         "flagged": flagged,
         "waived": waived,
+        "regressed_vs_prior_norm": regressed,
+        "regressed_prior": prior_label,
         "build_flagged": build_flagged,
         "errors": errored,
         "total_sec": round(sum(o.get("sec", 0.0) for o in ops.values()), 3),
+        "total_sec_norm": round(sum(o.get("sec_norm", 0.0) for o in ops.values()), 3),
     }
     path = os.path.join(REPO, "BENCHFULL.json")
     if not args.only:
         with open(path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=False)
         print(f"wrote {path}", file=sys.stderr)
-    print(json.dumps({k: out[k] for k in ("sf", "n_ops", "total_sec", "flagged", "build_flagged", "errors")}))
+    print(
+        json.dumps(
+            {
+                k: out[k]
+                for k in (
+                    "sf",
+                    "n_ops",
+                    "total_sec",
+                    "total_sec_norm",
+                    "box_ratio_vs_r5",
+                    "flagged",
+                    "regressed_vs_prior_norm",
+                    "build_flagged",
+                    "errors",
+                )
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
