@@ -415,3 +415,192 @@ def z7_sql_frontend_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "customer", "orders", "lineitem")
     return spark.sql(Z7_SQL)
+
+
+# ---------------------------------------------------------------------------
+# z9-z14 — the dual-engine SQL surface widened (round-5 verdict #3)
+# ---------------------------------------------------------------------------
+# Six more dialect-shared texts, each exercising a DIFFERENT SQL surface a
+# real user types: full aggregate sweep (Q1), 5-way star join (Q5 shape),
+# windowed top-k over a join (Q10), HAVING-subquery IN (Q18), correlated
+# EXISTS (Q4 shape), CTE + anti-join. Same contract as z7: ONE query
+# string, run verbatim by spark.sql AND DuckDB, hash-compared. The only
+# dialect discipline needed: ANSI joins, date literals, explicit DOUBLE
+# casts on numeric literals in float arithmetic, the r2sql floor-round,
+# and a unique tiebreaker on every top-k boundary. Date windows sit
+# inside this corpus's 1995-2001 o_orderdate domain (TESTDATA.md), not
+# classic TPC-H's 1992-1998.
+
+_RND = "CAST(floor({x} * 100 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 100"
+_REV = "sum(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount))"
+
+Z9_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_RND.format(x='sum(l_quantity)')} AS sum_qty,
+       {_RND.format(x='sum(l_extendedprice)')} AS sum_base_price,
+       {_RND.format(x=_REV)} AS sum_disc_price,
+       {_RND.format(x='sum(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * (CAST(1 AS DOUBLE) + l_tax))')} AS sum_charge,
+       {_RND.format(x='avg(l_quantity)')} AS avg_qty,
+       {_RND.format(x='avg(l_extendedprice)')} AS avg_price,
+       {_RND.format(x='avg(l_discount)')} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("z9_sql_frontend_q1", oracle=Z9_SQL, group="B")
+def z9_sql_frontend_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary) through the SQL front end: the full
+    aggregate sweep — 3 sums, a compound-expression sum, 3 avgs, count —
+    in one dialect-shared text. Catalyst gives the same plan as d1's
+    DataFrame build (scan with shipdate pushdown -> partial hash agg ->
+    single shuffle on the 6-group key); every float aggregate rides the
+    r2sql floor-round so both engines emit identical bits."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(Z9_SQL)
+
+
+Z10_SQL = f"""
+SELECT n_name, {_RND.format(x=_REV)} AS revenue
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@register("z10_sql_frontend_q5", oracle=Z10_SQL, group="B")
+def z10_sql_frontend_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume) through the SQL front end:
+    a 5-way star join — two broadcast-able dims (nation, region) hanging
+    off supplier, itself broadcast against the orders⋈lineitem fact spine
+    — aggregated per nation. Classic Q5 adds c_nationkey = s_nationkey;
+    this corpus's customer and supplier nations are independent uniform
+    draws, so that colocation predicate is empty at small SF (verified) —
+    the adapted text keeps the plan shape (the point here) and stays
+    non-empty. Region filter prunes before the join; Catalyst pushes it
+    into the region scan."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "orders", "lineitem", "supplier", "nation", "region")
+    return spark.sql(Z10_SQL)
+
+
+Z11_SQL = f"""
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+FROM (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         {_RND.format(x=_REV)} AS revenue,
+         row_number() OVER (ORDER BY {_RND.format(x=_REV)} DESC, c_custkey) AS rk
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+    AND l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+)
+WHERE rk <= 20
+"""
+
+
+@register("z11_sql_frontend_q10", oracle=Z11_SQL, group="B")
+def z11_sql_frontend_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting, top-20 customers by lost
+    revenue) through the SQL front end: join-then-aggregate-then-rank in
+    one text. The global row_number carries the c_custkey tiebreaker
+    (hard rule: every top-k ORDER BY is unique) and is bounded by the
+    rk <= 20 filter, so Spark computes it with a k-heap per partition
+    instead of a single-task global sort."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(Z11_SQL)
+
+
+Z12_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       {_RND.format(x='sum(l_quantity)')} AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+@register("z12_sql_frontend_q18", oracle=Z12_SQL, group="B")
+def z12_sql_frontend_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers) through the SQL front end: an
+    IN subquery whose body is itself a grouped HAVING aggregate — the
+    decorrelated-semi-join surface. Catalyst rewrites the IN to a
+    left-semi hash join against the aggregated subquery (threshold 250
+    fits this corpus: ~200 qualifying orders at sf0.01, vs Q18's 300
+    which lands just above this data's max order size)."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(Z12_SQL)
+
+
+Z13_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register("z13_sql_frontend_q4", oracle=Z13_SQL, group="B")
+def z13_sql_frontend_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking) through the SQL front
+    end: a CORRELATED EXISTS — the one subquery form users reach for
+    first and dialects disagree on most. Both engines decorrelate it to
+    a left-semi join on l_orderkey with the l_shipdate > o_orderdate
+    residual (classic Q4 compares l_commitdate < l_receiptdate; those
+    columns don't exist in this corpus, so the late-shipment predicate
+    stands in — same decorrelation, same plan shape)."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(Z13_SQL)
+
+
+Z14_SQL = """
+WITH active AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+)
+SELECT c_mktsegment, count(*) AS inactive_customers
+FROM customer
+LEFT JOIN active ON c_custkey = o_custkey
+WHERE o_custkey IS NULL
+GROUP BY c_mktsegment
+"""
+
+
+@register("z14_sql_frontend_cte_anti", oracle=Z14_SQL, group="B")
+def z14_sql_frontend_cte_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + null-filtered LEFT JOIN (the textbook anti-join idiom users
+    write before discovering ANTI JOIN syntax) through the SQL front
+    end: customers with no 1996+ orders, counted per segment. Both
+    engines plan the WHERE o_custkey IS NULL over the left join as an
+    anti join against the DISTINCT CTE; the CTE itself is one shuffle,
+    then broadcast back against customer."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(Z14_SQL)
