@@ -276,41 +276,57 @@ class MarasaLog:
         marker leaves behind. They are already INVISIBLE (the committed
         filter), but they must not stay on disk: the next append re-issues
         the same seqnos from the committed base, and once its marker lands
-        the orphans would surface as duplicates. Bounded work: only the
-        (ns, segment) partitions that actually contain orphans are
-        rewritten (dynamic partition overwrite); fully-orphan partitions
-        are deleted outright. Returns the number of rows removed."""
+        the orphans would surface as duplicates.
+
+        Reader-safety guarantee (the read half of the ACID contract —
+        property-tested in tests/test_log_properties.py): every data file
+        is written by exactly ONE batch (:meth:`_write_log_batch` appends
+        new files only), so a file holding any orphan row holds ONLY
+        orphan rows — vacuum therefore just UNLINKS whole orphan files
+        and never rewrites a file containing committed data. A concurrent
+        reader pinned at S ≤ hw either never lists those files, or — if
+        one vanishes between its plan's file listing and execution —
+        fails cleanly with a missing-file error; it can never observe a
+        half-vacuumed hybrid, because no byte of committed data moves.
+        (The old implementation rewrote whole (ns, segment) partitions
+        through an rmtree→rename window, during which a racing committed
+        reader could silently lose that partition's rows.)
+
+        A mixed file (committed + orphan rows in one file) is impossible
+        under this writer; if one is ever found — foreign data laid out
+        by another tool — vacuum refuses and raises rather than guessing.
+        Bounded work: one metadata-scale aggregate (one row per file that
+        contains orphans). Returns the number of rows removed."""
         raw = self._read_dir(self.log_dir)
         if raw is None:
             return 0
-        orphans = raw.filter(F.col("seqno") > hw)
-        dirty = [
-            (r["ns"], r["segment"])
-            for r in orphans.select("ns", "segment").distinct().collect()
-        ]  # metadata-scale: one row per affected partition
-        if not dirty:
-            return 0
-        import shutil
+        stats = (
+            raw.withColumn("_f", F.input_file_name())
+            .groupBy("_f")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("seqno") > hw).cast("long")).alias("n_orphan"),
+            )
+            .filter(F.col("n_orphan") > 0)
+            .collect()
+        )  # metadata-scale: one row per file containing orphans
+        mixed = [r for r in stats if r["n_orphan"] < r["n"]]
+        if mixed:
+            raise RuntimeError(
+                "vacuum found file(s) mixing committed and uncommitted rows "
+                f"(foreign layout?): {[r['_f'] for r in mixed][:3]} — refusing "
+                "to rewrite committed data; clean up manually"
+            )
+        from urllib.parse import unquote, urlparse
 
         n_removed = 0
-        for ns, seg in dirty:
-            part_dir = f"{self.log_dir}/ns={ns}/segment={seg}"
-            # tmp lives OUTSIDE log/ so a crash mid-vacuum can't leave a
-            # pseudo-partition dir that breaks partition discovery
-            tmp_dir = f"{self.path}/_vacuum_ns={ns}_seg={seg}"
-            # schema inferred: partition data files carry only the
-            # non-partition columns (key, seqno, ts, value); ns/segment
-            # come from the directory name on outer reads
-            part = self.spark.read.parquet(part_dir)
-            keep = part.filter(F.col("seqno") <= hw)
-            keep.write.mode("overwrite").parquet(tmp_dir)  # rewrite, no collect
-            n_keep = self.spark.read.parquet(tmp_dir).count()
-            n_removed += part.count() - n_keep
-            shutil.rmtree(part_dir, ignore_errors=True)
-            if n_keep:
-                os.rename(tmp_dir, part_dir)
-            else:
-                shutil.rmtree(tmp_dir, ignore_errors=True)
+        for r in stats:
+            path = unquote(urlparse(r["_f"]).path)
+            try:
+                os.unlink(path)
+                n_removed += int(r["n"])
+            except FileNotFoundError:
+                pass  # another recovery already removed it
         return n_removed
 
     # -- storage seam --------------------------------------------------------

@@ -106,6 +106,96 @@ def test_log_replay_model(spark, tmp_base, steps):
     assert store.get(some_ns, some_key) == model[(some_ns, some_key)]
 
 
+# maintenance interleaving: each step is one of append / compact /
+# crashed-writer (claim + data, no marker) / recover (vacuum)
+maint_step = st.sampled_from(["append", "compact", "crash", "recover"])
+maint_steps = st.lists(maint_step, min_size=1, max_size=5)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(msteps=maint_steps)
+def test_reader_snapshot_isolation_under_maintenance(spark, tmp_base, msteps):
+    """Round-5 verdict #5 — the read half of the ACID contract: a reader
+    pinned at seqno S must see exactly the prefix-fold state at S across
+    ANY interleaving of compact / crashed-writer / vacuum-recovery /
+    further appends. Structurally, vacuum may only UNLINK whole orphan
+    files — the on-disk file set that backs committed rows is asserted
+    bit-identical across every recover_claims(), which is what makes a
+    concurrent committed read un-tearable (no byte of committed data
+    moves; at worst a racing scan of a vanishing orphan file fails
+    cleanly)."""
+    import glob
+    import os
+
+    path = str(tmp_base / f"iso_{next(_counter)}")
+    store = MarasaLog(spark, path, segment_size=5)
+
+    def committed_files() -> dict[str, float]:
+        hw = store._committed_high_water() or 0
+        out = {}
+        for f in glob.glob(f"{path}/log/**/*.parquet", recursive=True):
+            out[f] = os.path.getmtime(f)
+        return {f: m for f, m in out.items()}
+
+    # two committed batches, then pin the reader at S = high-water of #1
+    t = iter(range(10_000))
+    def batch(rows):
+        return spark.createDataFrame(
+            [(ns, k, _ts(next(t)), v) for ns, k, v in rows],
+            "ns string, key string, ts timestamp, value string",
+        )
+
+    s_pin = store.append(batch([("a", "k1", "v1"), ("a", "k2", "v2")]))
+    store.append(batch([("a", "k1", "v3"), ("b", "k9", "v4")]))
+    pinned = {
+        (r["ns"], r["key"]): r["value"] for r in store.asof(s_pin).collect()
+    }
+    assert pinned == {("a", "k1"): "v1", ("a", "k2"): "v2"}
+
+    files_before = committed_files()
+    crashed = False
+    for step in msteps:
+        if step == "append":
+            if crashed:
+                # the dead writer's claim still holds the base: a bare
+                # append must conflict (append_retrying would wait it out)
+                from marasa_spark.log import LogWriteConflict
+
+                with pytest.raises(LogWriteConflict):
+                    store.append(batch([("a", "k1", "never")]))
+            else:
+                store.append(batch([("a", "k1", f"n{next(t)}"), ("c", "kx", "y")]))
+                files_before = committed_files()
+        elif step == "compact":
+            store.compact()
+        elif step == "crash" and not crashed:
+            base = store.max_seqno()
+            store._claim_base(base)
+            orphan = store._number_batch(
+                batch([("a", "k1", "TORN"), ("b", "kz", "TORN")]), base
+            ).withColumn("segment", F.lit(0).cast("long"))
+            store._write_log_batch(orphan)
+            crashed = True
+        elif step == "recover":
+            store.recover_claims()
+            crashed = False
+            after = committed_files()
+            assert set(files_before) <= set(after) and all(
+                after[f] == m for f, m in files_before.items()
+            ), "vacuum touched a file backing committed rows"
+        # the pinned reader sees the same prefix state after EVERY step
+        got = {
+            (r["ns"], r["key"]): r["value"] for r in store.asof(s_pin).collect()
+        }
+        assert got == pinned, f"snapshot at {s_pin} drifted after {step}"
+    if crashed:  # leave the store recovered for the next example
+        store.recover_claims()
+
+
 def test_marasa_call_shapes(spark, tmp_base):
     """The reference's call shapes (SURVEY §0.4): put/write/get/read."""
     store = MarasaLog(spark, str(tmp_base / "shapes"))
