@@ -234,6 +234,57 @@ def test_hll_sketch_estimates_within_tolerance(spark, sf_dir):
         assert abs(got[seg][0] - n) / n < 0.03, (seg, got[seg], n)
 
 
+def test_hll_sketch_serialized_roundtrip_merge(spark, sf_dir):
+    """d19's portable-claim pin (round-5 verdict #6): per-SEGMENT sketches
+    serialized to a parquet binary column, read back in a separate scan,
+    and merged via the engine must (a) estimate within 3% of exact under
+    THREE different segmentations of the same key set, and (b) agree with
+    each other to within 2% — textbook HLL union is register-lossless
+    over a disjoint partition of the input, but DataSketches sketches
+    promote through modes (coupon list → sparse → dense HLL_4/6/8) at
+    thresholds the segmentation shifts, so the merged register state is
+    only NEAR-invariant (measured spread here: ~1%, 1494-1508 over 1500).
+    The bound is the portable-artifact claim: segment sketches computed
+    per day/table/cluster merge into the same rollup as a direct global
+    sketch up to documented sketch error, never up to bit equality.
+    Cross-ENGINE hash parity remains impossible by design —
+    DuckDB's approx_count_distinct is its own HLL variant with different
+    register layout, hashing, and bias correction, so only the
+    Spark↔Spark serialized round-trip (and the ±3% bound vs exact) is
+    checkable; d19 stays rows-only with this test as its quantitative
+    bound."""
+    from marasa_spark.queries._util import fresh_scratch
+
+    c = load_table(spark, sf_dir, "customer")
+    exact = c.select("c_custkey").distinct().count()
+    segmentations = {
+        "mktsegment": F.col("c_mktsegment"),
+        "nation": F.col("c_nationkey").cast("string"),
+        "mod7": (F.col("c_custkey") % 7).cast("string"),
+    }
+    d = fresh_scratch("d19_roundtrip", sf_dir, create=True)
+    estimates = {}
+    for name, seg in segmentations.items():
+        path = f"{d}/{name}"
+        # serialize: one binary sketch per segment, persisted
+        c.groupBy(seg.alias("seg")).agg(
+            F.hll_sketch_agg("c_custkey").alias("sk")
+        ).write.mode("overwrite").parquet(path)
+        # separate scan: merge the serialized sketches engine-side
+        merged = (
+            spark.read.parquet(path)
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+            .first()
+        )
+        estimates[name] = int(merged["est"])
+    for name, est in estimates.items():
+        assert abs(est - exact) / exact < 0.03, (name, est, exact)
+    spread = (max(estimates.values()) - min(estimates.values())) / exact
+    assert spread < 0.02, (
+        "merged estimates drifted across segmentations: " + repr(estimates)
+    )
+
+
 def test_int8_quantization_recall_floor(spark, sf_dir):
     """k34: int8 max-abs quantization must keep mean recall@10 >= 0.8
     against exact cosine (measured 1.0 at sf0.01 — the floor leaves room

@@ -34,7 +34,12 @@ an Apache DataSketches HLL estimate, and DuckDB's approx_count_distinct is
 a different HLL implementation (different hashing/registers), so the
 driver row permanently reads `err: no_oracle` BY DESIGN; the estimate is
 instead pinned within ±3% of the exact distinct count per segment and for
-the merged union in tests/test_llm_ops.py. The other rows-only ids carry
+the merged union in tests/test_llm_ops.py, and the SERIALIZED round-trip
+(segment sketches → parquet binary column → engine-side union) is pinned
+under three segmentations of the same key set: each merged estimate ±3%
+of exact, cross-segmentation spread < 2% (DataSketches mode promotions
+make the union near-invariant, not bit-invariant — measured ~1%). The
+other rows-only ids carry
 the same pattern: an engine-hash/float-iteration artifact plus a
 behavioral bound in tests (k48: IVF recall@5 ≥ 0.9 vs brute force).
 
