@@ -2707,3 +2707,85 @@ def k60_containment_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("c_ab") >= t) | (F.col("c_ba") >= t))
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# k61 — PII scrubbing: regex redaction with per-doc audit counts
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus carries no PII, so the op INJECTS deterministic
+# PII derived from doc_id (an email and a phone per doc) before
+# redacting — both engines build the identical dirty text, so the oracle
+# checks the actual redaction, not a no-op. Dialect note: Spark's
+# regexp_replace is global; DuckDB's needs the explicit 'g' flag.
+_K61_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_K61_PHONE = "\\d{3}-\\d{3}-\\d{4}"
+
+K61_ORACLE = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents WHERE doc_id < 500
+), red AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(text, '{_K61_EMAIL}', '[EMAIL]', 'g'),
+                        '{_K61_PHONE}', '[PHONE]', 'g') AS text
+  FROM dirty
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - length(replace(text, '[EMAIL]', ''))
+            AS BIGINT) / 7 AS n_emails,
+       CAST(length(text) - length(replace(text, '[PHONE]', ''))
+            AS BIGINT) / 7 AS n_phones
+FROM red
+"""
+
+
+@register("k61_pii_redaction", oracle=K61_ORACLE, group="K")
+def k61_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII scrubbing: redact email addresses and US-style
+    phone numbers with typed placeholders, and emit per-document audit
+    counts (the compliance artifact a scrubbing pass must produce). Pure
+    JVM regexp_replace chain — stateless per-row projection, zero
+    shuffle, scales embarrassingly; the audit counts come from
+    placeholder-length arithmetic so no second regex pass is needed.
+    The corpus is synthetic, so deterministic PII is injected from
+    doc_id first (identically in the oracle) — the redaction regexes are
+    therefore genuinely exercised against text that contains matches."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    red = dirty.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", _K61_EMAIL, "[EMAIL]"), _K61_PHONE, "[PHONE]"
+        ).alias("text"),
+    )
+    ph_len = F.lit(7).cast("bigint")  # len('[EMAIL]') == len('[PHONE]') == 7
+    return red.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        (
+            (F.length("text") - F.length(F.replace("text", F.lit("[EMAIL]"), F.lit(""))))
+            .cast("bigint")
+            / ph_len
+        ).alias("n_emails"),
+        (
+            (F.length("text") - F.length(F.replace("text", F.lit("[PHONE]"), F.lit(""))))
+            .cast("bigint")
+            / ph_len
+        ).alias("n_phones"),
+    )

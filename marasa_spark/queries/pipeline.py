@@ -1493,3 +1493,120 @@ def m33_zorder_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("mx").alias("min_m"), F.max("mx").alias("max_m"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m34 — MERGE INTO (upsert): matched -> update, not-matched -> insert
+# ---------------------------------------------------------------------------
+
+M34_ORACLE = f"""
+WITH target AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 3 <> 0
+), source AS (
+  SELECT c_custkey, c_name,
+         c_acctbal + CAST(100 AS DOUBLE) AS c_acctbal
+  FROM customer WHERE c_custkey % 2 = 0
+)
+SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+       COALESCE(s.c_name, t.c_name) AS c_name,
+       {r2sql("COALESCE(s.c_acctbal, t.c_acctbal)")} AS c_acctbal,
+       CASE WHEN s.c_custkey IS NULL THEN 'unchanged'
+            WHEN t.c_custkey IS NULL THEN 'inserted'
+            ELSE 'updated' END AS merge_action
+FROM target t
+FULL OUTER JOIN source s ON t.c_custkey = s.c_custkey
+"""
+
+
+@register("m34_merge_upsert", oracle=M34_ORACLE, group="M")
+def m34_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the Delta/Iceberg upsert verb) as a pure
+    DataFrame op: WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT,
+    expressed as one full-outer join on the merge key with per-column
+    COALESCE(source, target) — plus a merge_action audit column (the
+    row-level provenance Delta's MERGE metrics aggregate). Target =
+    customers missing every 3rd key (so the source genuinely inserts);
+    source = even-keyed customers with shifted balances (so it genuinely
+    updates).
+
+    100 TB: one shuffle per side on the merge key — the irreducible cost
+    of hash-MERGE; AQE handles skewed keys. A real table format narrows
+    the REWRITE (only files containing matched keys are rewritten —
+    exactly the file set m30's manifest machinery identifies by joining
+    source keys against per-file key min/max); the row-level semantics
+    are these. Broadcast the source when it is dimension-sized."""
+    c = load_table(spark, sf_dir, "customer")
+    target = c.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    source = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey"),
+        F.col("c_name"),
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+    )
+    t, s = target.alias("t"), source.alias("s")
+    return t.join(s, F.col("t.c_custkey") == F.col("s.c_custkey"), "full_outer").select(
+        F.coalesce(F.col("s.c_custkey"), F.col("t.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("s.c_name"), F.col("t.c_name")).alias("c_name"),
+        r2(F.coalesce(F.col("s.c_acctbal"), F.col("t.c_acctbal"))).alias("c_acctbal"),
+        F.when(F.col("s.c_custkey").isNull(), F.lit("unchanged"))
+        .when(F.col("t.c_custkey").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("merge_action"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m35 — schema evolution: mergeSchema read over batches written with
+# different schemas (add-column + backfill-as-NULL)
+# ---------------------------------------------------------------------------
+
+M35_ORACLE = """
+WITH unified AS (
+  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT COALESCE(o_orderpriority, '__LEGACY__') AS o_orderpriority,
+       count(*) AS n,
+       count(o_orderpriority) AS n_with_col
+FROM unified
+GROUP BY COALESCE(o_orderpriority, '__LEGACY__')
+"""
+
+
+@register("m35_schema_evolution", oracle=M35_ORACLE, group="M")
+def m35_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution, exercised through the real machinery:
+    batch 1 lands WITHOUT o_orderpriority (the v1 writer), batch 2 lands
+    WITH it (the v2 writer, same directory), and the read side unifies
+    them via parquet mergeSchema — old files surface the new column as
+    NULL (backfill-as-NULL, the Delta/Iceberg add-column contract; no
+    file is rewritten). The aggregate pins both halves: n_with_col counts
+    only v2 rows, the '__LEGACY__' bucket is exactly the v1 rows.
+
+    100 TB: add-column is a metadata-only operation — this op proves the
+    read path needs nothing else. mergeSchema reconciles footers (one
+    metadata pass, no data IO); at real scale the table format pins the
+    schema in its log instead of re-reading footers, same read
+    semantics. Column pruning still works: a query not touching the new
+    column reads v1 files untouched."""
+    d = fresh_scratch("m35_evo", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(d)
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("append").parquet(d)
+    back = spark.read.option("mergeSchema", "true").parquet(d)
+    return back.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("__LEGACY__")).alias(
+            "o_orderpriority"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderpriority").alias("n_with_col"),
+    )

@@ -579,3 +579,64 @@ def i14_incremental_stream_checkpoint(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("sum_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# i16 — exactly-once sink under replay: the whole stream re-delivered,
+# append_once dedups every batch, change counts stay exact
+# ---------------------------------------------------------------------------
+
+I16_ORACLE = """
+SELECT event_type AS ns, count(*) AS n_changes
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("i16_stream_exactly_once_replay", oracle=I16_ORACLE, group="I")
+def i16_stream_exactly_once_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once sink contract under the failure that actually
+    happens: a restarted stream with a lost checkpoint re-delivers EVERY
+    micro-batch. The sink is ``append_once(batch, batch_id)`` — the log
+    store's idempotent producer tags (z8) keyed by the deterministic
+    micro-batch id — so the first pass lands 4 batches and the full
+    replay lands zero. The registered result is the per-namespace CHANGE
+    count (not the folded state, which would mask duplicates): it equals
+    the batch GROUP BY iff no replayed row landed twice. This is the
+    foreachBatch idempotent-sink pattern from the Structured Streaming
+    guide, with the dedup ledger inside the store's own txn journal
+    instead of an external table; batch-id determinism comes from
+    maxFilesPerTrigger=1 over lexicographically-listed chunks (the same
+    property i11's metrics row relies on)."""
+    from marasa_spark.log import MarasaLog
+    from marasa_spark.streaming.runtime import stage_event_chunks, read_event_stream
+
+    stage = fresh_scratch("i16_replay", sf_dir, create=True)
+    stage_event_chunks(spark, sf_dir, f"{stage}/chunks", n_chunks=4)
+    store = MarasaLog(spark, f"{stage}/log")
+
+    def sink_batch(batch: DataFrame, batch_id: int) -> None:
+        store.append_once(
+            batch.select(
+                F.col("event_type").alias("ns"),
+                F.col("user_id").cast("string").alias("key"),
+                F.col("ts"),
+                F.col("props").alias("value"),
+            ),
+            f"b{batch_id}",
+        )
+
+    for _attempt in range(2):  # first delivery, then the full replay
+        q = (
+            read_event_stream(spark, f"{stage}/chunks")
+            .writeStream.foreachBatch(sink_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    return (
+        store.changes(0)
+        .groupBy("ns")
+        .agg(F.count(F.lit(1)).alias("n_changes"))
+    )
