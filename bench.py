@@ -91,7 +91,7 @@ def main() -> None:
 
     total = round(sum(results.values()), 4)
     calib = calibration_probe(spark, sf_dir)
-    ratio = box_ratio(calib)
+    ratio = box_ratio(calib, sf)
     print(
         json.dumps(
             {
@@ -113,17 +113,24 @@ def main() -> None:
     )
 
 
-# The round-5 driver box's probe values (BENCH_r05.json "calibration") —
-# the frozen yardstick every later round normalizes to. The spark probe is
-# the normalizer (it tracks the JVM multi-core contention that actually
-# hits the queries); the duckdb probe is recorded as a cross-check.
+# The round-5 driver box's probe values (BENCH_r05.json "calibration",
+# measured at sf0.1) — the frozen yardstick every later round normalizes
+# to. At the reference SF the DUCKDB probe is the normalizer: it is a
+# fixed CPU workload over the identical file and tracks box speed within
+# a few percent, where the Spark range-sum probe jitters ±30% with JVM
+# state (measured both on the r6 box). The Spark probe is still recorded
+# and is the fallback at other SFs (the duckdb probe's cost scales with
+# the data, so its reference value is only meaningful at sf0.1).
 R5_REF_PROBE = {"duckdb_lineitem_agg_sec": 0.0308, "spark_range_sum_sec": 0.0252}
+R5_REF_SF = 0.1
 
 
-def box_ratio(calib: dict[str, float]) -> float:
+def box_ratio(calib: dict[str, float], sf: float | None = None) -> float:
     """this-box slowdown factor vs the frozen round-5 reference box
     (>1 = this box is slower; divide raw times by it to get
     r5-box-equivalent seconds)."""
+    if sf is None or abs(sf - R5_REF_SF) < 1e-12:
+        return calib["duckdb_lineitem_agg_sec"] / R5_REF_PROBE["duckdb_lineitem_agg_sec"]
     return calib["spark_range_sum_sec"] / R5_REF_PROBE["spark_range_sum_sec"]
 
 

@@ -44,7 +44,7 @@ def write_manifest(spark: SparkSession, data_dir: str, cols: list[str]) -> str:
     One distributed aggregate (shuffles file-count rows, i.e. metadata
     scale); nothing is collected. Returns the manifest directory."""
     df = spark.read.parquet(data_dir)
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
     mdir = manifest_dir(data_dir)

@@ -1610,3 +1610,44 @@ def m35_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count("o_orderpriority").alias("n_with_col"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m36 — metadata-only aggregates: count/min/max served from the manifest
+# ---------------------------------------------------------------------------
+
+M36_ORACLE = """
+SELECT count(*) AS n_rows,
+       min(o_orderdate) AS min_date,
+       max(o_orderdate) AS max_date
+FROM orders
+"""
+
+
+@register("m36_metadata_only_agg", oracle=M36_ORACLE, group="M")
+def m36_metadata_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only query answering — the table-format trick where
+    count(*)/min/max never touch data: fold the per-file manifest
+    (n_rows, min, max — ops/manifest.py) instead of scanning the table.
+    sum(n_rows) is exact because every row belongs to exactly one file;
+    min-of-mins / max-of-maxs are exact because file stats are tight
+    bounds computed from the rows themselves. The oracle runs the full
+    scan; the op reads KB of manifest — at 100 TB this is the difference
+    between a metadata lookup and a 100 TB scan (Iceberg answers these
+    from manifest totals, Spark's own OptimizeMetadataOnlyQuery does it
+    for partition keys only). The equality pin in tests/test_layout.py
+    also guards manifest staleness discipline: the manifest is written
+    inside the table write, never recomputed lazily."""
+    from marasa_spark.ops.manifest import manifest_dir, write_manifest
+
+    d = fresh_scratch("m36_meta", sf_dir)
+    load_table(spark, sf_dir, "orders").repartitionByRange(
+        8, "o_orderdate"
+    ).write.mode("overwrite").parquet(d)
+    write_manifest(spark, d, ["o_orderdate"])
+    m = spark.read.parquet(manifest_dir(d))
+    return m.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.min("min_o_orderdate").alias("min_date"),
+        F.max("max_o_orderdate").alias("max_date"),
+    )

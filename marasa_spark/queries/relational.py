@@ -604,3 +604,58 @@ def z14_sql_frontend_cte_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "customer", "orders")
     return spark.sql(Z14_SQL)
+
+
+Z15_SQL = """
+SELECT count(*) AS n_small,
+       CAST(floor(sum(l_extendedprice) * 100 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 100 AS sum_price
+FROM lineitem l1
+WHERE l_quantity < (
+  SELECT CAST(0.2 AS DOUBLE) * avg(l_quantity)
+  FROM lineitem l2
+  WHERE l2.l_partkey = l1.l_partkey
+)
+"""
+
+
+@register("z15_sql_frontend_q17", oracle=Z15_SQL, group="B")
+def z15_sql_frontend_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity revenue) through the SQL front
+    end: a CORRELATED SCALAR subquery — each lineitem compared against
+    0.2x the average quantity of ITS OWN part. Both engines decorrelate
+    to an aggregate-then-join: group lineitem by partkey once, join the
+    per-part threshold back, filter. The self-join shuffles both sides
+    on l_partkey; the aggregate side is partial-agg'd map-side first, so
+    the heavy shuffle carries one row per part, not per lineitem."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(Z15_SQL)
+
+
+Z16_SQL = """
+SELECT n_name AS supp_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+       CAST(floor(sum(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)) * 100 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 100 AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_2', 'NATION_7')
+GROUP BY n_name, EXTRACT(YEAR FROM l_shipdate)
+"""
+
+
+@register("z16_sql_frontend_q7", oracle=Z16_SQL, group="B")
+def z16_sql_frontend_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (nation volume by ship year) through the SQL front
+    end: the date-function dialect surface — EXTRACT(YEAR FROM ts) is
+    the ANSI form both engines parse (Spark's year() and DuckDB's
+    date_part() are not shared); the explicit BIGINT cast pins the
+    result type both sides (Spark EXTRACT yields INT, DuckDB BIGINT).
+    Plan: nation IN-filter pushes through the supplier join, supplier
+    broadcasts against the lineitem spine, one shuffle on the 2-col
+    group key."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem", "supplier", "nation")
+    return spark.sql(Z16_SQL)

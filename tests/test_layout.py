@@ -102,6 +102,48 @@ def test_file_skipping_index_actually_skips(spark, sf_dir):
     )
 
 
+def test_manifest_prune_sound_for_arbitrary_windows(spark, sf_dir):
+    """ops/manifest soundness property: for ANY probe window [lo, hi) —
+    empty, partial, full-table, out-of-domain — the manifest-pruned scan
+    plus row filter must equal the full-table filter exactly. Windows are
+    swept over month boundaries across (and beyond) the table's domain;
+    the min/max overlap bound can only over-approximate, never drop a
+    qualifying file, and read_pruned's empty-prune path must return a
+    readable empty frame."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from marasa_spark.catalog import load_table
+    from marasa_spark.ops.manifest import overlaps, read_pruned, write_manifest
+    from marasa_spark.queries._util import fresh_scratch
+
+    d = fresh_scratch("manifest_prop", sf_dir)
+    load_table(spark, sf_dir, "orders").repartitionByRange(
+        8, "o_orderdate"
+    ).write.mode("overwrite").parquet(d)
+    write_manifest(spark, d, ["o_orderdate"])
+    back = spark.read.parquet(d)
+
+    def month(y, m):
+        return datetime.datetime(y, m, 1)
+
+    windows = [
+        (month(1994, 1), month(1994, 6)),   # fully before the 1995+ domain
+        (month(1995, 1), month(1995, 2)),   # first month
+        (month(1996, 3), month(1996, 3)),   # empty window (lo == hi)
+        (month(1997, 6), month(1998, 9)),   # interior span
+        (month(1990, 1), month(2010, 1)),   # superset of the whole domain
+        (month(2001, 8), month(2002, 1)),   # tail boundary
+        (month(2005, 1), month(2006, 1)),   # fully after
+    ]
+    for lo, hi in windows:
+        row_pred = (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") < F.lit(hi))
+        pruned_n = read_pruned(spark, d, overlaps("o_orderdate", lo, hi)).filter(row_pred).count()
+        full_n = back.filter(row_pred).count()
+        assert pruned_n == full_n, (lo, hi, pruned_n, full_n)
+
+
 def test_zorder_skipping_prunes_directories(spark, sf_dir):
     """m31: the bucket predicate must reach the scan as a PartitionFilter
     (directory pruning, 4 of 16 dirs for the 64x64 probe), and the pruned

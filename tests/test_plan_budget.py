@@ -59,6 +59,18 @@ EXCHANGE_BUDGET = {
     "k58_pq_encode": 6,
     "i14_incremental_stream_checkpoint": 2,
     "z7_sql_frontend_q3": 6,
+    # round-6 additions, measured on the reviewed plans
+    "m34_merge_upsert": 4,
+    "m35_schema_evolution": 2,
+    "k61_pii_redaction": 0,
+    "z9_sql_frontend_q1": 2,
+    "z10_sql_frontend_q5": 10,
+    "z11_sql_frontend_q10": 8,
+    "z12_sql_frontend_q18": 13,
+    "z13_sql_frontend_q4": 4,
+    "z14_sql_frontend_cte_anti": 3,
+    "z15_sql_frontend_q17": 6,
+    "z16_sql_frontend_q7": 6,
 }
 
 

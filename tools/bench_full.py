@@ -139,10 +139,13 @@ def main() -> None:
     # box-speed calibration (round-5 verdict #1): raw times on a VM whose
     # speed swings 1.3-1.7x between rounds defeat raw-time flags, so every
     # op gets a sec_norm = sec / (this box's spark probe / the frozen r5
-    # reference probe) and ALL cross-round flagging uses sec_norm.
+    # reference probe) and ALL cross-round flagging uses sec_norm. The
+    # probe is a point sample and transient co-located load inflates it
+    # (observed: 2.3x at sweep start vs 1.0x quiet), so it runs BOTH
+    # before and after the sweep and the smaller (least-contended) ratio
+    # wins; both samples are recorded.
     calib = calibration_probe(spark, sf_dir)
-    ratio = box_ratio(calib)
-    print(f"calibration: {calib} -> box_ratio_vs_r5={ratio:.3f}", file=sys.stderr)
+    print(f"calibration(start): {calib}", file=sys.stderr)
 
     # prior sweep (read BEFORE overwrite) for normalized cross-round
     # regression detection
@@ -180,8 +183,15 @@ def main() -> None:
             except Exception as e:  # record, keep sweeping
                 ops[qid] = {"error": f"{type(e).__name__}: {e}", "group": group}
                 print(f"{qid:28s} ERROR {type(e).__name__}: {e}", file=sys.stderr)
-        if "sec" in ops[qid]:
-            ops[qid]["sec_norm"] = round(ops[qid]["sec"] / ratio, 4)
+
+    calib_end = calibration_probe(spark, sf_dir)
+    print(f"calibration(end): {calib_end}", file=sys.stderr)
+    best = calib if calib["duckdb_lineitem_agg_sec"] <= calib_end["duckdb_lineitem_agg_sec"] else calib_end
+    ratio = box_ratio(best, sf)
+    print(f"box_ratio_vs_r5={ratio:.3f}", file=sys.stderr)
+    for o in ops.values():
+        if "sec" in o:
+            o["sec_norm"] = round(o["sec"] / ratio, 4)
 
     # per-group threshold: 2x the slowest headline op IN that group;
     # fallback (no headline rep in group): 2x the slowest headline op anywhere.
@@ -247,7 +257,7 @@ def main() -> None:
         "runs": args.runs,
         "label": time.strftime("%Y-%m-%d %H:%M"),
         "protocol": "warm_best_of_N_collect_on_built_plan",
-        "calibration": calib,
+        "calibration": {"start": calib, "end": calib_end, "used": best},
         "box_ratio_vs_r5": round(ratio, 4),
         "n_ops": len(ops),
         "ops": ops,
