@@ -1651,3 +1651,85 @@ def m36_metadata_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("min_o_orderdate").alias("min_date"),
         F.max("max_o_orderdate").alias("max_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m37 — MERGE with DELETE clause (the full three-verb MERGE surface)
+# ---------------------------------------------------------------------------
+
+M37_ORACLE = f"""
+WITH target AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 <> 0
+), source AS (
+  SELECT c_custkey,
+         c_acctbal + CAST(100 AS DOUBLE) AS c_acctbal,
+         CASE WHEN c_custkey % 10 = 0 THEN 'delete' ELSE 'upsert' END AS action
+  FROM customer WHERE c_custkey % 2 = 0
+), merged AS (
+  SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+         {r2sql("COALESCE(s.c_acctbal, t.c_acctbal)")} AS c_acctbal,
+         CASE WHEN s.c_custkey IS NULL THEN 'unchanged'
+              WHEN s.action = 'delete' AND t.c_custkey IS NOT NULL THEN 'deleted'
+              WHEN s.action = 'delete' THEN 'noop_delete'
+              WHEN t.c_custkey IS NULL THEN 'inserted'
+              ELSE 'updated' END AS merge_action
+  FROM target t
+  FULL OUTER JOIN source s ON t.c_custkey = s.c_custkey
+)
+SELECT merge_action, count(*) AS n, {r2sql("sum(c_acctbal)")} AS sum_bal
+FROM merged
+WHERE merge_action IN ('unchanged', 'updated', 'inserted')
+GROUP BY merge_action
+"""
+
+
+@register("m37_merge_delete", oracle=M37_ORACLE, group="M")
+def m37_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full three-verb MERGE (Delta's complete surface): WHEN MATCHED
+    AND action='delete' THEN DELETE, WHEN MATCHED THEN UPDATE, WHEN NOT
+    MATCHED [AND action<>'delete'] THEN INSERT — one full-outer join with
+    a verb-resolution CASE, then the delete/no-op verbs filtered out of
+    the survivors. A source 'delete' for a key absent from the target is
+    a no-op (ANSI MERGE: NOT MATCHED clauses never fire DELETE). The
+    registered result is the per-verb survivor summary (count + balance
+    mass), which pins both the row routing and the arithmetic.
+
+    100 TB: identical movement to m34 (one shuffle per side on the merge
+    key); DELETE adds zero data movement — it is a filter on the joined
+    stream, and in a table format it shrinks the rewrite (deleted rows
+    simply don't land in the rewritten files)."""
+    c = load_table(spark, sf_dir, "customer")
+    target = c.filter(F.col("c_custkey") % 3 != 0).select("c_custkey", "c_acctbal")
+    source = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey"),
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("action"),
+    )
+    t, s = target.alias("t"), source.alias("s")
+    merged = t.join(
+        s, F.col("t.c_custkey") == F.col("s.c_custkey"), "full_outer"
+    ).select(
+        F.coalesce(F.col("s.c_custkey"), F.col("t.c_custkey")).alias("c_custkey"),
+        r2(F.coalesce(F.col("s.c_acctbal"), F.col("t.c_acctbal"))).alias("c_acctbal"),
+        F.when(F.col("s.c_custkey").isNull(), F.lit("unchanged"))
+        .when(
+            (F.col("s.action") == "delete") & F.col("t.c_custkey").isNotNull(),
+            F.lit("deleted"),
+        )
+        .when(F.col("s.action") == "delete", F.lit("noop_delete"))
+        .when(F.col("t.c_custkey").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("merge_action"),
+    )
+    return (
+        merged.filter(
+            F.col("merge_action").isin("unchanged", "updated", "inserted")
+        )
+        .groupBy("merge_action")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r2(F.sum("c_acctbal")).alias("sum_bal"),
+        )
+    )

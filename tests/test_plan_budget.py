@@ -71,6 +71,8 @@ EXCHANGE_BUDGET = {
     "z14_sql_frontend_cte_anti": 3,
     "z15_sql_frontend_q17": 6,
     "z16_sql_frontend_q7": 6,
+    "m36_metadata_only_agg": 2,
+    "m37_merge_delete": 6,
 }
 
 
