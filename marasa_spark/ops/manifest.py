@@ -66,6 +66,46 @@ def overlaps(col: str, lo, hi) -> Column:
     return (F.col(f"min_{col}") < F.lit(hi)) & (F.col(f"max_{col}") >= F.lit(lo))
 
 
+class StaleManifestError(RuntimeError):
+    """The data directory holds files the manifest has never seen (or
+    manifest entries whose files are gone): pruning against it could
+    silently skip live data. Re-run :func:`write_manifest` (or make the
+    writer refresh the manifest inside the same commit, as m30/m36 do)."""
+
+
+def assert_fresh(spark: SparkSession, data_dir: str) -> None:
+    """Guard against the stale-manifest trap: a manifest is only sound
+    for exactly the file set it was computed from — data appended AFTER
+    ``write_manifest`` is invisible to the prune and would be silently
+    skipped. This check compares the manifest's file column against the
+    directory's current parquet listing and raises
+    :class:`StaleManifestError` on any drift. One directory listing +
+    one manifest column read (both metadata-scale); a real table format
+    makes this structurally impossible by committing data and manifest
+    in one transaction — callers that own the write path (m30/m36) skip
+    the check for that reason."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    on_disk = {
+        name
+        for name in os.listdir(data_dir)
+        if name.endswith(".parquet") and not name.startswith((".", "_"))
+    }
+    in_manifest = {
+        os.path.basename(unquote(urlparse(r["file"]).path))
+        for r in spark.read.parquet(manifest_dir(data_dir)).select("file").collect()
+    }
+    if on_disk != in_manifest:
+        missing = sorted(on_disk - in_manifest)[:3]
+        gone = sorted(in_manifest - on_disk)[:3]
+        raise StaleManifestError(
+            f"manifest for {data_dir} is stale: "
+            f"{len(on_disk - in_manifest)} unseen file(s) {missing}, "
+            f"{len(in_manifest - on_disk)} vanished file(s) {gone}"
+        )
+
+
 def pruned_manifest(spark: SparkSession, data_dir: str, pred: Column) -> DataFrame:
     """The surviving manifest rows, as a DataFrame — the prune itself.
     Stays entirely in the JVM; the stat predicate pushes into the

@@ -659,3 +659,94 @@ def z16_sql_frontend_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "lineitem", "supplier", "nation")
     return spark.sql(Z16_SQL)
+
+
+Z17_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+       count(*) AS n
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+@register("z17_sql_frontend_rollup", oracle=Z17_SQL, group="B")
+def z17_sql_frontend_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + GROUPING() through the SQL front end: the subtotal-level
+    indicator surface (how BI tools distinguish a real NULL group from a
+    rollup subtotal row). One shared text, both engines expand the
+    rollup to 3 grouping sets in a single aggregate pass — Spark
+    duplicates the input per set inside one Expand node, no extra scan.
+    GROUPING() is explicitly BIGINT-cast: Spark returns tinyint, DuckDB
+    int64 (the d14-class type hazard, pre-empted)."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(Z17_SQL)
+
+
+Z18_SQL = """
+SELECT o_orderkey, o_orderdate,
+       count(*) OVER w AS n_trailing_30d,
+       max(o_totalprice) OVER w AS max_price_30d
+FROM orders
+WHERE o_orderkey % 20 = 0
+WINDOW w AS (ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("z18_sql_frontend_interval_range", oracle=Z18_SQL, group="B")
+def z18_sql_frontend_interval_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frames through the SQL front end (plus the
+    WINDOW clause — named-window syntax both engines share): trailing
+    30-day count/max per order over a 5%-sampled stream. RANGE frames
+    are tie-DETERMINISTIC by construction (the frame is defined by the
+    ORDER value, so rows sharing a date share a frame — the one window
+    shape exempt from the unique-tiebreaker rule), and the aggregates
+    here (count, max) are order-insensitive so cross-engine accumulation
+    order cannot bite. The global ORDER BY window is the scale caveat:
+    one partition — at 100 TB this frame belongs inside a key partition
+    (e8's shape) or a time-bucketed two-pass."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(Z18_SQL)
+
+
+Z19_SQL = """
+WITH recent AS (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1999-01-01'
+), early AS (
+  SELECT o_custkey FROM orders WHERE o_orderdate < DATE '1997-01-01'
+), both_eras AS (
+  SELECT o_custkey FROM recent INTERSECT ALL SELECT o_custkey FROM early
+), only_recent AS (
+  SELECT o_custkey FROM recent EXCEPT ALL SELECT o_custkey FROM early
+)
+SELECT 'both_eras' AS era_class, count(*) AS n,
+       count(DISTINCT o_custkey) AS n_customers
+FROM both_eras
+UNION ALL
+SELECT 'only_recent' AS era_class, count(*) AS n,
+       count(DISTINCT o_custkey) AS n_customers
+FROM only_recent
+"""
+
+
+@register("z19_sql_frontend_bag_setops", oracle=Z19_SQL, group="B")
+def z19_sql_frontend_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations through the SQL front end: INTERSECT
+    ALL / EXCEPT ALL keep MULTIPLICITY (min / difference of per-row
+    counts) — the dialect corner where users burned by DISTINCT-by-
+    default set ops end up, and where engines diverge most (both
+    implement the ANSI counting semantics; both texts here are shared
+    verbatim). The aggregate wrapper pins the multiplicities (n vs
+    n_customers) rather than a giant row list. Plan: each ALL op is one
+    shuffle on the compare key with per-side count aggregation —
+    same movement class as g3/g4's DataFrame builds."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(Z19_SQL)

@@ -5,6 +5,7 @@ rectangle on BOTH dimensions."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from marasa_spark.ops.layout import z_interleave
@@ -142,6 +143,34 @@ def test_manifest_prune_sound_for_arbitrary_windows(spark, sf_dir):
         pruned_n = read_pruned(spark, d, overlaps("o_orderdate", lo, hi)).filter(row_pred).count()
         full_n = back.filter(row_pred).count()
         assert pruned_n == full_n, (lo, hi, pruned_n, full_n)
+
+
+def test_manifest_staleness_guard(spark, sf_dir):
+    """assert_fresh must catch the stale-manifest trap: data appended
+    after write_manifest is invisible to the prune, so the guard raises
+    instead of letting a scan silently skip live files."""
+    from pyspark.sql import functions as F
+
+    from marasa_spark.catalog import load_table
+    from marasa_spark.ops.manifest import (
+        StaleManifestError,
+        assert_fresh,
+        write_manifest,
+    )
+    from marasa_spark.queries._util import fresh_scratch
+
+    d = fresh_scratch("manifest_stale", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).write.mode("overwrite").parquet(d)
+    write_manifest(spark, d, ["o_orderdate"])
+    assert_fresh(spark, d)  # fresh: no raise
+
+    o.filter(F.col("o_orderkey") % 2 == 1).write.mode("append").parquet(d)
+    with pytest.raises(StaleManifestError):
+        assert_fresh(spark, d)
+
+    write_manifest(spark, d, ["o_orderdate"])  # refresh heals it
+    assert_fresh(spark, d)
 
 
 def test_zorder_skipping_prunes_directories(spark, sf_dir):

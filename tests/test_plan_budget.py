@@ -73,6 +73,9 @@ EXCHANGE_BUDGET = {
     "z16_sql_frontend_q7": 6,
     "m36_metadata_only_agg": 2,
     "m37_merge_delete": 6,
+    "z17_sql_frontend_rollup": 2,
+    "z18_sql_frontend_interval_range": 2,
+    "z19_sql_frontend_bag_setops": 8,
 }
 
 
