@@ -2789,3 +2789,140 @@ def k61_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ph_len
         ).alias("n_phones"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k63 — domain-mixture reweighting under a token budget
+# ---------------------------------------------------------------------------
+
+K63_ORACLE = """
+WITH per_src AS (
+  SELECT source,
+         sum(n_chars) AS chars_s,
+         CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+              THEN CAST(3 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END AS wt
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(chars_s) AS total_chars, sum(wt) AS total_wt FROM per_src
+), rates AS (
+  SELECT source,
+         CAST(floor(least(CAST(1 AS DOUBLE),
+              (CAST(0.5 AS DOUBLE) * total_chars * wt)
+              / (total_wt * chars_s)) * 1000000) AS BIGINT) AS thresh
+  FROM per_src, tot
+)
+SELECT d.source,
+       count(*) AS n_docs_kept,
+       CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE (d.doc_id * 2654435761) % 1000000 < r.thresh
+GROUP BY d.source
+"""
+
+
+@register("k63_mixture_reweight", oracle=K63_ORACLE, group="K")
+def k63_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting — the pretraining-corpus op where each
+    source gets a TARGET mixture weight and the pipeline downsamples to
+    a global token budget (here: even-indexed sources weighted 3:1 over
+    odd, budget = 50% of total chars). Per-source keep rate =
+    min(1, budget·w_s/Σw / chars_s), materialized as an INTEGER
+    threshold (floor(rate·10⁶)) compared against a deterministic
+    arithmetic hash of doc_id — so selection is reproducible, oracle-
+    exact, and rerun-stable (the Knuth multiplicative constant; no RNG,
+    no seed drift across engines or partitionings). Plan: one metadata-
+    sized per-source aggregate broadcast back onto the corpus scan —
+    a stateless per-row filter at 100 TB, the same shape as m1's hash
+    sampling. Oversubscribed sources cap at rate 1 (the least());
+    re-normalizing the residual budget across capped sources is the
+    iterative refinement a real mixture tuner adds on top."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum("n_chars").alias("chars_s"),
+        F.when(
+            F.substring("source", 4, 10).cast("bigint") % 2 == 0, F.lit(3.0)
+        )
+        .otherwise(F.lit(1.0))
+        .alias("wt"),
+    )
+    # same fold shape as the oracle: scalar totals attached by broadcast
+    tot = per_src.agg(
+        F.sum("chars_s").alias("total_chars"), F.sum("wt").alias("total_wt")
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.lit(0.5) * F.col("total_chars") * F.col("wt"))
+                / (F.col("total_wt") * F.col("chars_s")),
+            )
+            * F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("thresh"),
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter((F.col("doc_id") * F.lit(2654435761)) % 1_000_000 < F.col("thresh"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k64 — dedup survivor selection by quality (keep-best, not keep-first)
+# ---------------------------------------------------------------------------
+
+K64_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, substr(text, 1, 64) AS fingerprint,
+         length(text) - length(replace(text, ' ', '')) + 1 AS quality
+  FROM documents
+), ranked AS (
+  SELECT doc_id, fingerprint, CAST(quality AS BIGINT) AS quality,
+         row_number() OVER (PARTITION BY fingerprint
+                            ORDER BY quality DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY fingerprint) AS cluster_size
+  FROM fp
+)
+SELECT doc_id, fingerprint, quality, CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1 AND cluster_size > 1
+"""
+
+
+@register("k64_dedup_keep_best", oracle=K64_ORACLE, group="K")
+def k64_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivor selection by QUALITY: within each duplicate
+    cluster (64-char prefix fingerprint — the cheap stand-in for k49's
+    connected components), keep the highest-quality member instead of
+    the arbitrary first one (k4/k47 keep min-doc_id; real pipelines keep
+    the longest/cleanest copy, since near-dups differ by truncation and
+    boilerplate). Quality here = token count (whitespace arithmetic,
+    engine-exact); tiebreak doc_id per the unique-ORDER-BY rule; only
+    genuine clusters (size > 1) surface. One shuffle on the fingerprint;
+    swap the fingerprint for k49's cluster ids and the same window is
+    the representative-selection stage of the full near-dup pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.substring("text", 1, 64).alias("fingerprint"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("bigint")
+        .alias("quality"),
+    )
+    w = W.partitionBy("fingerprint").orderBy(F.col("quality").desc(), "doc_id")
+    wc = W.partitionBy("fingerprint")
+    return (
+        fp.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter((F.col("rn") == 1) & (F.col("cluster_size") > 1))
+        .select("doc_id", "fingerprint", "quality", "cluster_size")
+    )

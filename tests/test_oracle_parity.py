@@ -49,6 +49,27 @@ def canon_rows(cols, rows):
 queries_map()  # populate REGISTRY
 ALL_IDS = sorted(REGISTRY)
 
+_DS = None
+
+
+def _driver_sim():
+    """Load tools/driver_sim.py as a module (it is a script, not a
+    package member) to share its type-hazard logic instead of forking it."""
+    global _DS
+    if _DS is None:
+        import importlib.util
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "driver_sim.py",
+        )
+        spec = importlib.util.spec_from_file_location("driver_sim_mod", path)
+        _DS = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(_DS)
+    return _DS
+
 
 @pytest.mark.parametrize("qid", ALL_IDS)
 def test_oracle_parity(qid, spark, duck, sf_dir):
@@ -62,6 +83,15 @@ def test_oracle_parity(qid, spark, duck, sf_dir):
         assert len(scols) > 0
         assert len(srows) >= 0
         return
+
+    atable = duck.execute(spec.oracle).arrow()
+    # driver-grade type strictness: the value canon below collapses
+    # Decimal→float, which HIDES the d14/k63 hazard class (DuckDB
+    # HUGEINT/decimal128 vs Spark bigint — identical values, different
+    # driver hash). Reuse driver_sim's hazard check verbatim so the fast
+    # mirror fails exactly where the driver would.
+    hazards = _driver_sim().type_hazards(sdf, atable)
+    assert not hazards, f"{qid}: type hazards: {hazards}"
 
     rel = duck.execute(spec.oracle)
     dcols = [d[0] for d in rel.description]

@@ -76,6 +76,11 @@ EXCHANGE_BUDGET = {
     "z17_sql_frontend_rollup": 2,
     "z18_sql_frontend_interval_range": 2,
     "z19_sql_frontend_bag_setops": 8,
+    # k63's 12 are dominated by metadata-sized per-source aggregates (20
+    # rows) + their broadcasts; the corpus-scale path is one scan + one
+    # final groupBy
+    "k63_mixture_reweight": 12,
+    "k64_dedup_keep_best": 2,
 }
 
 
