@@ -2926,3 +2926,161 @@ def k64_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("cluster_size") > 1))
         .select("doc_id", "fingerprint", "quality", "cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# k65 — mixture waterfilling: EXACT budget attainment under caps
+# ---------------------------------------------------------------------------
+
+# k63's rate = min(1, budget·w_s/Σw/chars_s) leaves budget on the table
+# whenever a source caps (an oversubscribed source can't supply its
+# share). Waterfilling redistributes the residual: find λ* such that
+# Σ_s min(chars_s, λ*·wt_s) = budget. Closed form via one sorted prefix
+# scan — sources sorted by capacity ratio r_s = chars_s/wt_s cap in
+# order, so for each breakpoint i, λ_i = (budget − Σ_{j≤i} chars_j) /
+# (Σwt − Σ_{j≤i} wt_j), and λ* = λ_k at the largest k with r_k ≤ λ_k
+# (no valid k → nothing caps, λ* = budget/Σwt). Weights here force caps:
+# sources 0-4 carry weight 10 (oversubscribed 4x), the rest weight 1.
+# All inputs are integer-exact (char counts, 10/1 weights), so both
+# engines compute bit-identical doubles through the identical op chain.
+K65_ORACLE = """
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(n_chars) AS BIGINT) AS chars_s,
+         CASE WHEN CAST(substr(source, 4) AS BIGINT) < 5
+              THEN CAST(10 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END AS wt
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(chars_s) AS DOUBLE) AS total_chars,
+         sum(wt) AS total_wt
+  FROM per_src
+), ranked AS (
+  SELECT source, chars_s, wt,
+         CAST(chars_s AS DOUBLE) / wt AS r_s,
+         CAST(sum(chars_s) OVER (ORDER BY CAST(chars_s AS DOUBLE) / wt, source) AS DOUBLE) AS prefix_chars,
+         sum(wt) OVER (ORDER BY CAST(chars_s AS DOUBLE) / wt, source) AS prefix_wt
+  FROM per_src
+), lam AS (
+  SELECT r_s,
+         CASE WHEN total_wt - prefix_wt = CAST(0 AS DOUBLE)
+              THEN CASE WHEN CAST(0.5 AS DOUBLE) * total_chars - prefix_chars
+                             >= CAST(0 AS DOUBLE)
+                        THEN CAST(1000000000000000000 AS DOUBLE)
+                        ELSE CAST(-1000000000000000000 AS DOUBLE) END
+              ELSE (CAST(0.5 AS DOUBLE) * total_chars - prefix_chars)
+                   / (total_wt - prefix_wt) END AS lam_i
+  FROM ranked, tot
+), star AS (
+  SELECT COALESCE(max(lam_i) FILTER (WHERE r_s <= lam_i),
+                  (SELECT CAST(0.5 AS DOUBLE) * total_chars / total_wt FROM tot)
+         ) AS lam_star
+  FROM lam
+), rates AS (
+  SELECT source,
+         CAST(floor(least(CAST(1 AS DOUBLE),
+              lam_star * wt / CAST(chars_s AS DOUBLE)) * 1000000) AS BIGINT) AS thresh
+  FROM per_src, star
+)
+SELECT d.source,
+       count(*) AS n_docs_kept,
+       CAST(sum(d.n_chars) AS BIGINT) AS chars_kept,
+       max(r.thresh) AS thresh
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE (d.doc_id * 2654435761) % 1000000 < r.thresh
+GROUP BY d.source
+"""
+
+
+@register("k65_mixture_waterfill", oracle=K65_ORACLE, group="K")
+def k65_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting with EXACT budget attainment (waterfilling):
+    where k63 lets an oversubscribed source cap at rate 1 and silently
+    under-spends the budget, this finds the waterline λ* with
+    Σ min(chars_s, λ*·wt_s) = budget in closed form — one sort of the
+    per-source table by capacity ratio, prefix sums, and the largest
+    valid breakpoint (the algorithm domain-mixture tuners iterate; the
+    sorted-prefix identity makes it single-pass). Here sources 0-4 are
+    weighted 10:1 — oversubscribed ~4×, so they CAP (thresh 10⁶) and the
+    residual budget redistributes across the other 15 (thresh ≈ ⅓·10⁶);
+    k63's naive rule would stop at the cap and deliver less than the
+    budget. Everything is a window over the 20-row per-source table —
+    metadata-scale — followed by the same broadcast + stateless hash
+    filter as k63; inputs are integer-exact so both engines walk an
+    identical IEEE op chain to identical thresholds. max(r.thresh) in
+    the output is constant per group (thresh is functionally determined
+    by source) and exposes the waterline for the oracle to pin."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("chars_s"),
+        F.when(
+            F.substring("source", 4, 10).cast("bigint") < 5, F.lit(10.0)
+        )
+        .otherwise(F.lit(1.0))
+        .alias("wt"),
+    )
+    tot = per_src.agg(
+        F.sum("chars_s").cast("double").alias("total_chars"),
+        F.sum("wt").alias("total_wt"),
+    )
+    r_s = F.col("chars_s").cast("double") / F.col("wt")
+    w = W.orderBy(r_s, "source")
+    ranked = per_src.select(
+        "source",
+        "chars_s",
+        "wt",
+        r_s.alias("r_s"),
+        F.sum("chars_s").over(w).cast("double").alias("prefix_chars"),
+        F.sum("wt").over(w).alias("prefix_wt"),
+    )
+    lam = ranked.crossJoin(F.broadcast(tot)).select(
+        "r_s",
+        F.when(
+            F.col("total_wt") - F.col("prefix_wt") == F.lit(0.0),
+            # all-capped breakpoint: valid only if the budget covers the
+            # whole corpus; otherwise poison it out of the max()
+            F.when(
+                F.lit(0.5) * F.col("total_chars") - F.col("prefix_chars")
+                >= F.lit(0.0),
+                F.lit(1e18),
+            ).otherwise(F.lit(-1e18)),
+        )
+        .otherwise(
+            (F.lit(0.5) * F.col("total_chars") - F.col("prefix_chars"))
+            / (F.col("total_wt") - F.col("prefix_wt"))
+        )
+        .alias("lam_i"),
+    )
+    fallback = tot.select(
+        (F.lit(0.5) * F.col("total_chars") / F.col("total_wt")).alias("fb")
+    )
+    star = (
+        lam.agg(
+            F.max(F.when(F.col("r_s") <= F.col("lam_i"), F.col("lam_i"))).alias(
+                "lam_max"
+            )
+        )
+        .crossJoin(F.broadcast(fallback))
+        .select(F.coalesce("lam_max", "fb").alias("lam_star"))
+    )
+    rates = per_src.crossJoin(F.broadcast(star)).select(
+        "source",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.col("lam_star") * F.col("wt") / F.col("chars_s").cast("double"),
+            )
+            * F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("thresh"),
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter((F.col("doc_id") * F.lit(2654435761)) % 1_000_000 < F.col("thresh"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+            F.max("thresh").alias("thresh"),
+        )
+    )

@@ -81,6 +81,10 @@ EXCHANGE_BUDGET = {
     # final groupBy
     "k63_mixture_reweight": 12,
     "k64_dedup_keep_best": 2,
+    # k65's 23 are the waterline derivation over the 20-ROW per-source
+    # table (sort window + three broadcasts of 1-20 row frames); the
+    # corpus-scale path is still one scan + one final groupBy
+    "k65_mixture_waterfill": 23,
 }
 
 
