@@ -750,3 +750,174 @@ def z19_sql_frontend_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "orders")
     return spark.sql(Z19_SQL)
+
+
+# ---------------------------------------------------------------------------
+# z20-z24 — the dual-engine SQL surface, remaining TPC-H dialect shapes
+# ---------------------------------------------------------------------------
+# Five more shared texts closing out the TPC-H shape inventory the z-rows
+# hadn't touched yet: filtered-ON outer join + two-level agg (Q13),
+# NOT IN + count(DISTINCT) (Q16), double-correlated EXISTS/NOT EXISTS
+# (Q21), scalar subquery + correlated NOT EXISTS + substr (Q22), and a
+# correlated LATERAL subquery with per-row ORDER/LIMIT (the modern
+# top-k-per-group SQL users reach for once both engines support it).
+# Same contract as z7/z9-z19: ONE query text, run verbatim by spark.sql
+# AND DuckDB, value-hash compared.
+
+Z20_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+
+@register("z20_sql_frontend_q13", oracle=Z20_SQL, group="B")
+def z20_sql_frontend_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution) through the
+    SQL front end: the predicate lives in the LEFT JOIN's ON clause, not
+    the WHERE — the semantics trap (ON filters the right side BEFORE the
+    outer join, preserving zero-order customers; moving it to WHERE
+    silently turns the query inner) that this shared text pins both
+    engines to. Two-level aggregation: per-customer counts (shuffle on
+    c_custkey — at 100 TB customer is the smaller side and AQE picks the
+    broadcast direction), then the tiny histogram re-shuffle on c_count.
+    count(o_orderkey) counts only MATCHED rows (NULLs skipped) — BIGINT
+    in both engines, no d14 hazard."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(Z20_SQL)
+
+
+Z21_SQL = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#11'
+  AND p_size IN (1, 7, 14, 21, 28, 35, 42, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < CAST(0 AS DOUBLE))
+GROUP BY p_brand, p_size
+"""
+
+
+@register("z21_sql_frontend_q16", oracle=Z21_SQL, group="B")
+def z21_sql_frontend_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier count by part attribute) through the
+    SQL front end: NOT IN over a subquery — the null-semantics minefield
+    (one NULL in the subquery empties the result under ANSI three-valued
+    logic; s_suppkey is non-null here so both engines agree) — plus
+    count(DISTINCT) after a fact join. Both engines plan NOT IN as a
+    null-aware anti join (6 negative-balance suppliers broadcast), the
+    IN-list and brand filter push into the part scan, and the distinct
+    count shuffles (brand, size, suppkey) once before the final group."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "part", "lineitem", "supplier")
+    return spark.sql(Z21_SQL)
+
+
+Z22_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s_name
+"""
+
+
+@register("z22_sql_frontend_q21", oracle=Z22_SQL, group="B")
+def z22_sql_frontend_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who shipped last on multi-supplier
+    finished orders) through the SQL front end: the double-correlated
+    EXISTS + NOT EXISTS — the hardest decorrelation in the TPC-H suite
+    and the one users' hand-written audit queries most resemble. Both
+    engines rewrite the pair into a left-semi and a left-anti join
+    against lineitem on l_orderkey with non-equi residuals (supplier
+    inequality, shipdate comparison); the fact table is touched three
+    times but every pass is a shuffle-on-orderkey hash join — no nested
+    loops. Ties on max shipdate admit BOTH suppliers (strict > in the
+    anti residual), which is deterministic, so no tiebreaker is needed."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(Z22_SQL)
+
+
+Z23_SQL = """
+SELECT cntrycode, count(*) AS numcust,
+       CAST(floor(sum(c_acctbal) * 100 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 100 AS totacctbal
+FROM (
+  SELECT substr(c_name, 17, 2) AS cntrycode, c_acctbal, c_custkey
+  FROM customer
+  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > CAST(0 AS DOUBLE))
+    AND NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderdate >= DATE '1999-01-01'
+    )
+) cold
+GROUP BY cntrycode
+"""
+
+
+@register("z23_sql_frontend_q22", oracle=Z23_SQL, group="B")
+def z23_sql_frontend_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity) through the SQL front
+    end: an UNCORRELATED scalar subquery (global positive-balance
+    average — computed once, broadcast as a literal-like filter) plus a
+    correlated NOT EXISTS (customers with no recent orders; classic Q22
+    tests no-orders-at-all, which is empty in this corpus where every
+    customer ordered — the 1999+ window keeps the anti join non-trivial)
+    and substr() string surgery standing in for Q22's phone-prefix
+    extraction (c_name's last two digits vary; position 10 is a constant
+    '0' pad). The avg threshold compares continuous doubles, so the
+    cross-engine 1-ulp accumulation difference cannot flip membership;
+    the final sum rides the r2sql floor-round."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(Z23_SQL)
+
+
+Z24_SQL = """
+SELECT c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c_acctbal > CAST(9500 AS DOUBLE)
+"""
+
+
+@register("z24_sql_frontend_lateral_topk", oracle=Z24_SQL, group="B")
+def z24_sql_frontend_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY/LIMIT through
+    the SQL front end — the modern top-k-per-group idiom (top-2 orders
+    per high-balance customer) that both Spark 4 and DuckDB now parse
+    from the same text, and the form users migrate to from the
+    row_number()-then-filter workaround (e5's shape). Spark decorrelates
+    the lateral into a window-over-join: shuffle both sides on custkey,
+    rank within the customer partition, keep rk <= 2 — identical
+    movement to e5, no per-row re-execution. o_orderkey breaks
+    o_totalprice ties on the LIMIT boundary (the top-k tiebreak rule)."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(Z24_SQL)

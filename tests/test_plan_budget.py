@@ -85,6 +85,14 @@ EXCHANGE_BUDGET = {
     # table (sort window + three broadcasts of 1-20 row frames); the
     # corpus-scale path is still one scan + one final groupBy
     "k65_mixture_waterfill": 23,
+    # z20-z24: measured on the reviewed decorrelated plans — z22's 10
+    # are the three hash-join passes over lineitem (semi + anti + spine),
+    # z24's 4 the window-over-join lateral decorrelation
+    "z20_sql_frontend_q13": 6,
+    "z21_sql_frontend_q16": 8,
+    "z22_sql_frontend_q21": 10,
+    "z23_sql_frontend_q22": 10,
+    "z24_sql_frontend_lateral_topk": 4,
 }
 
 
