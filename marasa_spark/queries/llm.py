@@ -3084,3 +3084,174 @@ def k65_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("thresh").alias("thresh"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k66 — balanced shard packing (training-data sharding without hot shards)
+# ---------------------------------------------------------------------------
+
+K66_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r
+  FROM documents
+)
+SELECT CAST(CASE WHEN CAST(floor(CAST(r AS DOUBLE) / CAST(16 AS DOUBLE)) AS BIGINT) % 2 = 0
+            THEN r % 16 ELSE 15 - (r % 16) END AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total
+FROM ranked GROUP BY 1
+"""
+
+
+@register("k66_shard_pack", oracle=K66_ORACLE, group="K")
+def k66_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced shard assignment for training-data output: docs ranked by
+    size descending, then dealt to 16 shards in SNAKE (boustrophedon)
+    order — the classic greedy-balance guarantee (each round of 2x16 deals
+    gives every shard one big-half and one small-half doc), so shard
+    byte-loads land within a fraction of a percent of each other instead
+    of the size-skew a naive hash or round-robin-by-id deal leaves. The
+    global rank uses f3's two-phase shape (range repartition on the sort
+    key -> 16-row per-partition offset table broadcast back -> local
+    row_number), NOT a single-partition window — the deal stays fully
+    parallel at 100 TB, and the snake arithmetic is stateless per row.
+    All-integer arithmetic: both engines agree bit-for-bit."""
+    n_shards = 16
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranged = d.repartitionByRange(
+        n_shards, F.col("n_chars").desc(), F.col("doc_id")
+    ).withColumn("pid", F.spark_partition_id())
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    wcum = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("n").over(wcum), F.lit(0))
+    ).select("pid", "offset")
+    wlocal = W.partitionBy("pid").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    r = F.col("offset") + F.row_number().over(wlocal) - 1
+    shard = F.when(
+        F.floor(r.cast("double") / F.lit(16.0)).cast("long") % 2 == 0,
+        r % n_shards,
+    ).otherwise(n_shards - 1 - (r % n_shards))
+    return (
+        ranged.join(F.broadcast(offsets), "pid")
+        .select(shard.cast("long").alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k67 — DSIR-style importance resampling (hashed-bigram domain matching)
+# ---------------------------------------------------------------------------
+
+K67_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+), bg AS (
+  SELECT doc_id, source,
+         substr(md5(ws[i] || ' ' || ws[i+1]), 1, 2) AS b
+  FROM tok, LATERAL (SELECT unnest(range(1, len(ws))) AS i) ix
+  WHERE len(ws) >= 2
+), tgt AS (
+  SELECT b, CAST(count(*) AS DOUBLE) AS ct FROM bg
+  WHERE source IN ('src_0','src_1','src_2') GROUP BY b
+), tgt_tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS t FROM bg WHERE source IN ('src_0','src_1','src_2')
+), raw_tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS rr FROM bg
+), rawc AS (
+  SELECT b, CAST(count(*) AS DOUBLE) AS cr FROM bg GROUP BY b
+), lr AS (
+  SELECT rawc.b,
+         ln((COALESCE(ct, CAST(0 AS DOUBLE)) + CAST(1 AS DOUBLE)) / (t + CAST(256 AS DOUBLE)))
+         - ln((cr + CAST(1 AS DOUBLE)) / (rr + CAST(256 AS DOUBLE))) AS logratio
+  FROM rawc LEFT JOIN tgt USING (b), tgt_tot, raw_tot
+), scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(floor(avg(logratio) * 10000 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 10000 AS weight
+  FROM bg JOIN lr USING (b)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, weight,
+       CAST(CASE WHEN row_number() OVER (ORDER BY weight DESC, doc_id) <= 100
+            THEN 1 ELSE 0 END AS BIGINT) AS selected
+FROM scored
+"""
+
+
+@register("k67_dsir_importance", oracle=K67_ORACLE, group="K")
+def k67_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    with hashed-bigram features: score every document by how much more
+    likely its bigrams are under the TARGET domain's hashed-ngram
+    distribution (here sources src_0-2) than under the raw pool, then
+    select the top-100. Features are bigrams hashed into 256 buckets via
+    the first two md5 hex chars — the engine-portable hash (substring
+    equality, no integer conversion), so both engines bucket identically;
+    both distributions are add-one smoothed. Movement: one explode ->
+    bucket counts (two tiny 256-row aggregates, map-side combined), the
+    256-row logratio table broadcast back onto the bigram stream, one
+    per-doc regroup — the LM 'training' and the scoring pass share the
+    same linear scan shape as k38. The selection rank orders by the
+    ROUNDED weight with doc_id tiebreak (e9's posture: rank on what you
+    output). At 100 TB the bucket table is still 256 rows — DSIR's whole
+    point is that domain matching needs only a hashed profile, not a
+    model."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    idx = F.when(F.size(ws) >= 2, F.sequence(F.lit(0), F.size(ws) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bgs = F.transform(
+        idx,
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2))),
+            1,
+            2,
+        ),
+    )
+    bg = d.select("doc_id", "source", F.explode(bgs).alias("b"))
+    is_t = F.col("source").isin("src_0", "src_1", "src_2")
+    tgt = bg.filter(is_t).groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("ct")
+    )
+    tgt_tot = bg.filter(is_t).agg(F.count(F.lit(1)).cast("double").alias("t"))
+    raw_tot = bg.agg(F.count(F.lit(1)).cast("double").alias("rr"))
+    rawc = bg.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("cr"))
+    lr = (
+        rawc.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(raw_tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0.0)) + F.lit(1.0))
+                    / (F.col("t") + F.lit(256.0))
+                )
+                - F.log((F.col("cr") + F.lit(1.0)) / (F.col("rr") + F.lit(256.0)))
+            ).alias("logratio"),
+        )
+    )
+    scored = (
+        bg.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            r2(F.avg("logratio"), 4).alias("weight"),
+        )
+    )
+    wsel = W.orderBy(F.col("weight").desc(), "doc_id")
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "weight",
+        F.when(F.row_number().over(wsel) <= 100, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("selected"),
+    )

@@ -1733,3 +1733,78 @@ def m37_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("c_acctbal")).alias("sum_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m38 — skew-proof MERGE: aggregated-delta upsert of a fact stream into a
+# per-key state table
+# ---------------------------------------------------------------------------
+
+M38_ORACLE = """
+WITH target AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         sum(o_totalprice) AS spend, max(o_orderdate) AS last_dt
+  FROM orders WHERE o_orderdate < DATE '1999-01-01' GROUP BY o_custkey
+), delta AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         sum(o_totalprice) AS spend, max(o_orderdate) AS last_dt
+  FROM orders WHERE o_orderdate >= DATE '1999-01-01' GROUP BY o_custkey
+)
+SELECT COALESCE(t.o_custkey, s.o_custkey) AS o_custkey,
+       CAST(COALESCE(t.n_orders, 0) + COALESCE(s.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(floor((COALESCE(t.spend, CAST(0 AS DOUBLE)) + COALESCE(s.spend, CAST(0 AS DOUBLE))) * 100 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 100 AS spend,
+       COALESCE(s.last_dt, t.last_dt) AS last_dt,
+       CASE WHEN s.o_custkey IS NULL THEN 'unchanged'
+            WHEN t.o_custkey IS NULL THEN 'inserted'
+            ELSE 'updated' END AS merge_action
+FROM target t FULL OUTER JOIN delta s ON t.o_custkey = s.o_custkey
+"""
+
+
+@register("m38_merge_skew_delta", oracle=M38_ORACLE, group="M")
+def m38_merge_skew_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-proof MERGE pattern: when the source is a FACT stream
+    (many rows per key, hot keys included) being upserted into per-key
+    state, never join raw source rows against the target — pre-aggregate
+    the delta to ONE row per key first, then run m34's full-outer +
+    COALESCE merge on the collapsed sides. The pre-aggregation is where
+    the skew dies: Spark's partial (map-side) aggregation collapses a
+    hot customer's rows within each input partition BEFORE the shuffle,
+    so the merge join itself sees at most one row per key per side and
+    no AQE skew-split is ever needed — additive state (counts, sums,
+    max-timestamps) is exactly the class of MERGE this rewrite covers.
+    Here orders before 1999 are the standing state, 1999+ the delta;
+    customers first seen in the delta come out 'inserted'. At 100 TB
+    both aggregates shuffle once on the merge key and the merge join
+    consumes that partitioning — no exchange in the plan carries more
+    than one row per key."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1999-01-01").cast("timestamp")
+
+    def per_key_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("spend"),
+            F.max("o_orderdate").alias("last_dt"),
+        )
+
+    t = per_key_state(o.filter(F.col("o_orderdate") < cut)).alias("t")
+    s = per_key_state(o.filter(F.col("o_orderdate") >= cut)).alias("s")
+    return t.join(s, F.col("t.o_custkey") == F.col("s.o_custkey"), "full_outer").select(
+        F.coalesce(F.col("t.o_custkey"), F.col("s.o_custkey")).alias("o_custkey"),
+        (
+            F.coalesce(F.col("t.n_orders"), F.lit(0))
+            + F.coalesce(F.col("s.n_orders"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_orders"),
+        r2(
+            F.coalesce(F.col("t.spend"), F.lit(0.0))
+            + F.coalesce(F.col("s.spend"), F.lit(0.0))
+        ).alias("spend"),
+        F.coalesce(F.col("s.last_dt"), F.col("t.last_dt")).alias("last_dt"),
+        F.when(F.col("s.o_custkey").isNull(), F.lit("unchanged"))
+        .when(F.col("t.o_custkey").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("merge_action"),
+    )

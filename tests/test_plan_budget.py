@@ -93,6 +93,13 @@ EXCHANGE_BUDGET = {
     "z22_sql_frontend_q21": 10,
     "z23_sql_frontend_q22": 10,
     "z24_sql_frontend_lateral_topk": 4,
+    # m38: two per-key partial-agg shuffles feeding the full-outer merge
+    # join; k66: the f3 two-phase rank (range repartition + 16-row offset
+    # broadcast) then the shard regroup; k67: bigram bucket counts (256-row
+    # frames broadcast back) + the per-doc regroup
+    "m38_merge_skew_delta": 4,
+    "k66_shard_pack": 14,
+    "k67_dsir_importance": 18,
 }
 
 
