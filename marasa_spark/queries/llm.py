@@ -3158,9 +3158,9 @@ WITH tok AS (
   WHERE len(ws) >= 2
 ), tgt AS (
   SELECT b, CAST(count(*) AS DOUBLE) AS ct FROM bg
-  WHERE source IN ('src_0','src_1','src_2') GROUP BY b
+  WHERE source IN ('src0','src1','src2') GROUP BY b
 ), tgt_tot AS (
-  SELECT CAST(count(*) AS DOUBLE) AS t FROM bg WHERE source IN ('src_0','src_1','src_2')
+  SELECT CAST(count(*) AS DOUBLE) AS t FROM bg WHERE source IN ('src0','src1','src2')
 ), raw_tot AS (
   SELECT CAST(count(*) AS DOUBLE) AS rr FROM bg
 ), rawc AS (
@@ -3188,7 +3188,7 @@ def k67_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
     with hashed-bigram features: score every document by how much more
     likely its bigrams are under the TARGET domain's hashed-ngram
-    distribution (here sources src_0-2) than under the raw pool, then
+    distribution (here sources src0-2) than under the raw pool, then
     select the top-100. Features are bigrams hashed into 256 buckets via
     the first two md5 hex chars — the engine-portable hash (substring
     equality, no integer conversion), so both engines bucket identically;
@@ -3215,7 +3215,7 @@ def k67_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     bg = d.select("doc_id", "source", F.explode(bgs).alias("b"))
-    is_t = F.col("source").isin("src_0", "src_1", "src_2")
+    is_t = F.col("source").isin("src0", "src1", "src2")
     tgt = bg.filter(is_t).groupBy("b").agg(
         F.count(F.lit(1)).cast("double").alias("ct")
     )
@@ -3255,3 +3255,53 @@ def k67_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k68 — Johnson-Lindenstrauss random projection (embedding dim reduction)
+# ---------------------------------------------------------------------------
+
+from marasa_spark.ops.similarity import _rh_signs  # noqa: E402
+
+_K68_SIGNS = _rh_signs(8, 64, seed=7)
+
+
+def _k68_bit_sql(row: list[float]) -> str:
+    lits = ", ".join(f"CAST({int(s)} AS DOUBLE)" for s in row)
+    return (
+        "list_sum(list_transform(range(1, 65), i -> "
+        f"CAST(embedding[i] AS DOUBLE) * ([{lits}])[i])) / sqrt(CAST(8 AS DOUBLE))"
+    )
+
+
+K68_ORACLE = "SELECT vec_id,\n       " + ",\n       ".join(
+    r2sql(_k68_bit_sql(row), 4) + f" AS p{b}" for b, row in enumerate(_K68_SIGNS)
+) + "\nFROM embeddings"
+
+
+@register("k68_jl_projection", oracle=K68_ORACLE, group="K")
+def k68_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64-d -> 8-d: the standard
+    pre-shrink before ANN indexing / clustering at corpus scale, using the
+    same deterministic Rademacher (±1) planes as the SimHash machinery
+    (ops/similarity._rh_signs — seeded sha256, so every executor and both
+    engines see the identical matrix as PLAN LITERALS, nothing shipped or
+    re-hashed per row) scaled by 1/sqrt(8) to make the projection
+    distance-preserving in expectation. One stateless map pass — 8
+    sequential zip_with/aggregate folds per row, JVM-side, no shuffle at
+    all; the oracle embeds the same 8x64 sign matrix as SQL list literals
+    and folds in the same order, so the doubles agree bit-for-bit before
+    the 4-decimal round. The JL distortion guarantee (pairwise distances
+    within ~1/sqrt(8) relative error w.h.p.) is pinned behaviorally in
+    tests/test_jl_projection.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = [F.col("vec_id")]
+    for b, row in enumerate(_K68_SIGNS):
+        plane = F.array(*[F.lit(s) for s in row])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) / F.sqrt(F.lit(8.0))
+        out.append(r2(proj, 4).alias(f"p{b}"))
+    return e.select(*out)

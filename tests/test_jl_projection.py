@@ -1,0 +1,97 @@
+"""Behavioral bounds for the round-6 late-batch ops: k68's JL distortion
+guarantee, k66's shard balance, k67's domain-matching signal, and m38's
+merge-equals-unsplit-aggregate identity. Parity (tests/test_oracle_parity.py)
+already pins cross-engine value hashes; these pin the SEMANTIC claims the
+docstrings make.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from marasa_spark.catalog import load_table
+from marasa_spark.registry import REGISTRY, queries_map
+
+queries_map()
+
+
+def test_jl_distortion_bounded(spark, sf_dir):
+    """Adjacent-pair L2 distances must survive the 64->8 projection with
+    median relative distortion well inside the JL ~1/sqrt(8) regime."""
+    proj = REGISTRY["k68_jl_projection"].fn(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    p2 = sum((F.col(f"a.p{b}") - F.col(f"b.p{b}")) ** 2 for b in range(8))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("ea.embedding"),
+            F.col("eb.embedding"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        proj.alias("a")
+        .join(proj.alias("b"), F.col("a.vec_id") + 1 == F.col("b.vec_id"))
+        .join(emb.alias("ea"), F.col("a.vec_id") == F.col("ea.vec_id"))
+        .join(emb.alias("eb"), F.col("b.vec_id") == F.col("eb.vec_id"))
+        .select((F.sqrt(p2) / F.sqrt(d2)).alias("ratio"))
+    )
+    ratios = [r.ratio for r in pairs.collect()]
+    assert len(ratios) >= 100
+    med = sorted(ratios)[len(ratios) // 2]
+    # E[ratio] = 1; with 8 dims the spread is wide per pair but the median
+    # must sit near 1 and no mass may collapse to ~0 (lost geometry)
+    assert 0.75 < med < 1.25, med
+    assert sum(1 for r in ratios if r < 0.2) / len(ratios) < 0.02
+
+
+def test_shard_pack_balance(spark, sf_dir):
+    """Snake-deal shard loads must be balanced: max/min char-load spread
+    within 2%, and every shard populated."""
+    rows = REGISTRY["k66_shard_pack"].fn(spark, sf_dir).collect()
+    assert len(rows) == 16
+    loads = [r.chars_total for r in rows]
+    assert min(loads) > 0
+    assert (max(loads) - min(loads)) / (sum(loads) / 16) < 0.02, loads
+
+
+def test_dsir_prefers_target_domain(spark, sf_dir):
+    """Docs FROM the target sources must score higher on average than the
+    rest (the whole point of importance resampling), and the selected
+    top-100 must over-represent the target domain vs its base rate."""
+    scored = REGISTRY["k67_dsir_importance"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = scored.join(docs, "doc_id").withColumn(
+        "is_target", F.col("source").isin("src0", "src1", "src2")
+    )
+    stats = {
+        r.is_target: r
+        for r in j.groupBy("is_target")
+        .agg(F.avg("weight").alias("w"), F.avg("selected").alias("sel_rate"))
+        .collect()
+    }
+    assert stats[True].w > stats[False].w
+    assert stats[True].sel_rate > stats[False].sel_rate
+
+
+def test_merge_delta_equals_unsplit(spark, sf_dir):
+    """m38's merged state must equal the aggregate computed WITHOUT the
+    pre/post split — the additive-state correctness identity."""
+    merged = REGISTRY["m38_merge_skew_delta"].fn(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    direct = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.max("o_orderdate").alias("last_dt"),
+    )
+    diff = (
+        merged.select("o_custkey", "n_orders", "last_dt")
+        .exceptAll(direct)
+        .count()
+    )
+    assert diff == 0
+    n_actions = {r.merge_action for r in merged.select("merge_action").distinct().collect()}
+    assert "updated" in n_actions

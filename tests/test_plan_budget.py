@@ -100,6 +100,8 @@ EXCHANGE_BUDGET = {
     "m38_merge_skew_delta": 4,
     "k66_shard_pack": 14,
     "k67_dsir_importance": 18,
+    # k68 is a pure stateless map pass — ZERO exchanges, pinned at zero
+    "k68_jl_projection": 0,
 }
 
 
