@@ -921,3 +921,67 @@ def z24_sql_frontend_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame
 
     register_views(spark, sf_dir, "customer", "orders")
     return spark.sql(Z24_SQL)
+
+
+@register("z25_q21_onepass", oracle=Z22_SQL, group="C")
+def z25_q21_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-pass SCALE PATH for z22's Q21 (validated the k60-way: it
+    shares z22's oracle text verbatim, so the rewrite is proven
+    result-identical, not just plausible). Instead of three passes over
+    lineitem (spine + decorrelated semi + anti), the correlation
+    collapses into per-order window algebra: aggregate lineitem once per
+    (order, supplier), derive per order the max shipdate, supplier
+    count, how many suppliers attain the max, and the runner-up max —
+    then 'no other supplier shipped later' is the stateless comparison
+    shipdate >= max_other, where max_other is m1 unless THIS supplier
+    uniquely holds it (then m2). One groupBy + one window + one join
+    back, every movement keyed on l_orderkey (AQE-splittable if an order
+    is hot); the supplier dim broadcasts. At 100 TB this halves the
+    fact IO of the textbook EXISTS/NOT EXISTS form whenever the
+    optimizer doesn't reuse the subquery scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    ps = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("smax")
+    )
+    w = Window.partitionBy("l_orderkey")
+    ps1 = ps.select(
+        "*",
+        F.max("smax").over(w).alias("m1"),
+        F.count(F.lit(1)).over(w).alias("cnt_supp"),
+    )
+    ps2 = ps1.select(
+        "*",
+        F.sum(F.when(F.col("smax") == F.col("m1"), 1).otherwise(0))
+        .over(w)
+        .alias("cnt_at_m1"),
+        F.max(F.when(F.col("smax") < F.col("m1"), F.col("smax")))
+        .over(w)
+        .alias("m2"),
+    )
+    max_other = F.when(
+        (F.col("smax") < F.col("m1")) | (F.col("cnt_at_m1") >= 2), F.col("m1")
+    ).otherwise(F.col("m2"))
+    stats = ps2.select(
+        "l_orderkey", "l_suppkey", "cnt_supp", max_other.alias("max_other")
+    )
+    rows = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(stats, ["l_orderkey", "l_suppkey"])
+        .filter(
+            (F.col("l_shipdate") > F.col("o_orderdate"))
+            & (F.col("cnt_supp") >= 2)
+            & (F.col("l_shipdate") >= F.col("max_other"))
+        )
+    )
+    return (
+        rows.join(F.broadcast(s), rows.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -102,6 +102,10 @@ EXCHANGE_BUDGET = {
     "k67_dsir_importance": 18,
     # k68 is a pure stateless map pass — ZERO exchanges, pinned at zero
     "k68_jl_projection": 0,
+    # z25: more exchanges than z22's decorrelated form (windows re-sort
+    # within the orderkey partitioning) but ONE lineitem scan instead of
+    # three — the fact-IO trade the docstring claims
+    "z25_q21_onepass": 12,
 }
 
 
