@@ -985,3 +985,62 @@ def z25_q21_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+Z26_SQL = """
+SELECT s_nationkey,
+       CAST(floor(sum(s_acctbal) * 100 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 100 AS bal
+FROM supplier
+GROUP BY s_nationkey
+HAVING sum(s_acctbal) > (SELECT sum(s_acctbal) * CAST(0.04 AS DOUBLE) FROM supplier)
+"""
+
+
+@register("z26_sql_frontend_q11", oracle=Z26_SQL, group="B")
+def z26_sql_frontend_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock share) through the SQL front end:
+    a SCALAR SUBQUERY INSIDE HAVING — the group filter compares each
+    group's aggregate against a fraction of the GLOBAL aggregate, the
+    dialect surface BI percent-of-total reports generate. Both engines
+    compute the global sum once (a 1-row frame joined/broadcast into the
+    group filter) — no re-scan per group. The HAVING compares unrounded
+    doubles, safe because group sums sit nowhere near ulp distance of
+    4% of the total (continuous values); the OUTPUT rides r2sql."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "supplier")
+    return spark.sql(Z26_SQL)
+
+
+Z27_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(floor(total_revenue * 100 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 100 AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@register("z27_sql_frontend_q15", oracle=Z27_SQL, group="B")
+def z27_sql_frontend_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarterly revenue) through the
+    SQL front end: a CTE referenced TWICE — once as the join source,
+    once inside the argmax scalar subquery — the view-reuse surface
+    (classic Q15 wraps this in CREATE VIEW; the CTE is the inline form
+    both engines share). Spark inlines the CTE into both consumers and
+    then reuses the aggregated exchange; the equality-on-double argmax
+    is safe per engine (each compares its own sum against its own max
+    of the same sums — bit-identical by construction), and cross-engine
+    because the top-2 revenue gap is astronomically wider than
+    accumulation-order jitter. Supplier dim broadcasts; the only
+    corpus-scale movement is the revenue groupBy on l_suppkey."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(Z27_SQL)

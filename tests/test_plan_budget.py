@@ -106,6 +106,8 @@ EXCHANGE_BUDGET = {
     # within the orderkey partitioning) but ONE lineitem scan instead of
     # three — the fact-IO trade the docstring claims
     "z25_q21_onepass": 12,
+    "z26_sql_frontend_q11": 6,
+    "z27_sql_frontend_q15": 12,
 }
 
 
