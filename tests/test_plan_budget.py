@@ -99,7 +99,7 @@ EXCHANGE_BUDGET = {
     # frames broadcast back) + the per-doc regroup
     "m38_merge_skew_delta": 4,
     "k66_shard_pack": 14,
-    "k67_dsir_importance": 18,
+    "k67_dsir_importance": 20,
     # k68 is a pure stateless map pass — ZERO exchanges, pinned at zero
     "k68_jl_projection": 0,
     # z25: more exchanges than z22's decorrelated form (windows re-sort
