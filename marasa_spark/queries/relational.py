@@ -934,51 +934,53 @@ def z25_q21_onepass(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, how many suppliers attain the max, and the runner-up max —
     then 'no other supplier shipped later' is the stateless comparison
     shipdate >= max_other, where max_other is m1 unless THIS supplier
-    uniquely holds it (then m2). One groupBy + one window + one join
-    back, every movement keyed on l_orderkey (AQE-splittable if an order
-    is hot); the supplier dim broadcasts. At 100 TB this halves the
-    fact IO of the textbook EXISTS/NOT EXISTS form whenever the
-    optimizer doesn't reuse the subquery scans."""
-    li = load_table(spark, sf_dir, "lineitem")
+    uniquely holds it (then m2). Everything is windows over the raw rows
+    — per-(order,supplier) max, then order-level max / runner-up /
+    attainer-set — so lineitem is scanned ONCE (pinned:
+    tests/test_plan_audit.py counts parquet scans, z22's decorrelated
+    form needs three) with every movement keyed on l_orderkey. The
+    collect_set cardinality is bounded by suppliers-per-order (single
+    digits in an order-line schema), never corpus-scale; the supplier
+    dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
     o = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    ps = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("smax")
-    )
-    w = Window.partitionBy("l_orderkey")
-    ps1 = ps.select(
-        "*",
-        F.max("smax").over(w).alias("m1"),
-        F.count(F.lit(1)).over(w).alias("cnt_supp"),
-    )
-    ps2 = ps1.select(
-        "*",
-        F.sum(F.when(F.col("smax") == F.col("m1"), 1).otherwise(0))
-        .over(w)
-        .alias("cnt_at_m1"),
-        F.max(F.when(F.col("smax") < F.col("m1"), F.col("smax")))
-        .over(w)
-        .alias("m2"),
+    wos = Window.partitionBy("l_orderkey", "l_suppkey")
+    wo = Window.partitionBy("l_orderkey")
+    x = li.withColumn("smax", F.max("l_shipdate").over(wos))
+    x = (
+        x.withColumn("m1", F.max("smax").over(wo))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(wo)))
+        .withColumn(
+            "supp_at_m1",
+            F.size(
+                F.collect_set(
+                    F.when(
+                        F.col("smax") == F.max("smax").over(wo), F.col("l_suppkey")
+                    )
+                ).over(wo)
+            ),
+        )
+        .withColumn(
+            "m2",
+            F.max(
+                F.when(F.col("smax") < F.max("smax").over(wo), F.col("smax"))
+            ).over(wo),
+        )
     )
     max_other = F.when(
-        (F.col("smax") < F.col("m1")) | (F.col("cnt_at_m1") >= 2), F.col("m1")
+        (F.col("smax") < F.col("m1")) | (F.col("supp_at_m1") >= 2), F.col("m1")
     ).otherwise(F.col("m2"))
-    stats = ps2.select(
-        "l_orderkey", "l_suppkey", "cnt_supp", max_other.alias("max_other")
-    )
-    rows = (
-        li.select("l_orderkey", "l_suppkey", "l_shipdate")
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(stats, ["l_orderkey", "l_suppkey"])
-        .filter(
-            (F.col("l_shipdate") > F.col("o_orderdate"))
-            & (F.col("cnt_supp") >= 2)
-            & (F.col("l_shipdate") >= F.col("max_other"))
-        )
+    rows = x.join(o, x.l_orderkey == o.o_orderkey).filter(
+        (F.col("l_shipdate") > F.col("o_orderdate"))
+        & (F.col("n_supp") >= 2)
+        & (F.col("l_shipdate") >= max_other)
     )
     return (
         rows.join(F.broadcast(s), rows.l_suppkey == s.s_suppkey)

@@ -363,3 +363,21 @@ def test_dup_span_shuffle_carries_hash_not_span(spark):
         assert " s#" not in frag[:300], (
             "span string rides the shuffle:\n" + frag[:300]
         )
+
+
+def test_q21_onepass_scans_lineitem_once(spark):
+    """z25's whole reason to exist: the window rewrite must touch
+    lineitem in exactly ONE parquet scan, where z22's decorrelated
+    EXISTS/NOT EXISTS form needs three (spine + semi + anti). Counts are
+    taken on the executed AQE plan string, which prints the plan twice
+    (initial + final) — hence the /2."""
+    import re
+
+    def li_scans(qid):
+        plan = plan_of(spark, qid, execute=True)
+        n = len(re.findall(r"Scan parquet[^\n]*lineitem", plan))
+        assert n % 2 == 0, "AQE doubling assumption broke:\n" + plan[:800]
+        return n // 2
+
+    assert li_scans("z25_q21_onepass") == 1
+    assert li_scans("z22_sql_frontend_q21") == 3

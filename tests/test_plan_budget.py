@@ -102,10 +102,10 @@ EXCHANGE_BUDGET = {
     "k67_dsir_importance": 20,
     # k68 is a pure stateless map pass — ZERO exchanges, pinned at zero
     "k68_jl_projection": 0,
-    # z25: more exchanges than z22's decorrelated form (windows re-sort
-    # within the orderkey partitioning) but ONE lineitem scan instead of
-    # three — the fact-IO trade the docstring claims
-    "z25_q21_onepass": 12,
+    # z25: pure-window form — one lineitem scan (audited in
+    # test_plan_audit) and no join-back, 10 exchanges vs z22's 10 with
+    # a third of the fact IO
+    "z25_q21_onepass": 10,
     "z26_sql_frontend_q11": 6,
     "z27_sql_frontend_q15": 12,
 }
