@@ -3305,3 +3305,73 @@ def k68_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) / F.sqrt(F.lit(8.0))
         out.append(r2(proj, 4).alias(f"p{b}"))
     return e.select(*out)
+
+
+# ---------------------------------------------------------------------------
+# k69 — deterministic per-epoch global shuffle (training-order generation)
+# ---------------------------------------------------------------------------
+
+K69_ORACLE = """
+WITH epochs AS (
+  SELECT doc_id, e.epoch,
+         (doc_id * (2654435761 + e.epoch * 40503)) % 1000000007 AS h
+  FROM documents, (SELECT unnest([0, 1]) AS epoch) e
+)
+SELECT epoch, doc_id,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM epochs
+"""
+
+
+@register("k69_epoch_shuffle", oracle=K69_ORACLE, group="K")
+def k69_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle — the training-order
+    generator: every epoch gets its own full permutation of the corpus,
+    reproducible from (doc_id, epoch) alone (affine hash mod a prime,
+    no RNG state to checkpoint, any worker can answer 'what is position
+    p of epoch e' independently — how epoch reshuffling works when the
+    corpus doesn't fit anywhere). The epoch must vary the MULTIPLIER,
+    not add an offset: h = id*P + e*C shifts every hash equally and
+    (except at the modulus wraparound) preserves the order — epoch 1
+    would replay epoch 0's sequence; the behavioral test caught exactly
+    that in the first draft. h = id*(P + e*C) mod prime gives
+    decorrelated permutations. Positions come from f3's two-phase
+    rank GENERALIZED to partitioned-global ranks: range-repartition on
+    (epoch, hash), per-(epoch, partition) counts, running offsets per
+    epoch (a window over the tiny counts table), local row_number —
+    never a one-task-per-epoch window, which is what a naive
+    PARTITION BY epoch ORDER BY hash would plan at 100 TB. Epoch
+    decorrelation (almost no doc keeps its position across epochs) is
+    pinned behaviorally in tests/test_jl_projection.py."""
+    nparts = 16
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    e = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    x = d.crossJoin(F.broadcast(e)).select(
+        "doc_id",
+        "epoch",
+        (
+            (F.col("doc_id") * (F.lit(2654435761) + F.col("epoch") * F.lit(40503)))
+            % F.lit(1000000007)
+        ).alias("h"),
+    )
+    ranged = x.repartitionByRange(nparts, "epoch", "h", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("epoch", "pid").agg(F.count(F.lit(1)).alias("n"))
+    wcum = (
+        W.partitionBy("epoch")
+        .orderBy("pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("n").over(wcum), F.lit(0))
+    ).select("epoch", "pid", "offset")
+    wlocal = W.partitionBy("epoch", "pid").orderBy("h", "doc_id")
+    return (
+        ranged.join(F.broadcast(offsets), ["epoch", "pid"])
+        .select(
+            "epoch",
+            "doc_id",
+            (F.col("offset") + F.row_number().over(wlocal)).cast("long").alias("pos"),
+        )
+    )

@@ -95,3 +95,36 @@ def test_merge_delta_equals_unsplit(spark, sf_dir):
     assert diff == 0
     n_actions = {r.merge_action for r in merged.select("merge_action").distinct().collect()}
     assert "updated" in n_actions
+
+
+def test_epoch_shuffle_decorrelated_permutations(spark, sf_dir):
+    """k69: each epoch must be a full permutation 1..N, and the two
+    epochs' orders must be decorrelated (almost no doc holds the same
+    position in both)."""
+    df = REGISTRY["k69_epoch_shuffle"].fn(spark, sf_dir)
+    per_epoch = {
+        r.epoch: r
+        for r in df.groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("pos").alias("lo"),
+            F.max("pos").alias("hi"),
+            F.countDistinct("pos").alias("npos"),
+        )
+        .collect()
+    }
+    assert set(per_epoch) == {0, 1}
+    for r in per_epoch.values():
+        assert (r.lo, r.hi, r.npos) == (1, r.n, r.n), r
+    same = (
+        df.filter(F.col("epoch") == 0)
+        .alias("a")
+        .join(
+            df.filter(F.col("epoch") == 1).alias("b"),
+            F.col("a.doc_id") == F.col("b.doc_id"),
+        )
+        .filter(F.col("a.pos") == F.col("b.pos"))
+        .count()
+    )
+    n = per_epoch[0].n
+    assert same / n < 0.02, (same, n)

@@ -106,6 +106,9 @@ EXCHANGE_BUDGET = {
     # test_plan_audit) and no join-back, 10 exchanges vs z22's 10 with
     # a third of the fact IO
     "z25_q21_onepass": 10,
+    # k69: the f3 two-phase rank per epoch (range repartition + tiny
+    # offset windows broadcast back), measured under the repo session
+    "k69_epoch_shuffle": 15,
     "z26_sql_frontend_q11": 6,
     "z27_sql_frontend_q15": 12,
 }
