@@ -172,16 +172,29 @@ def c6_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 C7_ORACLE = """
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
 """
 
 
 @register("c7_join_anti", oracle=C7_ORACLE, group="C")
 def c7_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS → left-anti join."""
+    """NOT EXISTS → left-anti join (customers with no URGENT order).
+    The original every-customer form was vacuous in this corpus — every
+    customer has orders at sf0.001/0.01, so the anti join output was
+    EMPTY and the hash check held on zero rows; the priority filter
+    keeps ~13% of customers surviving at every SF, so the anti-join
+    semantics are actually exercised (the zero-row-oracle audit that
+    caught this is part of the round-6 sweep)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
 
 
 C8_ORACLE = """

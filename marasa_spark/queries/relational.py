@@ -582,7 +582,7 @@ def z13_sql_frontend_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Z14_SQL = """
 WITH active AS (
-  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= DATE '1999-01-01'
 )
 SELECT c_mktsegment, count(*) AS inactive_customers
 FROM customer
@@ -596,7 +596,9 @@ GROUP BY c_mktsegment
 def z14_sql_frontend_cte_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CTE + null-filtered LEFT JOIN (the textbook anti-join idiom users
     write before discovering ANTI JOIN syntax) through the SQL front
-    end: customers with no 1996+ orders, counted per segment. Both
+    end: customers with no 1999+ orders, counted per segment (the 1996
+    cutoff of the first draft left NO inactive customers at any SF —
+    vacuously green; the zero-row-oracle audit caught it). Both
     engines plan the WHERE o_custkey IS NULL over the left join as an
     anti join against the DISTINCT CTE; the CTE itself is one shuffle,
     then broadcast back against customer."""
