@@ -357,7 +357,12 @@ FROM documents
 
 @register("k12_lang_id", oracle=K12_ORACLE, group="K")
 def k12_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rule-based language ID (charset + stopword markers)."""
+    """Rule-based language ID (charset + stopword markers). Corpus
+    caveat: this synthetic corpus's text is English word-soup for every
+    declared lang, so guessed_lang is 'en' across the board here — the
+    honest accuracy story lives in k46's confusion matrix, and the
+    non-en marker branches are unit-pinned on constructed text in
+    tests/test_jl_projection.py."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -1274,7 +1279,7 @@ WITH toks AS (
 ), counts AS (
     SELECT tok, count(*) AS n FROM toks GROUP BY tok
 ), vocab AS (
-    SELECT tok FROM counts ORDER BY n DESC, tok LIMIT 50
+    SELECT tok FROM counts ORDER BY n DESC, tok LIMIT 25
 )
 SELECT doc_id, count(*) AS n_tokens,
        count(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov,
@@ -1287,9 +1292,11 @@ GROUP BY doc_id
 
 @register("k35_oov_rate", oracle=K35_ORACLE, group="K")
 def k35_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary-coverage audit: build the corpus's top-50 token vocab
-    (count desc, token as the deterministic tiebreak), broadcast it, and
-    score every document's out-of-vocabulary rate — the tokenizer-fit
+    """Vocabulary-coverage audit: build the corpus's top-25 token vocab
+    (count desc, token as the deterministic tiebreak; the corpus has 31
+    distinct tokens, so a top-50 vocab covered everything and the OOV
+    branch never fired — caught by the constant-column audit), broadcast
+    it, and score every document's out-of-vocabulary rate — the tokenizer-fit
     check a training pipeline runs before committing to a vocab. Two
     linear passes: token counts (one shuffle on token), then a broadcast
     membership probe per token — the corpus is never shuffled for the
@@ -1303,7 +1310,7 @@ def k35_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy(F.col("n").desc(), F.col("tok"))
     vocab = (
         counts.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 50)
+        .filter(F.col("rk") <= 25)
         .select("tok", F.lit(1).alias("in_vocab"))
     )
     probed = toks.join(F.broadcast(vocab), "tok", "left")
@@ -1497,9 +1504,15 @@ def k38_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 K39_ORACLE = f"""
-WITH sent AS (
+WITH dirty AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || '. subscribe to the newsletter today. all rights reserved'
+              ELSE text END AS text
+  FROM documents
+), sent AS (
   SELECT DISTINCT doc_id, md5(trim(s)) AS h
-  FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS s FROM documents)
+  FROM (SELECT doc_id, unnest(string_split(text, '. ')) AS s FROM dirty)
   WHERE trim(s) <> ''
 ), global_n AS (
   SELECT h, CAST(count(*) AS BIGINT) AS n_docs FROM sent GROUP BY h
@@ -1520,11 +1533,29 @@ def k39_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     many DISTINCT docs contain each sentence corpus-wide, and report per
     doc the fraction of its sentences that appear elsewhere — high shares
     flag boilerplate and mirror pages for removal or line-level scrubbing.
-    Hashes (16 B) — never sentence text — ride the corpus-wide shuffle;
+    The corpus has no sentence boundaries of its own (one period-free
+    line per doc — the split and dup branches never fired; caught by the
+    constant-column audit), so a shared two-sentence boilerplate tail is
+    deterministically injected into every 5th doc, identically in the
+    oracle: 20% of docs then carry 3 sentences of which the 2 injected
+    ones are corpus-wide duplicates (dup_share 2/3). Hashes (16 B) — never sentence text — ride the corpus-wide shuffle;
     per-doc internal repeats are collapsed by the DISTINCT before counting
     so the signal is strictly cross-doc. Both shuffles key on uniform md5
     values: no skew at any scale."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    ". subscribe to the newsletter today. all rights reserved"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
     sent = (
         d.select(
             "doc_id",
@@ -1553,13 +1584,20 @@ def k39_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _K40_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 K40_ORACLE = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN text || ' order 12345 units (qty: 7)'
+              ELSE text END AS text
+  FROM documents
+)
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{_K40_PAT}')) AS BIGINT) AS n_pretok,
        CAST(len(list_filter(regexp_extract_all(text, '{_K40_PAT}'),
                             t -> t ~ '^[0-9]+$')) AS BIGINT) AS n_number_runs,
        {r2sql("len(regexp_extract_all(text, '" + _K40_PAT + "'))"
               " / CAST(len(string_split(text, ' ')) AS DOUBLE)", 4)} AS pretok_per_word
-FROM documents
+FROM dirty
 """
 
 
@@ -1572,9 +1610,21 @@ def k40_pretokenize_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     number-run count and pre-tokens-per-word ratio (high ratios flag
     punctuation/code-heavy text for routing to different tokenizers). The
     pattern sticks to POSIX classes so Java and RE2-ish dialects agree.
-    Single pass, no shuffle at all — count columns are per-row
+    The corpus text is pure lowercase words (no digits or punctuation —
+    every branch but letter-runs was dead; caught by the constant-column
+    audit), so ' order 12345 units (qty: 7)' is deterministically
+    appended to every 4th doc, identically in the oracle: number-run and
+    punctuation counts now vary. Single pass, no shuffle at all — count columns are per-row
     expressions."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" order 12345 units (qty: 7)")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
     toks = F.regexp_extract_all("text", F.lit(_K40_PAT), 0)
     n_pre = F.size(toks).cast("long")
     n_num = F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).cast("long")
@@ -2725,7 +2775,7 @@ K61_ORACLE = f"""
 WITH dirty AS (
   SELECT doc_id,
          text || ' contact user' || CAST(doc_id AS VARCHAR)
-              || '@example.com or 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              || '@example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
               || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
   FROM documents WHERE doc_id < 500
 ), red AS (
@@ -2762,8 +2812,8 @@ def k61_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text"),
             F.lit(" contact user"),
             F.col("doc_id").cast("string"),
-            F.lit("@example.com or 555-01"),
-            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
             F.lit("-"),
             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         ).alias("text"),

@@ -1007,7 +1007,11 @@ SELECT day, n, prev_n,
 FROM (
   SELECT CAST(ts AS DATE) AS day, count(*) AS n,
          lag(count(*)) OVER (ORDER BY CAST(ts AS DATE)) AS prev_n
-  FROM events GROUP BY CAST(ts AS DATE)
+  FROM (
+    SELECT ts FROM events
+    UNION ALL
+    SELECT ts FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+  ) GROUP BY CAST(ts AS DATE)
 )
 WHERE prev_n IS NOT NULL
 """
@@ -1018,12 +1022,20 @@ def m23_rowcount_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day row-count drift audit: daily ingest volumes with a
     lag-1 ratio, flagging ±50% swings — the first-line anomaly detector a
     pipeline runs on every landed partition (a dropped upstream feed or a
-    double-delivery shows up here before any content check). The daily
+    double-delivery shows up here before any content check). The events
+    corpus ingests uniformly (the alarm never fired at any SF — caught
+    by the constant-column audit), so a double-delivery of 2024-01-15
+    is deterministically simulated via UNION ALL, identically in the
+    oracle: that day flags on the way up AND the day after flags on the
+    way back down — the detector's both edges exercised. The daily
     counts collapse the table to ~one row per partition-day BEFORE the
     window, so the unpartitioned lag window sorts only days, never rows —
     at 100 TB that is a few thousand rows on one core after a map-side
     combined count."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    ev = ev.unionAll(
+        ev.filter(F.to_date("ts") == F.lit("2024-01-15").cast("date"))
+    )
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -128,3 +128,25 @@ def test_epoch_shuffle_decorrelated_permutations(spark, sf_dir):
     )
     n = per_epoch[0].n
     assert same / n < 0.02, (same, n)
+
+
+def test_lang_id_branches_fire_on_marked_text(spark):
+    """k12's corpus is English word-soup for every declared lang, so the
+    non-'en' branches of ops.text.lang_id never fire through the
+    registry op (documented data limitation, adjudicated by k46's
+    confusion matrix). This pins the function itself on constructed
+    inputs: every marker class must win on its own text and lose on the
+    others."""
+    from marasa_spark.ops.text import lang_id
+
+    cases = [
+        ("the quick brown fox jumps over it", "en"),
+        ("le chat et la table des maisons", "fr"),
+        ("el gato y los perros una casa", "es"),
+        ("der hund und die katze das haus", "de"),
+        ("中文文本在这里", "zh"),
+        ("", "en"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], ["text"])
+    got = [r.g for r in df.select(lang_id(F.col("text")).alias("g")).collect()]
+    assert got == [want for _, want in cases], got
