@@ -3425,3 +3425,83 @@ def k69_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.row_number().over(wlocal)).cast("long").alias("pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k70 — fixed-budget sequence batching via distributed prefix sum
+# ---------------------------------------------------------------------------
+
+K70_ORACLE = """
+WITH ordered AS (
+  SELECT doc_id, n_chars,
+         (doc_id * 2654435761) % 1000000007 AS h
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_chars,
+         CAST(COALESCE(sum(n_chars) OVER (
+           ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS chars_before
+  FROM ordered
+)
+SELECT CAST(floor(CAST(chars_before AS DOUBLE) / CAST(20000 AS DOUBLE)) AS BIGINT) AS batch_id,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       min(doc_id) AS first_doc
+FROM cum
+GROUP BY batch_id
+"""
+
+
+@register("k70_prefix_sum_batching", oracle=K70_ORACLE, group="K")
+def k70_prefix_sum_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget training micro-batches: walk the corpus in its
+    deterministic shuffle order (k69's hash) and cut a new batch every
+    20k chars — batch_id = floor(running_chars_before / budget), the
+    standard sequence-batching rule (every batch lands within one doc of
+    the budget, no bin search, reproducible from the order alone). The
+    interesting part at 100 TB is the RUNNING SUM: a bare
+    ROWS UNBOUNDED PRECEDING window over a global order is one task, so
+    this generalizes f3's two-phase rank to a two-phase PREFIX SUM —
+    range-repartition on the order key, per-partition char totals, an
+    exclusive running offset over the tiny per-partition table broadcast
+    back, then offset + local exclusive cumsum inside each partition.
+    Same movement budget as a global sort; the only single-partition
+    object is the 16-row offset table. Batch-size discipline is pinned
+    behaviorally in tests/test_jl_projection.py."""
+    nparts = 16
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)).alias("h"),
+    )
+    ranged = d.repartitionByRange(nparts, "h", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    psums = ranged.groupBy("pid").agg(F.sum("n_chars").alias("s"))
+    wcum = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = psums.withColumn(
+        "offset", F.coalesce(F.sum("s").over(wcum), F.lit(0))
+    ).select("pid", "offset")
+    wlocal = (
+        W.partitionBy("pid")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = ranged.join(F.broadcast(offsets), "pid").withColumn(
+        "chars_before",
+        (
+            F.col("offset") + F.coalesce(F.sum("n_chars").over(wlocal), F.lit(0))
+        ).cast("long"),
+    )
+    batch = F.floor(F.col("chars_before").cast("double") / F.lit(20000.0)).cast(
+        "long"
+    )
+    return (
+        cum.select(batch.alias("batch_id"), "n_chars", "doc_id")
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

@@ -150,3 +150,20 @@ def test_lang_id_branches_fire_on_marked_text(spark):
     df = spark.createDataFrame([(t,) for t, _ in cases], ["text"])
     got = [r.g for r in df.select(lang_id(F.col("text")).alias("g")).collect()]
     assert got == [want for _, want in cases], got
+
+
+def test_prefix_sum_batches_respect_budget(spark, sf_dir):
+    """k70: every batch's char total must sit within one max-document of
+    the 20k budget (the one-doc-overshoot guarantee of the
+    floor(prefix/budget) rule), and batches must partition the corpus."""
+    rows = REGISTRY["k70_prefix_sum_batching"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.sum("n_chars").alias("s"), F.max("n_chars").alias("m")).collect()[0]
+    assert sum(r.chars_total for r in rows) == total.s
+    budget, max_doc = 20000, total.m
+    ids = sorted(r.batch_id for r in rows)
+    assert ids == list(range(len(ids)))
+    for r in rows:
+        assert r.chars_total <= budget + max_doc, r
+        if r.batch_id != ids[-1]:
+            assert r.chars_total >= budget - max_doc, r

@@ -113,6 +113,9 @@ EXCHANGE_BUDGET = {
     # k69: the f3 two-phase rank per epoch (range repartition + tiny
     # offset windows broadcast back), measured under the repo session
     "k69_epoch_shuffle": 15,
+    # k70: two-phase prefix sum — range repartition + per-partition sums
+    # + offset broadcast + final batch regroup
+    "k70_prefix_sum_batching": 14,
     "z26_sql_frontend_q11": 6,
     "z27_sql_frontend_q15": 12,
 }
