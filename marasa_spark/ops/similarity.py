@@ -22,7 +22,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from marasa_spark.queries._util import r2
+def r2(col: Column, n: int = 2) -> Column:
+    """Lazy proxy for queries._util.r2: importing that module executes the
+    queries package __init__ (which registers every operator and imports
+    this module back) — a module-level import here makes `import
+    marasa_spark.ops.similarity` order-dependent (llm.py's `from
+    ops.similarity import _rh_signs` hits the partially-initialized
+    module when ops.similarity is imported first)."""
+    from marasa_spark.queries._util import r2 as _r2
+
+    return _r2(col, n)
 
 
 def dot(a: Column, b: Column) -> Column:

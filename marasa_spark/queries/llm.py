@@ -344,6 +344,39 @@ _FR = "(^| )(le|la|les|et|des|une?)( |$)"
 _ES = "(^| )(el|los|las|y|una?)( |$)"
 _DE = "(^| )(der|die|das|und|eine?)( |$)"
 
+_LANG_DIRTY = """
+  SELECT doc_id, lang,
+         text || CASE WHEN doc_id % 3 <> 2 THEN
+             CASE lang WHEN 'fr' THEN ' le chat et la'
+                       WHEN 'es' THEN ' el gato y los'
+                       WHEN 'de' THEN ' der hund und die'
+                       WHEN 'zh' THEN ' 中文'
+                       ELSE '' END
+           ELSE '' END AS text
+  FROM documents
+"""
+
+
+def _lang_marked(d: DataFrame) -> DataFrame:
+    """Dirty the synthetic corpus with declared-language marker tokens in
+    2/3 of each language's docs (the corpus text itself is English
+    word-soup for every declared lang, so without this the lang-ID's
+    non-en branches never fire — caught by the constant-column audit).
+    The unmarked third is a deliberate, known miss class: recall lands
+    at ~2/3 for non-en and the confusion matrix stays interesting."""
+    marker = F.when(
+        F.col("doc_id") % 3 != 2,
+        F.when(F.col("lang") == "fr", F.lit(" le chat et la"))
+        .when(F.col("lang") == "es", F.lit(" el gato y los"))
+        .when(F.col("lang") == "de", F.lit(" der hund und die"))
+        .when(F.col("lang") == "zh", F.lit(" 中文"))
+        .otherwise(F.lit("")),
+    ).otherwise(F.lit(""))
+    return d.select(
+        "doc_id", "lang", F.concat(F.col("text"), marker).alias("text")
+    )
+
+
 K12_ORACLE = f"""
 SELECT doc_id, lang AS declared_lang,
        CASE WHEN regexp_matches(text, '{_ZH}') THEN 'zh'
@@ -351,19 +384,19 @@ SELECT doc_id, lang AS declared_lang,
             WHEN regexp_matches(text, '{_ES}') THEN 'es'
             WHEN regexp_matches(text, '{_DE}') THEN 'de'
             ELSE 'en' END AS guessed_lang
-FROM documents
+FROM ({_LANG_DIRTY})
 """
 
 
 @register("k12_lang_id", oracle=K12_ORACLE, group="K")
 def k12_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rule-based language ID (charset + stopword markers). Corpus
-    caveat: this synthetic corpus's text is English word-soup for every
-    declared lang, so guessed_lang is 'en' across the board here — the
-    honest accuracy story lives in k46's confusion matrix, and the
-    non-en marker branches are unit-pinned on constructed text in
-    tests/test_jl_projection.py."""
-    d = load_table(spark, sf_dir, "documents")
+    """Rule-based language ID (charset + stopword markers), over the
+    marker-dirtied corpus (_lang_marked: the raw synthetic text is
+    English word-soup for every declared lang, so the non-en branches
+    were dead until markers were injected — identically in the oracle).
+    The function's branches are additionally unit-pinned on constructed
+    text in tests/test_jl_projection.py."""
+    d = _lang_marked(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.col("lang").alias("declared_lang"),
@@ -1751,7 +1784,7 @@ WITH guessed AS (
               WHEN regexp_matches(text, '{_ES}') THEN 'es'
               WHEN regexp_matches(text, '{_DE}') THEN 'de'
               ELSE 'en' END AS guessed_lang
-  FROM documents
+  FROM ({_LANG_DIRTY})
 ), counts AS (
   SELECT declared_lang, guessed_lang, count(*) AS n FROM guessed GROUP BY 1, 2
 ), per_lang AS (
@@ -1775,8 +1808,10 @@ def k46_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline stage needs (route/drop decisions are only as good as the
     classifier, so its error structure must be a queryable table, not a
     notebook artifact). Two tiny shuffles on (declared, guessed); the
-    classification itself is a per-row expression at scan speed."""
-    d = load_table(spark, sf_dir, "documents")
+    classification itself is a per-row expression at scan speed. Runs
+    over the _lang_marked dirtied corpus (see k12): diagonal-dominant
+    with the unmarked third of each language as the known miss class."""
+    d = _lang_marked(load_table(spark, sf_dir, "documents"))
     guessed = d.select(
         F.col("lang").alias("declared_lang"),
         T.lang_id(F.col("text")).alias("guessed_lang"),
