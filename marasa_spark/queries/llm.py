@@ -2811,7 +2811,10 @@ WITH dirty AS (
   SELECT doc_id,
          text || ' contact user' || CAST(doc_id AS VARCHAR)
               || '@example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
-              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+              || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' or 555-000-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      ELSE '' END AS text
   FROM documents WHERE doc_id < 500
 ), red AS (
   SELECT doc_id,
@@ -2836,7 +2839,9 @@ def k61_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (the compliance artifact a scrubbing pass must produce). Pure
     JVM regexp_replace chain — stateless per-row projection, zero
     shuffle, scales embarrassingly; the audit counts come from
-    placeholder-length arithmetic so no second regex pass is needed.
+    placeholder-length arithmetic so no second regex pass is needed;
+    every 3rd doc carries TWO phone numbers so the replace's global
+    flag (all occurrences, not first-match) is actually exercised.
     The corpus is synthetic, so deterministic PII is injected from
     doc_id first (identically in the oracle) — the redaction regexes are
     therefore genuinely exercised against text that contains matches."""
@@ -2851,6 +2856,13 @@ def k61_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
             F.lit("-"),
             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" or 555-000-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
         ).alias("text"),
     )
     red = dirty.select(
