@@ -1048,3 +1048,75 @@ def z27_sql_frontend_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "supplier", "lineitem")
     return spark.sql(Z27_SQL)
+
+
+Z28_SQL = """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(floor(sum(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)) * 100 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 100 AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#13' AND p_type IN ('SMALL', 'ECONOMY')   AND l_quantity BETWEEN 1 AND 20 AND p_size BETWEEN 1 AND 40)
+   OR (p_brand = 'Brand#11' AND p_type IN ('MEDIUM', 'STANDARD') AND l_quantity BETWEEN 10 AND 30 AND p_size BETWEEN 5 AND 45)
+   OR (p_brand = 'Brand#22' AND p_type IN ('LARGE', 'PROMO')     AND l_quantity BETWEEN 20 AND 40 AND p_size BETWEEN 10 AND 50)
+GROUP BY p_brand
+"""
+
+
+@register("z28_sql_frontend_q19_disjunctive", oracle=Z28_SQL, group="B")
+def z28_sql_frontend_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue under an OR of conjunction
+    groups) through the SQL front end — the DISJUNCTIVE-predicate surface
+    the z-sweep had not touched. The planner-relevant property: the WHERE
+    is an OR whose every branch constrains BOTH sides of the join, so a
+    naive engine evaluates it only post-join, while a good one factors the
+    part-side disjunction (p_brand/p_type/p_size) into the part scan and
+    the lineitem-side bounds (l_quantity never below 1) into the fact scan
+    before the join. Catalyst does exactly that via CNF conversion /
+    predicate factoring at the scan; part stays the broadcast side. The
+    three brand groups keep the output multi-row so the hash check covers
+    group routing, and count+revenue pin both the match set and the
+    arithmetic."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(Z28_SQL)
+
+
+Z29_SQL = """
+WITH region_sales AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS volume,
+         sn.n_regionkey AS supp_region
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey  = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN supplier ON l_suppkey  = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE cn.n_regionkey = 0
+)
+SELECT o_year,
+       CAST(floor((sum(CASE WHEN supp_region = 0 THEN volume ELSE CAST(0 AS DOUBLE) END) / sum(volume)) * 1000000 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 1000000 AS mkt_share,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM region_sales
+GROUP BY o_year
+"""
+
+
+@register("z29_sql_frontend_q8_share", oracle=Z29_SQL, group="B")
+def z29_sql_frontend_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share by year) through the SQL front end:
+    the CONDITIONAL-SHARE aggregate — sum(CASE)/sum over the same group,
+    the ratio idiom behind Q8/Q14 and every percent-of-segment BI tile —
+    over a 6-way snowflake join with nation joined TWICE under different
+    aliases (customer side filters the region, supplier side labels the
+    numerator as domestic-region volume — region-level rather than Q8's
+    single nation so the numerator is live at sf0.001's 10 suppliers). Catalyst broadcasts all four dims so the fact stream
+    shuffles only for the final year groupBy; the share rides a 6-decimal
+    floor-round (numerator/denominator are same-group double sums whose
+    cross-engine jitter is ~1e-15 relative — far inside the rounding
+    grain)."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem", "orders", "customer", "nation", "supplier")
+    return spark.sql(Z29_SQL)

@@ -118,6 +118,10 @@ EXCHANGE_BUDGET = {
     "k70_prefix_sum_batching": 14,
     "z26_sql_frontend_q11": 6,
     "z27_sql_frontend_q15": 12,
+    # z28: part-side disjunction broadcast + one agg shuffle (AQE
+    # initial+final print); z29: four broadcast dims + the year groupBy
+    "z28_sql_frontend_q19_disjunctive": 4,
+    "z29_sql_frontend_q8_share": 12,
 }
 
 
