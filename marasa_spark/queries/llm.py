@@ -3552,3 +3552,176 @@ def k70_prefix_sum_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k71 — bigram LM perplexity scoring (the step up from k38's unigram score)
+# ---------------------------------------------------------------------------
+
+K71_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), big AS (
+  SELECT doc_id, list_extract(t, i) AS w1, list_extract(t, i + 1) AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+), bc AS (
+  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM big GROUP BY w1, w2
+), cc AS (
+  SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM big GROUP BY w1
+), v AS (
+  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vsz
+  FROM (SELECT unnest(t) AS w FROM toks)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       {r2sql("avg(ln((c12 + 1) / (c1 + vsz)))", 4)} AS avg_logprob
+FROM big JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+GROUP BY doc_id
+"""
+
+
+@register("k71_bigram_lm_logprob", oracle=K71_ORACLE, group="K")
+def k71_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BIGRAM LM quality score with add-one smoothing: each
+    document's mean log P(w_i | w_{i-1}) under the corpus's own bigram
+    counts — the next rung of the perplexity-filter ladder above k38's
+    unigram score (CCNet-style filters use exactly this family; a bigram
+    model separates fluent text from bag-of-words soup that unigram
+    frequency cannot). Bigrams are built JVM-side with zero data movement
+    (zip_with over two slices of the split array — no lag window, no
+    self-join), so the whole job is: one shuffle to count (w1,w2), one on
+    w1 for context totals, the V scalar broadcast, and the per-doc regroup.
+    At 100 TB the count tables are vocabulary-bounded (dictionary-sized
+    against the corpus) so both re-joins broadcast, leaving the per-doc
+    regroup as the only full-data shuffle; smoothing keeps every unseen
+    transition finite so the score is total."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c12"))
+    cc = big.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    v = toks.select(F.explode("t").alias("w")).agg(
+        F.count_distinct(F.col("w")).cast("double").alias("vsz")
+    )
+    return (
+        big.join(bc, ["w1", "w2"])
+        .join(cc, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            r2(F.avg(F.log((F.col("c12") + 1) / (F.col("c1") + F.col("vsz")))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k72 — filter-cascade attrition audit (the funnel table of a cleaning run)
+# ---------------------------------------------------------------------------
+
+K72_ORACLE = f"""
+WITH per_doc AS (
+  SELECT CASE
+           WHEN n_chars < 100 THEN 1
+           WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 2
+           WHEN len(string_split(text, ' ')) < 20
+             OR len(string_split(text, ' ')) > 90 THEN 3
+           WHEN CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) < CAST(5 AS DOUBLE)
+             OR CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) > CAST(6 AS DOUBLE) THEN 4
+           ELSE 0
+         END AS stage_failed
+  FROM documents
+), drops AS (
+  SELECT stage_failed, CAST(count(*) AS BIGINT) AS dropped
+  FROM per_doc WHERE stage_failed > 0 GROUP BY stage_failed
+), total AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM per_doc
+), stages AS (
+  SELECT * FROM (VALUES (1, 'min_length'), (2, 'lang_allowlist'),
+                        (3, 'token_count'), (4, 'mean_word_len')) AS s(stage_idx, stage_name)
+)
+SELECT stage_idx, stage_name,
+       CAST(n_total - COALESCE(sum(dropped) OVER (ORDER BY stage_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS docs_in,
+       CAST(COALESCE(dropped, 0) AS BIGINT) AS dropped,
+       CAST(n_total - COALESCE(sum(dropped) OVER (ORDER BY stage_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS docs_out,
+       {r2sql("COALESCE(dropped, 0) / CAST(n_total - COALESCE(sum(dropped) OVER (ORDER BY stage_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)", 4)} AS drop_share
+FROM stages LEFT JOIN drops ON stage_idx = stage_failed CROSS JOIN total
+"""
+
+
+@register("k72_filter_cascade", oracle=K72_ORACLE, group="K")
+def k72_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attrition funnel of an ORDERED quality-filter battery (the table
+    every dataset-cleaning report leads with): four stages — minimum
+    length, language allowlist, token-count band, mean-word-length band —
+    applied in sequence, reporting per stage how many documents entered,
+    were dropped THERE (first failing stage wins, as in a real cascade
+    where later filters never see earlier drops), survived, and the drop
+    share. One linear scan computes each doc's first-failing stage, one
+    4-group aggregate counts them, and the cumulative window runs over the
+    4-row stage table — so the funnel costs a single pass at any scale and
+    the 100 TB shape is scan + tiny-aggregate, no shuffle of document
+    payloads. Thresholds are calibrated to the corpus so every stage's
+    drop branch is live at all three SFs (the constant-column audit's
+    standing requirement)."""
+    ntok = F.size(F.split("text", " "))
+    mwl = F.col("n_chars").cast("double") / ntok.cast("double")
+    stage_failed = (
+        F.when(F.col("n_chars") < 100, 1)
+        .when(~F.col("lang").isin("en", "de", "fr", "es"), 2)
+        .when((ntok < 20) | (ntok > 90), 3)
+        .when((mwl < 5.0) | (mwl > 6.0), 4)
+        .otherwise(0)
+    )
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(stage_failed.alias("stage_failed"))
+    drops = per.filter("stage_failed > 0").groupBy("stage_failed").agg(
+        F.count(F.lit(1)).alias("dropped")
+    )
+    total = per.agg(F.count(F.lit(1)).alias("n_total"))
+    stages = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("stage_idx"), F.lit(name).alias("stage_name")
+                    )
+                    for i, name in [
+                        (1, "min_length"),
+                        (2, "lang_allowlist"),
+                        (3, "token_count"),
+                        (4, "mean_word_len"),
+                    ]
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    before = W.orderBy("stage_idx").rowsBetween(W.unboundedPreceding, -1)
+    through = W.orderBy("stage_idx").rowsBetween(W.unboundedPreceding, 0)
+    dropped = F.coalesce(F.col("dropped"), F.lit(0))
+    docs_in = F.col("n_total") - F.coalesce(F.sum(dropped).over(before), F.lit(0))
+    docs_out = F.col("n_total") - F.coalesce(F.sum(dropped).over(through), F.lit(0))
+    return (
+        stages.join(drops, stages.stage_idx == drops.stage_failed, "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "stage_idx",
+            "stage_name",
+            docs_in.cast("long").alias("docs_in"),
+            dropped.cast("long").alias("dropped"),
+            docs_out.cast("long").alias("docs_out"),
+            r2(dropped.cast("double") / docs_in.cast("double"), 4).alias("drop_share"),
+        )
+    )

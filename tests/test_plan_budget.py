@@ -122,6 +122,11 @@ EXCHANGE_BUDGET = {
     # initial+final print); z29: four broadcast dims + the year groupBy
     "z28_sql_frontend_q19_disjunctive": 4,
     "z29_sql_frontend_q8_share": 12,
+    # k71: count shuffles on (w1,w2)/w1 + the V scalar + per-doc regroup,
+    # count tables re-attached as broadcasts (AQE initial+final print);
+    # k72: one scan -> 4-row aggregate + the two tiny funnel-table joins
+    "k71_bigram_lm_logprob": 16,
+    "k72_filter_cascade": 10,
 }
 
 
