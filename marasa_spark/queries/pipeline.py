@@ -1820,3 +1820,81 @@ def m38_merge_skew_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("updated"))
         .alias("merge_action"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m39 — broadcast-Bloom semi-join reducer (the runtime-filter pattern,
+# built explicitly so the mechanics are testable and conf-independent)
+# ---------------------------------------------------------------------------
+
+M39_ORACLE = f"""
+SELECT s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       {r2sql("sum(l_extendedprice)")} AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_acctbal > 4000
+GROUP BY s_nationkey
+"""
+
+_BLOOM_BITS = 1 << 16  # 65536 bits = 1024 longs = 8 KB broadcast
+
+
+@register("m39_bloom_semijoin_prune", oracle=M39_ORACLE, group="M")
+def m39_bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via an explicitly-built broadcast Bloom filter —
+    the runtime-filter pattern. Spark's optimizer-injected variant is
+    exercised by c23_bloom_join (scoped ``runtime.bloomFilter`` confs);
+    this op builds the same reducer as plain DataFrame algebra, so the
+    bitmap size, probe count, and prune placement are explicit, work on a
+    vanilla session with zero conf overrides, and stay auditable when the
+    optimizer's thresholds would decline to inject. The dim side (suppliers over a balance threshold)
+    folds its join keys into a 64Kbit bitmap — two xxhash64 probes per
+    key, ``bit_or`` per 64-bit bucket, assembled into ONE map row — which
+    broadcasts at a fixed 8 KB regardless of dim cardinality. The fact
+    scan applies the two-probe membership test BEFORE its shuffle, so the
+    sort-merge join (hinted ``merge`` — the shape a too-big-to-broadcast
+    dim forces at 100 TB) moves only rows that can match; Bloom false
+    positives are eliminated by the exact join, which is why the plain
+    join SQL is a valid oracle. At 100 TB this is the difference between
+    shuffling the full fact table and shuffling the ~selectivity fraction
+    of it, at the cost of an 8 KB broadcast — the bitmap never scales
+    with the dim, unlike broadcasting the key set itself."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 4000)
+
+    def pos_expr(key: str, j: int) -> str:
+        return f"pmod(xxhash64({key}, {j}), {_BLOOM_BITS})"
+
+    pos = su.selectExpr(
+        f"explode(array({pos_expr('s_suppkey', 0)}, {pos_expr('s_suppkey', 1)})) AS pos"
+    ).selectExpr(
+        "pos div 64 AS bucket",
+        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS m",
+    )
+    bloom = (
+        pos.groupBy("bucket")
+        .agg(F.bit_or("m").alias("mask"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "mask"))).alias("bf"))
+    )
+
+    def hit(j: int) -> str:
+        p = pos_expr("l_suppkey", j)
+        word = f"element_at(bf, {p} div 64)"
+        bit = f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))"
+        return f"({word} IS NOT NULL AND ({word} & {bit}) != 0)"
+
+    pruned = (
+        li.select("l_suppkey", "l_extendedprice")
+        .crossJoin(F.broadcast(bloom))
+        .filter(F.expr(f"{hit(0)} AND {hit(1)}"))
+        .drop("bf")
+    )
+    return (
+        pruned.hint("merge")
+        .join(su.select("s_suppkey", "s_nationkey"), pruned.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            r2(F.sum("l_extendedprice")).alias("revenue"),
+        )
+    )

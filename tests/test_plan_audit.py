@@ -381,3 +381,24 @@ def test_q21_onepass_scans_lineitem_once(spark):
 
     assert li_scans("z25_q21_onepass") == 1
     assert li_scans("z22_sql_frontend_q21") == 3
+
+
+def test_m39_bloom_prunes_before_merge_join(spark):
+    """m39: the hand-built Bloom membership test must sit on the fact side
+    BEFORE the sort-merge join's exchange (prune-then-shuffle is the whole
+    point), and the exact join must be SMJ — the too-big-to-broadcast shape
+    the op models — not a broadcast that would make the bloom redundant."""
+    from marasa_spark.registry import REGISTRY
+
+    df = REGISTRY["m39_bloom_semijoin_prune"].fn(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, "exact join is not SMJ:\n" + plan[:1200]
+    # The fact-side exchange feeding the SMJ must already be downstream of
+    # the bitmap filter: every hashpartitioning(l_suppkey...) fragment has
+    # the element_at membership test inside it (the filter reads the map).
+    frags = plan.split("Exchange hashpartitioning(l_suppkey")
+    assert len(frags) > 1, "no fact-side shuffle on l_suppkey found"
+    assert "element_at" in frags[1], (
+        "bloom membership test is not below the fact shuffle:\n" + frags[1][:800]
+    )

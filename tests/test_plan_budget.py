@@ -127,6 +127,9 @@ EXCHANGE_BUDGET = {
     # k72: one scan -> 4-row aggregate + the two tiny funnel-table joins
     "k71_bigram_lm_logprob": 16,
     "k72_filter_cascade": 10,
+    # m39: bitmap build (bucket groupBy + single-row fold + broadcast) +
+    # the two SMJ-side shuffles, AQE initial+final print
+    "m39_bloom_semijoin_prune": 12,
 }
 
 
