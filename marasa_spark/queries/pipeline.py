@@ -1898,3 +1898,80 @@ def m39_bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum("l_extendedprice")).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m40 — fixed-iteration PageRank over the customer-supplier trade graph
+# ---------------------------------------------------------------------------
+
+_PR_D = "CAST(0.85 AS DOUBLE)"
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled-CTE twin of ops.graph.pagerank: one CTE per iteration,
+    each rounding to 8 decimals exactly as the engine does."""
+    rnd8 = lambda x: r2sql(x, 8)  # noqa: E731
+    sql = f"""WITH edges AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), e AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM deg
+), r0 AS (
+  SELECT node, deg, {rnd8("CAST(1 AS DOUBLE) / n")} AS r FROM deg CROSS JOIN nn
+)"""
+    for t in range(1, iters + 1):
+        sql += f""", r{t} AS (
+  SELECT deg.node, deg.deg,
+         {rnd8(f"(CAST(1 AS DOUBLE) - {_PR_D}) / n + {_PR_D} * c.c")} AS r
+  FROM deg JOIN (
+    SELECT e.dst AS node, sum(r{t - 1}.r / r{t - 1}.deg) AS c
+    FROM e JOIN r{t - 1} ON e.src = r{t - 1}.node GROUP BY e.dst
+  ) c USING (node) CROSS JOIN nn
+)"""
+    sql += f"""
+SELECT node, CAST(deg AS BIGINT) AS degree, {r2sql("r", 6)} AS pagerank
+FROM r{iters}"""
+    return sql
+
+
+M40_ORACLE = _pagerank_oracle(5)
+
+
+@register("m40_pagerank", oracle=M40_ORACLE, group="M")
+def m40_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-iteration PageRank over the undirected customer-supplier trade
+    graph (an edge per distinct trading pair from orders ⋈ lineitem;
+    customers at 2k, suppliers at 2k+1 keep the id spaces disjoint) — the
+    canonical iterative-algebra workload the engine had not yet carried
+    beyond min-label components (k49). The Spark side is
+    ops.graph.pagerank: edge list checkpointed once, two shuffles per
+    iteration, ranks re-rounded to 8 decimals per round so the DuckDB
+    unrolled-CTE oracle folds bit-identical inputs; the oracle IS the same
+    recurrence written as six chained CTEs. Undirected degree >= 1 by
+    construction removes the dangling-mass term, which is what makes the
+    recurrence expressible identically in both engines. At 100 TB the
+    knobs are iteration count and the edge-list checkpoint granularity;
+    the per-round cost is joins on the node key that AQE can co-partition
+    after round one."""
+    from marasa_spark.ops.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, iters=5, damping=0.85)
+    return ranks.select(
+        "node",
+        F.col("deg").cast("long").alias("degree"),
+        r2(F.col("r"), 6).alias("pagerank"),
+    )

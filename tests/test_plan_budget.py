@@ -130,6 +130,11 @@ EXCHANGE_BUDGET = {
     # m39: bitmap build (bucket groupBy + single-row fold + broadcast) +
     # the two SMJ-side shuffles, AQE initial+final print
     "m39_bloom_semijoin_prune": 12,
+    # m40: the returned frame reads the last per-iteration localCheckpoint
+    # (iteration shuffles run in earlier jobs), so the final plan is a
+    # projection — any exchange appearing here means the checkpoint
+    # discipline broke
+    "m40_pagerank": 0,
 }
 
 
