@@ -3725,3 +3725,179 @@ def k72_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(dropped.cast("double") / docs_in.cast("double"), 4).alias("drop_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k73/k74 — BPE tokenizer training + encoding as pure relational algebra
+# ---------------------------------------------------------------------------
+
+_BPE_ITERS = 10
+
+
+def _bpe_vocab_ctes(iters: int) -> str:
+    """The shared DuckDB CTE chain: word-frequency table -> char-split
+    symbol strings -> `iters` greedy merge rounds. Symbol strings use a
+    TWO-space separator and one leading/trailing pad space, so the merge
+    `replace(s, ' p1  p2 ', ' p1p2 ')` consumes one space from each
+    neighboring gap: adjacent pairs in a run stay matchable (left-to-right
+    non-overlapping replace == BPE's greedy-left merge order), and the
+    two-space discipline is restored by the replacement's own padding."""
+    sql = """WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tok WHERE w <> '' GROUP BY w
+), v0 AS (
+  SELECT w, freq, '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s FROM wf
+)"""
+    for t in range(1, iters + 1):
+        sql += f""", m{t} AS (
+  SELECT {t} AS it, p1, p2, cnt FROM (
+    SELECT p1, p2, CAST(sum(freq) AS BIGINT) AS cnt,
+           row_number() OVER (ORDER BY sum(freq) DESC, p1, p2) AS rk
+    FROM (
+      SELECT freq, list_extract(syms, i) AS p1, list_extract(syms, i + 1) AS p2
+      FROM (SELECT freq, string_split(trim(s), '  ') AS syms FROM v{t - 1}),
+           unnest(generate_series(1, len(syms) - 1)) AS u(i)
+    ) GROUP BY p1, p2
+  ) WHERE rk = 1
+), v{t} AS (
+  SELECT w, freq,
+         replace(s, ' ' || p1 || '  ' || p2 || ' ', ' ' || p1 || p2 || ' ') AS s
+  FROM v{t - 1} CROSS JOIN m{t}
+)"""
+    return sql
+
+
+K73_ORACLE = (
+    _bpe_vocab_ctes(_BPE_ITERS)
+    + "\nSELECT it, p1, p2, cnt FROM ("
+    + " UNION ALL ".join(f"SELECT * FROM m{t}" for t in range(1, _BPE_ITERS + 1))
+    + ")"
+)
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, iters: int):
+    """Spark twin of the CTE chain: returns (merges_df, final_vocab_df)."""
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter("w <> ''")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = wf.selectExpr(
+        "w", "freq", "'  ' || regexp_replace(w, '(.)', '$1  ') AS s"
+    )
+    merges = []
+    for t in range(1, iters + 1):
+        pairs = (
+            vocab.selectExpr("freq", "split(trim(s), '  ') AS syms")
+            .selectExpr(
+                "freq",
+                "explode(zip_with(slice(syms, 1, size(syms) - 1),"
+                " slice(syms, 2, size(syms) - 1),"
+                " (a, b) -> struct(a AS p1, b AS p2))) AS bg",
+            )
+            .select("freq", "bg.p1", "bg.p2")
+        )
+        top1 = (
+            pairs.groupBy("p1", "p2")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "p1", "p2")
+            .limit(1)
+            .select(F.lit(t).alias("it"), "p1", "p2", "cnt")
+        )
+        try:
+            top1 = top1.localCheckpoint(eager=True)
+        except Exception:
+            top1.cache().count()
+        merges.append(top1)
+        vocab = vocab.crossJoin(F.broadcast(top1.select("p1", "p2"))).selectExpr(
+            "w",
+            "freq",
+            "replace(s, ' ' || p1 || '  ' || p2 || ' ', ' ' || p1 || p2 || ' ') AS s",
+        )
+        try:
+            vocab = vocab.localCheckpoint(eager=True)
+        except Exception:
+            vocab.cache().count()
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out, vocab
+
+
+@register("k73_bpe_train", oracle=K73_ORACLE, group="K")
+def k73_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING as pure relational algebra: ten greedy
+    merge rounds over the corpus's word-frequency table — each round
+    counts symbol bigrams (weighted by word frequency), takes the global
+    top pair under a total tiebreak (count DESC, then pair lexicographic,
+    via orderBy+limit — no single-partition window), and rewrites every
+    word's symbol string with one `replace`. The two-space separator
+    encoding makes SQL's left-to-right non-overlapping replace implement
+    BPE's greedy-left merge exactly (see _bpe_vocab_ctes), so the DuckDB
+    oracle is the SAME recurrence unrolled into CTEs and the output —
+    (iteration, left symbol, right symbol, pair count) — is integer-exact
+    with no float anywhere. Scale shape: everything runs over the word-
+    TYPE table (Heaps-law bounded, millions of rows at 100 TB, not the
+    corpus), each round is one bigram-count shuffle plus a 1-row
+    broadcast; the corpus itself is read once for the frequency table.
+    End-of-word markers are omitted (merges stay within words) — the
+    convention is documented rather than modeled."""
+    merges, _ = _bpe_train(spark, sf_dir, _BPE_ITERS)
+    return merges
+
+
+K74_ORACLE = (
+    _bpe_vocab_ctes(_BPE_ITERS)
+    + f""", doc_tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), wmap AS (
+  SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS ntok_w,
+         CAST(len(w) AS BIGINT) AS nchar_w
+  FROM v{_BPE_ITERS}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(ntok_w) AS BIGINT) AS n_tokens,
+       {r2sql("sum(nchar_w) / CAST(sum(ntok_w) AS DOUBLE)", 4)} AS chars_per_token
+FROM doc_tok JOIN wmap USING (w)
+WHERE w <> ''
+GROUP BY doc_id"""
+)
+
+
+@register("k74_bpe_encode", oracle=K74_ORACLE, group="K")
+def k74_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the k73-trained vocabulary: token counts and
+    compression ratio (chars per token) per document — the fertility
+    metric tokenizer teams track per language/source. The trained vocab
+    collapses to a word -> token-count map (word-type-table sized, so it
+    BROADCASTS at any corpus scale); encoding is then one stateless join
+    on the exploded word stream plus the per-doc regroup — the corpus
+    never carries symbol strings, only its words. Shares k73's training
+    chain verbatim (same CTEs in the oracle, same _bpe_train twin), so
+    the two registrations cross-check each other: a drift in the merge
+    order would break BOTH hashes in correlated ways."""
+    _, vocab = _bpe_train(spark, sf_dir, _BPE_ITERS)
+    wmap = vocab.selectExpr(
+        "w",
+        "CAST(size(split(trim(s), '  ')) AS BIGINT) AS ntok_w",
+        "CAST(length(w) AS BIGINT) AS nchar_w",
+    )
+    d = load_table(spark, sf_dir, "documents")
+    doc_tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter("w <> ''")
+    return (
+        doc_tok.join(F.broadcast(wmap), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("ntok_w").alias("n_tokens"),
+            r2(
+                F.sum("nchar_w").cast("double") / F.sum("ntok_w").cast("double"), 4
+            ).alias("chars_per_token"),
+        )
+    )
