@@ -1120,3 +1120,204 @@ def z29_sql_frontend_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "lineitem", "orders", "customer", "nation", "supplier")
     return spark.sql(Z29_SQL)
+
+
+# ---------------------------------------------------------------------------
+# z30-z35 — the last six TPC-H shapes: the dual-engine sweep covers all 22
+# ---------------------------------------------------------------------------
+# Q2/Q9/Q12/Q20 are adapted to this corpus's schema (no partsupp table, no
+# l_shipmode/l_commitdate columns — TESTDATA.md): lineitem doubles as the
+# part<->supplier catalog and o_orderpriority stands in for shipmode urgency.
+# The SHAPE each query exists to test (correlated scalar MIN subquery,
+# multi-dim profit rollup, CASE-bucketed counts, nested IN + grouped HAVING)
+# is preserved exactly.
+
+Z30_SQL = """
+SELECT CAST(floor(sum(l_extendedprice * l_discount) * 100 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 100 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+  AND l_quantity < CAST(24 AS DOUBLE)
+"""
+
+
+@register("z30_sql_frontend_q6", oracle=Z30_SQL, group="B")
+def z30_sql_frontend_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change) through the SQL front end: the
+    pure scan-and-filter aggregate — no join, the query whose entire cost
+    is how much of the WHERE reaches the parquet scan. All three
+    predicates (date range, discount band, quantity cap) push down in
+    both engines; Spark shows them in PushedFilters and the single-row
+    global sum needs one partial->final agg with no shuffle of data rows.
+    The discount band compares against CAST-parsed double literals —
+    identical bits in both engines, and the stored discounts are exact
+    parses of the same decimals, so boundary membership cannot diverge.
+    n_lines pins the match set, revenue rides the r2sql floor-round."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(Z30_SQL)
+
+
+Z31_SQL = """
+SELECT DISTINCT p_partkey, p_brand, s_name, n_name,
+       l_extendedprice AS min_price
+FROM part
+JOIN lineitem ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_size <= 5
+  AND r_name = 'EUROPE'
+  AND l_extendedprice = (
+    SELECT min(l2.l_extendedprice)
+    FROM lineitem l2
+    JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+"""
+
+
+@register("z31_sql_frontend_q2", oracle=Z31_SQL, group="B")
+def z31_sql_frontend_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier) through the SQL front end:
+    the CORRELATED SCALAR SUBQUERY WITH ITS OWN JOIN TREE — the per-part
+    min is computed over a 4-way join re-filtered to the same region,
+    the decorrelation stress case Q2 exists to test. Both engines
+    rewrite it as a grouped min over the region-filtered lineitem
+    LEFT-JOINED back on p_partkey, never a per-row re-execution.
+    lineitem stands in for partsupp as the part<->supplier catalog
+    (TESTDATA.md has no partsupp); min_price is a raw stored double
+    selected (not computed), so equality against the grouped min is
+    bit-exact in both engines, and ties admit every attaining supplier
+    (deterministic set, DISTINCT collapses repeated sale rows). Region
+    prunes at both the dim (broadcast) and the correlated agg's input."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "part", "lineitem", "supplier", "nation", "region")
+    return spark.sql(Z31_SQL)
+
+
+Z32_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(floor(sum(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) - CAST(0.8 AS DOUBLE) * p_retailprice * l_quantity) * 100 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 100 AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey  = p_partkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+"""
+
+
+@register("z32_sql_frontend_q9", oracle=Z32_SQL, group="B")
+def z32_sql_frontend_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year) through
+    the SQL front end: the widest snowflake in the suite — fact joined to
+    THREE dims plus orders, grouped on attributes from two different
+    dims, with an infix LIKE filter ('%bolt%', not prefix — cannot become
+    a range predicate, both engines evaluate it at the part scan and the
+    join prunes the fact). Profit substitutes 0.8*p_retailprice*quantity
+    for partsupp's supply cost (no partsupp in this corpus — the
+    arithmetic shape, a signed mixed-dim expression summed per group, is
+    what Q9 tests). Catalyst broadcasts part/supplier/nation, shuffles
+    on orderkey for orders, then one final group-key shuffle."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation")
+    return spark.sql(Z32_SQL)
+
+
+Z33_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate
+  AND l_shipdate < DATE '1999-01-01'
+GROUP BY l_returnflag
+"""
+
+
+@register("z33_sql_frontend_q12", oracle=Z33_SQL, group="B")
+def z33_sql_frontend_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (late-shipment priority split) through the SQL
+    front end: the CASE-BUCKETED DUAL COUNT — two complementary
+    conditional sums over one pass, the pivot-lite idiom ops dashboards
+    use — plus a non-equi residual (l_shipdate > o_orderdate) on an equi
+    join, standing in for Q12's commit/receipt-date lag (columns this
+    corpus lacks). The integer CASE sums surface as HUGEINT in DuckDB
+    (the d14 hazard) so both are CAST to BIGINT in the shared text.
+    One orderkey shuffle joins the tables; the 3-group final agg is a
+    map-side partial then a tiny exchange."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(Z33_SQL)
+
+
+Z34_SQL = """
+SELECT CAST(floor((CAST(100 AS DOUBLE) * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) ELSE CAST(0 AS DOUBLE) END)
+                   / sum(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount))) * 10000 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 10000 AS promo_revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'
+"""
+
+
+@register("z34_sql_frontend_q14", oracle=Z34_SQL, group="B")
+def z34_sql_frontend_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion revenue share) through the SQL front end:
+    the GLOBAL conditional-share ratio — sum(CASE)/sum with no group key
+    at all, the one-row aggregate both engines plan as a partial->final
+    agg with no data-row shuffle. p_type='PROMO' is a real value in this corpus so the numerator is
+    live; the one-month date window pushes into the fact scan before the
+    part join (broadcast). Numerator and denominator are same-group
+    double sums — cross-engine jitter ~1e-15 relative, far inside the
+    4-decimal floor-round grain; n_lines pins the match set exactly."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(Z34_SQL)
+
+
+Z35_SQL = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_regionkey = 2
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > CAST(40 AS DOUBLE)
+  )
+"""
+
+
+@register("z35_sql_frontend_q20", oracle=Z35_SQL, group="B")
+def z35_sql_frontend_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with significant volume of a named
+    part class) through the SQL front end: NESTED IN SUBQUERIES — an IN
+    whose subquery itself contains an IN plus a grouped HAVING threshold,
+    the deepest subquery nesting in the suite. Both engines plan the
+    inner IN as a semi join against the name-filtered part dim
+    (broadcast), the grouped HAVING as one (suppkey, partkey) shuffle,
+    and the outer IN as a semi join into the supplier dim. The HAVING
+    sums integer-valued doubles (quantities) — exact in IEEE double
+    regardless of accumulation order, so the >40 threshold cannot
+    diverge between engines. Region 2 keeps the outer dim filter live
+    at every SF (ASIA suppliers exist even in the 10-supplier corpus)."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    return spark.sql(Z35_SQL)

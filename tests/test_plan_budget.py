@@ -130,6 +130,20 @@ EXCHANGE_BUDGET = {
     # m39: bitmap build (bucket groupBy + single-row fold + broadcast) +
     # the two SMJ-side shuffles, AQE initial+final print
     "m39_bloom_semijoin_prune": 12,
+    # z30-z35 (measured on the reviewed plans, AQE initial+final print):
+    # z30 pure pushdown scan + 1-row final agg; z31's 21 is the
+    # decorrelated Q2 — the correlated min's OWN 4-way join tree runs as
+    # a second broadcast-dim chain feeding a grouped-min SMJ on
+    # (price, partkey), then the DISTINCT shuffle; z32 three broadcast
+    # dims + orderkey shuffle + group shuffle; z33/z34 one fact shuffle
+    # (or broadcast part) + tiny final agg; z35 two stacked semi joins
+    # + the (suppkey, partkey) HAVING shuffle
+    "z30_sql_frontend_q6": 2,
+    "z31_sql_frontend_q2": 21,
+    "z32_sql_frontend_q9": 10,
+    "z33_sql_frontend_q12": 4,
+    "z34_sql_frontend_q14": 4,
+    "z35_sql_frontend_q20": 8,
     # m40: the returned frame reads the last per-iteration localCheckpoint
     # (iteration shuffles run in earlier jobs), so the final plan is a
     # projection — any exchange appearing here means the checkpoint
