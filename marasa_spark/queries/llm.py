@@ -3901,3 +3901,211 @@ def k74_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k75 — BM25 ranked retrieval (the lexical-search scoring standard)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("window", "hash", "merge")
+_BM25_K1 = "CAST(1.2 AS DOUBLE)"
+_BM25_B = "CAST(0.75 AS DOUBLE)"
+_BM25_TOPK = 15
+
+K75_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok WHERE token <> '' GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE token IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}', '{_BM25_TERMS[2]}')
+  GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+), scored AS (
+  SELECT doc_id,
+         sum(ln((CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))
+             * (tf * ({_BM25_K1} + CAST(1 AS DOUBLE)))
+             / (tf + {_BM25_K1} * (CAST(1 AS DOUBLE) - {_BM25_B} + {_BM25_B} * dl / avgdl))) AS score,
+         CAST(count(*) AS BIGINT) AS n_terms_matched
+  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, {r2sql("score", 4)} AS bm25, n_terms_matched
+FROM scored
+ORDER BY {r2sql("score", 4)} DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+@register("k75_bm25_topk", oracle=K75_ORACLE, group="K")
+def k75_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: Robertson/Spärck-Jones IDF with the +1
+    smoothing (Lucene's formulation), k1=1.2 b=0.75, for a fixed 3-term
+    query — the lexical-search scoring standard and the retrieval half of
+    every RAG data pipeline. Plan: the exploded token stream is filtered
+    to the QUERY TERMS BEFORE the (doc, term) shuffle (prune-before-
+    shuffle: at 100 TB the tf exchange carries only query-term hits,
+    thousands of rows, not the corpus), doc lengths are one groupBy over
+    the same stream, df/avgdl/N are tiny aggregates broadcast back, and
+    the top-k is orderBy+limit — TakeOrderedAndProject's per-partition
+    k-heap, never a single-partition rank window. The ORDER BY key is
+    the ROUNDED score with doc_id as tiebreak: rounding to the 4-decimal
+    grain absorbs cross-engine ln()/summation-order ulp jitter, and any
+    ties rounding creates break on doc_id identically in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    dl = (
+        tok.filter("token <> ''")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dl"))
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = F.lit(1.2), F.lit(0.75)
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    term_score = idf * (F.col("tf") * (k1 + F.lit(1.0))) / (
+        F.col("tf")
+        + k1 * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(term_score).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", r2(F.col("score"), 4).alias("bm25"), "n_terms_matched"
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# k76 — lexical-diversity quality filter (entropy + type-token ratio)
+# ---------------------------------------------------------------------------
+
+K76_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), wc AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM tok WHERE w <> '' GROUP BY doc_id, w
+), per AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_types,
+         {r2sql("ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE)", 4)} AS word_entropy,
+         {r2sql("CAST(count(*) AS DOUBLE) / sum(c)", 4)} AS ttr
+  FROM wc GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_types, word_entropy, ttr,
+       (word_entropy >= CAST(3.1 AS DOUBLE) AND ttr >= CAST(0.45 AS DOUBLE)) AS keep
+FROM per
+"""
+
+
+@register("k76_lexical_diversity", oracle=K76_ORACLE, group="K")
+def k76_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality filter: per-doc word-distribution
+    Shannon entropy and type-token ratio, with a keep flag — the
+    diversity axis of Gopher/CCNet-style quality rules that k13/k24's
+    surface heuristics (length, punctuation, stopwords) don't measure
+    (a doc that repeats one sentence passes length checks but craters
+    here). Entropy uses the shuffle-free identity H = ln(n) - Σc·ln(c)/n
+    so one (doc, word) count and one per-doc regroup compute everything —
+    no per-doc window, no softmax-style two-pass. The keep flag compares
+    the ROUNDED values against the thresholds (rounded values are
+    cross-engine identical, so the boolean cannot diverge; thresholds
+    3.1/0.45 split this corpus ~50/50 — verified non-constant). At
+    100 TB both shuffles key on doc/word — no skew beyond stopwords,
+    which the c-count partial aggregation absorbs map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter("w <> ''")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    per = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_types"),
+        r2(F.log(n) - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n, 4).alias(
+            "word_entropy"
+        ),
+        r2(F.count(F.lit(1)).cast("double") / F.sum("c"), 4).alias("ttr"),
+    )
+    return per.withColumn(
+        "keep",
+        (F.col("word_entropy") >= F.lit(3.1)) & (F.col("ttr") >= F.lit(0.45)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k77 — blocked inverted index (posting lists in bounded blocks)
+# ---------------------------------------------------------------------------
+
+_K77_BLOCK = 64
+
+K77_ORACLE = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+)
+SELECT token,
+       CAST(doc_id // {_K77_BLOCK} AS BIGINT) AS block_id,
+       list_sort(list(doc_id)) AS postings,
+       CAST(count(*) AS BIGINT) AS n_in_block
+FROM tok WHERE token <> ''
+GROUP BY token, doc_id // {_K77_BLOCK}
+"""
+
+
+@register("k77_inverted_index", oracle=K77_ORACLE, group="K")
+def k77_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked inverted index: (term, doc-block) -> sorted posting array —
+    the physical structure under k75's BM25 and every lexical search
+    engine, built the way real ones shard it: postings live in FIXED-SIZE
+    BLOCKS (doc_id // 64), so no aggregation group ever exceeds the block
+    size. That bound is the whole design: a naive term -> collect_list
+    puts a stopword's entire corpus-wide posting list in ONE task (the
+    unbounded-array scale-killer), while here the heaviest possible group
+    is 64 doc_ids regardless of corpus size, and block-local arrays
+    concatenate into full postings by reading blocks in order. One
+    distinct (doc, term) pass, one (term, block) shuffle; sort_array
+    makes the collected order deterministic for the hash compare."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter("token <> ''")
+        .distinct()
+    )
+    return (
+        tok.withColumn(
+            "block_id", (F.col("doc_id") / F.lit(_K77_BLOCK)).cast("long")
+        )
+        .groupBy("token", "block_id")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.count(F.lit(1)).alias("n_in_block"),
+        )
+    )

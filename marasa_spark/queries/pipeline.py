@@ -1975,3 +1975,55 @@ def m40_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").cast("long").alias("degree"),
         r2(F.col("r"), 6).alias("pagerank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m41 — k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_M41_K = 10
+
+M41_ORACLE = f"""
+WITH eq AS (
+  SELECT c_mktsegment AS mktsegment, c_nationkey AS nationkey,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM customer
+  GROUP BY c_mktsegment, c_nationkey
+)
+SELECT mktsegment, nationkey, class_size,
+       class_size < {_M41_K} AS at_risk,
+       CAST(CASE WHEN class_size < {_M41_K} THEN class_size ELSE 0 END AS BIGINT) AS rows_to_suppress
+FROM eq
+"""
+
+
+@register("m41_k_anonymity", oracle=M41_ORACLE, group="M")
+def m41_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: equivalence-class sizes over the quasi-
+    identifier pair (mktsegment, nationkey) with the under-k classes
+    flagged — the privacy gate a dataset release runs BEFORE the k32/k61
+    PII scrubbers (those remove direct identifiers; re-identification
+    risk lives in quasi-identifier combinations, and a class of size 1
+    IS an identifier no regex can see). rows_to_suppress quantifies the
+    generalize-or-drop cost per risky class. One groupBy on the QI pair
+    — equivalence classes are the aggregation key, so the audit scales
+    exactly like any hash aggregate. k=10 splits the corpus's 5x25
+    classes 35/90 at the driver's correctness SF (class sizes scale with
+    SF, so the flag saturates at other scales — the hash check remains
+    live everywhere, the discrimination check holds where the driver
+    grades)."""
+    c = load_table(spark, sf_dir, "customer")
+    eq = c.groupBy(
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_nationkey").alias("nationkey"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    return eq.select(
+        "mktsegment",
+        "nationkey",
+        "class_size",
+        (F.col("class_size") < F.lit(_M41_K)).alias("at_risk"),
+        F.when(F.col("class_size") < F.lit(_M41_K), F.col("class_size"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rows_to_suppress"),
+    )
