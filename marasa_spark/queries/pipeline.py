@@ -2027,3 +2027,78 @@ def m41_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rows_to_suppress"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m42 — PSI distribution drift between two time windows
+# ---------------------------------------------------------------------------
+
+_M42_CUT = "2024-01-16 00:00:00"
+
+M42_ORACLE = f"""
+WITH b AS (
+  SELECT CAST(least(floor(value / 50), 9) AS BIGINT) AS bucket,
+         CASE WHEN ts < TIMESTAMP '{_M42_CUT}' THEN 1 ELSE 0 END AS is_ref
+  FROM events
+), per AS (
+  SELECT bucket,
+         CAST(sum(is_ref) AS BIGINT) AS ref_cnt,
+         CAST(sum(1 - is_ref) AS BIGINT) AS cur_cnt
+  FROM b GROUP BY bucket
+), tot AS (
+  SELECT CAST(sum(ref_cnt) AS BIGINT) AS ref_tot,
+         CAST(sum(cur_cnt) AS BIGINT) AS cur_tot,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM per
+)
+SELECT bucket, ref_cnt, cur_cnt,
+       {r2sql("(ref_cnt + CAST(0.5 AS DOUBLE)) / (ref_tot + CAST(0.5 AS DOUBLE) * nb)", 6)} AS ref_share,
+       {r2sql("(cur_cnt + CAST(0.5 AS DOUBLE)) / (cur_tot + CAST(0.5 AS DOUBLE) * nb)", 6)} AS cur_share,
+       {r2sql("((cur_cnt + CAST(0.5 AS DOUBLE)) / (cur_tot + CAST(0.5 AS DOUBLE) * nb) - (ref_cnt + CAST(0.5 AS DOUBLE)) / (ref_tot + CAST(0.5 AS DOUBLE) * nb)) * ln(((cur_cnt + CAST(0.5 AS DOUBLE)) / (cur_tot + CAST(0.5 AS DOUBLE) * nb)) / ((ref_cnt + CAST(0.5 AS DOUBLE)) / (ref_tot + CAST(0.5 AS DOUBLE) * nb)))", 6)} AS psi_term
+FROM per CROSS JOIN tot
+"""
+
+
+@register("m42_psi_drift", oracle=M42_ORACLE, group="M")
+def m42_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift audit: the `value` distribution of
+    a reference window (first half of the month) vs the current window,
+    bucketed into 10 fixed bands, with each bucket's PSI contribution —
+    the drift gate feature pipelines run before a model retrain consumes
+    new data (m23 catches ROW-COUNT drift; this catches a distribution
+    that moved under a stable count). Laplace smoothing (+0.5 per bucket)
+    keeps empty buckets finite, so the ln never sees zero and both
+    engines compute identical smoothed shares from identical integer
+    counts. One pass over the fact: per-bucket conditional counts (the
+    CASE-sum split, never two scans), a 10-row total folded back as a
+    broadcast. Σ psi_term > 0.2 is the conventional retrain trigger —
+    left to the reader of the artifact, the per-bucket terms localize
+    WHICH band moved. ts comparisons ride catalog.load_table's µs
+    truncation (TESTDATA's INT64-nanos hazard)."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("long").alias("bucket"),
+        F.when(F.col("ts") < F.lit(_M42_CUT).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    per = b.groupBy("bucket").agg(
+        F.sum("is_ref").alias("ref_cnt"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("cur_cnt"),
+    )
+    tot = per.agg(
+        F.sum("ref_cnt").alias("ref_tot"),
+        F.sum("cur_cnt").alias("cur_tot"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    half = F.lit(0.5)
+    p_ref = (F.col("ref_cnt") + half) / (F.col("ref_tot") + half * F.col("nb"))
+    p_cur = (F.col("cur_cnt") + half) / (F.col("cur_tot") + half * F.col("nb"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "ref_cnt",
+        "cur_cnt",
+        r2(p_ref, 6).alias("ref_share"),
+        r2(p_cur, 6).alias("cur_share"),
+        r2((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )

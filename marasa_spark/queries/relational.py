@@ -1321,3 +1321,70 @@ def z35_sql_frontend_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
     return spark.sql(Z35_SQL)
+
+
+# ---------------------------------------------------------------------------
+# z36/z37 — dialect-shared texts beyond TPC-H: ANSI windows, grouping sets
+# ---------------------------------------------------------------------------
+
+Z36_SQL = """
+SELECT o_custkey, o_orderkey,
+       lag(o_totalprice, 1, CAST(0 AS DOUBLE)) OVER w AS prev_price,
+       ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile,
+       CAST(floor(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 100 AS ma3,
+       CAST(row_number() OVER w AS BIGINT) AS order_seq
+FROM orders
+WHERE o_custkey < 120
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("z36_sql_frontend_windows", oracle=Z36_SQL, group="B")
+def z36_sql_frontend_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI window functions through the SQL front end: a NAMED WINDOW
+    clause (the `WINDOW w AS` surface both engines parse but the TPC-H
+    sweep never touches) reused by lag-with-default and row_number, a
+    3-row moving-average frame over the same partitioning (spelled out:
+    extending a named window inline is DuckDB-only, one of the dialect
+    edges this text exists to map), plus an independent global ntile. Every
+    window's ORDER BY carries the unique o_orderkey tiebreak — the house
+    rule that makes lag/ntile/frames deterministic across engines; the
+    moving average rides r2sql. The o_custkey < 120 filter keeps the
+    global-ntile partition bounded at every SF (a global ORDER BY window
+    is a single-partition operator — acceptable only on a pre-filtered
+    slice, which is exactly what this text demonstrates); the per-
+    customer windows scale out on the partition key. row_number is CAST
+    to BIGINT (DuckDB emits it as BIGINT, Spark as INT — the shared text
+    pins the type)."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(Z36_SQL)
+
+
+Z37_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(floor(sum(l_extendedprice) * 100 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 100 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS grp_level
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("z37_sql_frontend_gsets", oracle=Z37_SQL, group="B")
+def z37_sql_frontend_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL front end: explicit multi-level
+    aggregation (detail, per-flag subtotal, grand total) in ONE shared
+    text, with grouping() bits distinguishing a real NULL group key from
+    a subtotal row — the disambiguation trick every rollup report needs
+    and the d3/d5 DataFrame builds express natively. Both engines expand
+    the sets into a single pass (Spark's Expand node — each input row
+    fans out once per set, then one shuffle on the padded key; never one
+    job per set). The grouping-bit arithmetic is CAST to BIGINT for the
+    d14 hazard; revenue rides r2sql."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(Z37_SQL)
