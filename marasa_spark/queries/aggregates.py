@@ -601,3 +601,65 @@ def d22_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# d23 — chi-square independence test (contingency-table statistics)
+# ---------------------------------------------------------------------------
+
+D23_ORACLE = f"""
+WITH cells AS (
+  SELECT event_type, CAST(value >= 25 AS BIGINT) AS hi_value,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM events GROUP BY event_type, CAST(value >= 25 AS BIGINT)
+), rowt AS (
+  SELECT event_type, CAST(sum(obs) AS BIGINT) AS row_tot FROM cells GROUP BY event_type
+), colt AS (
+  SELECT hi_value, CAST(sum(obs) AS BIGINT) AS col_tot FROM cells GROUP BY hi_value
+), grand AS (
+  SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells
+)
+SELECT event_type, hi_value, obs,
+       {r2sql("row_tot * col_tot / CAST(n AS DOUBLE)", 4)} AS expected,
+       {r2sql("(obs - row_tot * col_tot / CAST(n AS DOUBLE)) * (obs - row_tot * col_tot / CAST(n AS DOUBLE)) / (row_tot * col_tot / CAST(n AS DOUBLE))", 4)} AS chi2_term
+FROM cells JOIN rowt USING (event_type) JOIN colt USING (hi_value) CROSS JOIN grand
+"""
+
+
+@register("d23_chi_square", oracle=D23_ORACLE, group="D")
+def d23_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test as a contingency-table pipeline: is
+    event type independent of value magnitude? Per-cell observed counts,
+    the independence-expected count (row_tot x col_tot / N), and each
+    cell's chi2 contribution — the categorical-association screen feature
+    selection and A/B sanity checks run (d20's regr_* covers the
+    continuous-continuous case; this is its categorical-categorical
+    sibling). One groupBy over the fact builds the cells; row/column/
+    grand totals re-aggregate the TINY cell table (never the fact) and
+    broadcast back, so the fact is scanned once at any scale. All
+    arithmetic starts from identical integer counts — expected and
+    chi2_term are deterministic IEEE expressions rounded at 4 decimals.
+    Σ chi2_term vs the chi-square critical value (df=(R-1)(C-1)=4) is
+    the reader's decision; per-cell terms localize the dependence."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", (F.col("value") >= 25).cast("long").alias("hi_value")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rowt = cells.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
+    colt = cells.groupBy("hi_value").agg(F.sum("obs").alias("col_tot"))
+    grand = cells.agg(F.sum("obs").alias("n"))
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n").cast("double")
+    return (
+        cells.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "hi_value")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "event_type",
+            "hi_value",
+            "obs",
+            r2(exp, 4).alias("expected"),
+            r2((F.col("obs") - exp) * (F.col("obs") - exp) / exp, 4).alias(
+                "chi2_term"
+            ),
+        )
+    )

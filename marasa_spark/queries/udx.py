@@ -195,3 +195,83 @@ def l7_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", "4")
         .load()
     )
+
+
+# ---------------------------------------------------------------------------
+# l8 — cogrouped map (applyInPandas over a cogroup: two frames per key)
+# ---------------------------------------------------------------------------
+
+L8_ORACLE = f"""
+SELECT o_orderkey,
+       CAST(count(l_orderkey) AS BIGINT) AS n_lines,
+       {r2sql("coalesce(sum(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)), CAST(0 AS DOUBLE))", 4)} AS gross,
+       {r2sql("coalesce(sum(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)), CAST(0 AS DOUBLE)) / o_totalprice", 4)} AS gross_ratio
+FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_custkey < 120
+GROUP BY o_orderkey, o_totalprice
+"""
+
+
+@register("l8_cogrouped_map", oracle=L8_ORACLE, group="L")
+def l8_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped map — ``groupBy().cogroup().applyInPandas``: BOTH sides
+    of a key arrive as separate pandas frames in one Python call, the
+    API for per-key logic that needs the full frames of two tables at
+    once (custom as-of merges, per-entity reconciliation) and the last
+    Pandas-API surface the L group was missing (l4 covers one-table
+    grouped map). Here each order's header meets its line items and the
+    Python computes line count, gross revenue, and the gross/total
+    ratio — deliberately SQL-expressible so the DuckDB oracle hash-checks
+    the cogroup plumbing itself (empty right frames included: headers
+    with no lines must still emit, which the LEFT JOIN oracle pins).
+    Arrow-batched both directions; the cogroup is one co-partitioning
+    shuffle of each side on the key — exactly a join's movement, with
+    Python only seeing per-key frames, never the corpus. Rounding is
+    applied JVM-side via r2 AFTER the pandas pass (l4's discipline)."""
+
+    def reconcile(key, orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+        if orders_pdf.empty:
+            # cogroup yields keys present in EITHER side: line items whose
+            # order fell to the header filter arrive with an empty left
+            # frame and must emit nothing (the oracle's LEFT JOIN shape)
+            return pd.DataFrame(
+                {"o_orderkey": [], "n_lines": [], "gross": [], "gross_ratio": []}
+            ).astype(
+                {"o_orderkey": "int64", "n_lines": "int64",
+                 "gross": "float64", "gross_ratio": "float64"}
+            )
+        gross = float(
+            (lines_pdf["l_extendedprice"] * (1.0 - lines_pdf["l_discount"])).sum()
+        )
+        total = float(orders_pdf["o_totalprice"].iloc[0])
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(key[0])],
+                "n_lines": [len(lines_pdf)],
+                "gross": [gross],
+                "gross_ratio": [gross / total],
+            }
+        )
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 120)
+        .select("o_orderkey", "o_totalprice")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    out = (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey long, n_lines long, gross double, gross_ratio double",
+        )
+    )
+    return out.select(
+        "o_orderkey",
+        "n_lines",
+        r2(F.col("gross"), 4).alias("gross"),
+        r2(F.col("gross_ratio"), 4).alias("gross_ratio"),
+    )

@@ -289,3 +289,62 @@ def e9_win_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("above_p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e10 — gaps-and-islands: consecutive-day activity streaks per user
+# ---------------------------------------------------------------------------
+
+E10_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_num
+  FROM events
+), seq AS (
+  SELECT user_id, day_num,
+         row_number() OVER (PARTITION BY user_id ORDER BY day_num) AS rn
+  FROM days
+)
+SELECT user_id,
+       CAST(min(day_num) AS BIGINT) AS streak_start_day,
+       CAST(max(day_num) AS BIGINT) AS streak_end_day,
+       CAST(count(*) AS BIGINT) AS streak_len
+FROM seq
+GROUP BY user_id, day_num - rn
+"""
+
+
+@register("e10_gaps_islands", oracle=E10_ORACLE, group="E")
+def e10_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's CONSECUTIVE-day activity streaks via
+    the row_number-difference trick — day_num - rn is constant exactly
+    within a run of consecutive days, so one window plus one groupBy
+    finds every streak's start/end/length with no self-join and no
+    iterative expansion (the classic relational answer to 'longest
+    streak', 'current streak', retention-quality cohorts; m18's
+    sessionizer is the timestamp-gap analogue, this is the calendar-grid
+    one). The window partitions by user and orders by the DISTINCT
+    day_num — unique within user, so no tiebreaker is needed and both
+    engines assign identical rn. Everything after the distinct is
+    integer arithmetic: no float anywhere, the hash is exact. Scales on
+    the user key; a user's partition is bounded by days-in-history, not
+    events. DuckDB's date_diff and Spark's datediff meet at the shared
+    day-number epoch (2024-01-01)."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "day_num"
+        ),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day_num")
+    seq = days.withColumn("rn", F.row_number().over(w))
+    return (
+        seq.groupBy("user_id", (F.col("day_num") - F.col("rn")).alias("_isl"))
+        .agg(
+            F.min("day_num").cast("long").alias("streak_start_day"),
+            F.max("day_num").cast("long").alias("streak_end_day"),
+            F.count(F.lit(1)).alias("streak_len"),
+        )
+        .drop("_isl")
+    )
