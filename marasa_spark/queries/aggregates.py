@@ -635,8 +635,10 @@ def d23_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection and A/B sanity checks run (d20's regr_* covers the
     continuous-continuous case; this is its categorical-categorical
     sibling). One groupBy over the fact builds the cells; row/column/
-    grand totals re-aggregate the TINY cell table (never the fact) and
-    broadcast back, so the fact is scanned once at any scale. All
+    grand totals are WINDOWS over the cell table — whose row count is
+    the R x C category product, ~10 rows at any corpus size — so the
+    fact is scanned once and the global window never sees data-sized
+    input. All
     arithmetic starts from identical integer counts — expected and
     chi2_term are deterministic IEEE expressions rounded at 4 decimals.
     Σ chi2_term vs the chi-square critical value (df=(R-1)(C-1)=4) is
@@ -645,21 +647,22 @@ def d23_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = e.groupBy(
         "event_type", (F.col("value") >= 25).cast("long").alias("hi_value")
     ).agg(F.count(F.lit(1)).alias("obs"))
-    rowt = cells.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
-    colt = cells.groupBy("hi_value").agg(F.sum("obs").alias("col_tot"))
-    grand = cells.agg(F.sum("obs").alias("n"))
-    exp = F.col("row_tot") * F.col("col_tot") / F.col("n").cast("double")
-    return (
-        cells.join(F.broadcast(rowt), "event_type")
-        .join(F.broadcast(colt), "hi_value")
-        .crossJoin(F.broadcast(grand))
-        .select(
-            "event_type",
-            "hi_value",
-            "obs",
-            r2(exp, 4).alias("expected"),
-            r2((F.col("obs") - exp) * (F.col("obs") - exp) / exp, 4).alias(
-                "chi2_term"
-            ),
-        )
+    # totals as windows OVER THE CELL TABLE (R x C rows, category-domain
+    # bounded — the global window is over ~10 rows by construction, never
+    # the fact): no scalar crossJoin, so the D-group no-nested-loop audit
+    # stays strict with no waiver
+    from pyspark.sql import Window as _W
+
+    row_tot = F.sum("obs").over(_W.partitionBy("event_type"))
+    col_tot = F.sum("obs").over(_W.partitionBy("hi_value"))
+    n = F.sum("obs").over(_W.partitionBy())
+    exp = row_tot * col_tot / n.cast("double")
+    return cells.select(
+        "event_type",
+        "hi_value",
+        "obs",
+        r2(exp, 4).alias("expected"),
+        r2((F.col("obs") - exp) * (F.col("obs") - exp) / exp, 4).alias(
+            "chi2_term"
+        ),
     )

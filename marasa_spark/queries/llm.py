@@ -4109,3 +4109,92 @@ def k77_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_in_block"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k78 — deterministic MLM masking prep (masked input + ordered targets)
+# ---------------------------------------------------------------------------
+
+_K78_RULE = (
+    "substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 1) = '0'"
+)
+
+K78_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents),
+       unnest(generate_series(1, len(toks))) AS u(i)
+), marked AS (
+  SELECT doc_id, pos, tok, {_K78_RULE} AS masked FROM tok
+)
+SELECT doc_id,
+       string_agg(CASE WHEN masked THEN '<MASK>' ELSE tok END, ' ' ORDER BY pos) AS masked_text,
+       coalesce(string_agg(tok, ' ' ORDER BY pos) FILTER (masked), '') AS targets,
+       CAST(count(*) FILTER (masked) AS BIGINT) AS n_masked,
+       {r2sql("count(*) FILTER (masked) / CAST(count(*) AS DOUBLE)", 4)} AS mask_ratio
+FROM marked
+GROUP BY doc_id
+"""
+
+
+@register("k78_mlm_masking", oracle=K78_ORACLE, group="K")
+def k78_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MLM (BERT-objective) masking prep: each token masks
+    iff the first hex digit of md5(doc_id:pos) is '0' — a 1/16 rate that
+    is REPRODUCIBLE across engines, runs, and partitionings (the m1
+    hash-sampling rule applied at token granularity; df.sample-style RNG
+    would make training data unauditable). Emits the masked input text,
+    the position-ordered target string, and the realized mask ratio —
+    the actual tensors-minus-tokenizer a masked-LM data loader consumes.
+    Order discipline: Spark rebuilds both strings via array_sort over
+    (pos, token) structs then array_join (collect_list order is
+    partitioning-dependent — NEVER string-concat straight off a
+    collect), matching the oracle's ORDER BY pos string_agg; docs whose
+    mask set is empty pin the ''-vs-NULL edge (coalesce in DuckDB,
+    array_join's natural '' in Spark). One explode + one doc-keyed
+    regroup; the hash rule is stateless scan-side arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+                "pos", "tok"
+            ),
+        )
+        .withColumn(
+            "masked",
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.col("doc_id").cast("string"),
+                                F.col("pos").cast("string"))
+                ),
+                1,
+                1,
+            )
+            == "0",
+        )
+    )
+    out_tok = F.when(F.col("masked"), F.lit("<MASK>")).otherwise(F.col("tok"))
+    per = tok.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), out_tok.alias("t")))
+        ).alias("all_toks"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("masked"), F.struct(F.col("pos"), F.col("tok").alias("t")))
+            )
+        ).alias("tgt_toks"),
+        F.sum(F.col("masked").cast("long")).alias("n_masked"),
+        r2(
+            F.sum(F.col("masked").cast("long")) / F.count(F.lit(1)).cast("double"), 4
+        ).alias("mask_ratio"),
+    )
+    join_t = lambda c: F.array_join(F.transform(c, lambda s: s["t"]), " ")  # noqa: E731
+    return per.select(
+        "doc_id",
+        join_t(F.col("all_toks")).alias("masked_text"),
+        join_t(F.col("tgt_toks")).alias("targets"),
+        "n_masked",
+        "mask_ratio",
+    )

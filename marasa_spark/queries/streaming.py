@@ -640,3 +640,85 @@ def i16_stream_exactly_once_replay(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("ns")
         .agg(F.count(F.lit(1)).alias("n_changes"))
     )
+
+
+# ---------------------------------------------------------------------------
+# i17 — streaming MERGE upsert: foreachBatch read-modify-write keeps only
+# per-key argmax state; appends carry deltas, never the corpus
+# ---------------------------------------------------------------------------
+
+I17_ORACLE = """
+WITH m AS (
+  SELECT user_id, max(ts) AS mts FROM events GROUP BY user_id
+)
+SELECT e.user_id AS user_id,
+       CAST(max(CASE WHEN e.ts = m.mts THEN e.event_id END) AS BIGINT) AS last_event_id
+FROM events e JOIN m USING (user_id)
+GROUP BY e.user_id
+"""
+
+
+@register("i17_stream_merge_upsert", oracle=I17_ORACLE, group="I")
+def i17_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE upsert — the foreachBatch read-modify-write recipe
+    every table format documents for streams (Delta's `MERGE INTO` from
+    foreachBatch, here against the engine's own log store): each
+    micro-batch is pre-reduced to its per-user argmax(ts, event_id) row
+    (the m38 discipline: hot keys collapse map-side BEFORE any state
+    meets them), joined against the CURRENT folded state, and only rows
+    that BEAT the stored (ts, event_id) are appended — so the log grows
+    by the churn, not by the stream, and the fold's latest-by-seqno
+    equals the global argmax because appends per key are strictly
+    increasing in (ts, event_id). The oracle is the batch argmax over
+    the whole feed (d13's tie-proof CASE form), which holds REGARDLESS
+    of how users' events interleave across micro-batches — the property
+    that makes the merge correct, not just this schedule of it."""
+    from marasa_spark.log import MarasaLog
+    from marasa_spark.streaming.runtime import read_event_stream, stage_event_chunks
+
+    stage = fresh_scratch("i17_merge", sf_dir, create=True)
+    stage_event_chunks(spark, sf_dir, f"{stage}/chunks", n_chunks=4)
+    store = MarasaLog(spark, f"{stage}/log")
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        pair = F.struct(F.col("ts"), F.col("event_id"))
+        delta = (
+            batch.groupBy("user_id")
+            .agg(F.max(pair).alias("top"))
+            .select(
+                F.lit("ev").alias("ns"),
+                F.col("user_id").cast("string").alias("key"),
+                F.col("top.ts").alias("ts"),
+                F.col("top.event_id").cast("string").alias("value"),
+            )
+        )
+        cur = store.latest(ns="ev").select(
+            F.col("key").alias("c_key"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").cast("long").alias("c_eid"),
+        )
+        winners = (
+            delta.join(cur, delta.key == cur.c_key, "left")
+            .filter(
+                F.col("c_key").isNull()
+                | (
+                    F.struct(F.col("ts"), F.col("value").cast("long"))
+                    > F.struct(F.col("c_ts"), F.col("c_eid"))
+                )
+            )
+            .select("ns", "key", "ts", "value")
+        )
+        store.append(winners)
+
+    q = (
+        read_event_stream(spark, f"{stage}/chunks")
+        .writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return store.latest(ns="ev").select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("value").cast("long").alias("last_event_id"),
+    )

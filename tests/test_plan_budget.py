@@ -138,6 +138,23 @@ EXCHANGE_BUDGET = {
     # dims + orderkey shuffle + group shuffle; z33/z34 one fact shuffle
     # (or broadcast part) + tiny final agg; z35 two stacked semi joins
     # + the (suppkey, partkey) HAVING shuffle
+    # continuation-session ops (measured, AQE initial+final print):
+    # k73's returned frame reads the per-iteration localCheckpoints (m40's
+    # discipline — an exchange here means the checkpoint cut broke);
+    # k75 double-prints its broadcast-back chain (tiny aggs), the
+    # fact-sized movement is one shuffle; d23's totals are windows over
+    # the ~10-row cell table (one fact shuffle + 3 tiny window
+    # exchanges); k77's 4 = distinct + the (term, block) regroup
+    "k73_bpe_train": 0,
+    "k74_bpe_encode": 4,
+    "k75_bm25_topk": 20,
+    "k76_lexical_diversity": 4,
+    "k77_inverted_index": 4,
+    "m41_k_anonymity": 2,
+    "m42_psi_drift": 8,
+    "d23_chi_square": 4,
+    "e10_gaps_islands": 4,
+    "l8_cogrouped_map": 4,
     "z30_sql_frontend_q6": 2,
     "z31_sql_frontend_q2": 21,
     "z32_sql_frontend_q9": 10,
