@@ -2102,3 +2102,62 @@ def m42_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(p_cur, 6).alias("cur_share"),
         r2((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# m43 — market-basket co-occurrence (top-k "also bought" per item)
+# ---------------------------------------------------------------------------
+
+M43_ORACLE = """
+WITH pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS n_baskets
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+), sym AS (
+  SELECT p1 AS item, p2 AS other, n_baskets FROM pairs
+  UNION ALL
+  SELECT p2, p1, n_baskets FROM pairs
+), ranked AS (
+  SELECT item, other, n_baskets,
+         row_number() OVER (PARTITION BY item ORDER BY n_baskets DESC, other) AS rk
+  FROM sym
+)
+SELECT item, other, n_baskets, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+@register("m43_market_basket", oracle=M43_ORACLE, group="M")
+def m43_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for every item, the top-3 items most
+    often sharing an order with it — the 'also bought' co-occurrence
+    table recommendation and affinity pipelines materialize. The pair
+    self-join is keyed on the BASKET (l_orderkey) with p1 < p2 cutting
+    the diagonal and mirror: pair fan-out per order is C(basket, 2),
+    bounded by basket size (single digits in an order-line schema), so
+    the shuffle grows linearly with orders — this is the bounded-
+    candidate principle of k9/k52 applied to co-occurrence (all-pairs
+    over ITEMS would be quadratic; all-pairs within a BASKET is not).
+    Symmetrization is a cheap union of the half-pair table; the top-3
+    per item rides WindowGroupLimit (rank pushdown) with the partner
+    key as tiebreak. rk is CAST to BIGINT to pin the cross-engine
+    row_number type."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.toDF("okey", "p1")
+    b = li.toDF("okey", "p2")
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+    sym = pairs.selectExpr("p1 AS item", "p2 AS other", "n_baskets").unionAll(
+        pairs.selectExpr("p2 AS item", "p1 AS other", "n_baskets")
+    )
+    w = W.partitionBy("item").orderBy(F.desc("n_baskets"), "other")
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("item", "other", "n_baskets", F.col("rk").cast("long").alias("rk"))
+    )

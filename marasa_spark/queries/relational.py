@@ -1388,3 +1388,31 @@ def z37_sql_frontend_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(Z37_SQL)
+
+
+Z38_SQL = """
+SELECT t.tier, CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(floor(sum(c_acctbal) * 100 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 100 AS tier_bal
+FROM customer
+JOIN (VALUES ('BUILDING', 'core'), ('AUTOMOBILE', 'core'),
+             ('MACHINERY', 'growth'), ('HOUSEHOLD', 'growth'),
+             ('FURNITURE', 'tail')) AS t(segment, tier)
+  ON c_mktsegment = t.segment
+GROUP BY t.tier
+"""
+
+
+@register("z38_sql_frontend_values", oracle=Z38_SQL, group="B")
+def z38_sql_frontend_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES table through the SQL front end: a literal lookup
+    table (segment -> tier) declared IN THE QUERY TEXT and joined to a
+    real table — the seed/mapping-table idiom users reach for before
+    anything is materialized (feature-flag maps, tier rollups, enum
+    decodes), and a dialect surface (`FROM (VALUES ...) AS t(cols)`)
+    the TPC-H sweep never exercises. Both engines parse the ANSI form;
+    the literal relation is a LocalRelation in Spark — broadcast by
+    construction, the join never shuffles the customer side for it."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "customer")
+    return spark.sql(Z38_SQL)

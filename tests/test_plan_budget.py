@@ -155,6 +155,11 @@ EXCHANGE_BUDGET = {
     "d23_chi_square": 4,
     "e10_gaps_islands": 4,
     "l8_cogrouped_map": 4,
+    # m43: basket self-join shuffle + pair groupBy + the two-branch union's
+    # rank shuffle; z38: the VALUES LocalRelation broadcasts, one agg
+    # shuffle (AQE initial+final print)
+    "m43_market_basket": 9,
+    "z38_sql_frontend_values": 4,
     "z30_sql_frontend_q6": 2,
     "z31_sql_frontend_q2": 21,
     "z32_sql_frontend_q9": 10,
