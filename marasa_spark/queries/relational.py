@@ -1204,7 +1204,7 @@ def z31_sql_frontend_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 Z32_SQL = """
 SELECT n_name AS nation,
        CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
-       CAST(floor(sum(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) - CAST(0.8 AS DOUBLE) * p_retailprice * l_quantity) * 100 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 100 AS sum_profit
+       CAST(sum(CAST(floor((l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) - CAST(0.8 AS DOUBLE) * p_retailprice * l_quantity) * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS profit_cents
 FROM lineitem
 JOIN part     ON l_partkey  = p_partkey
 JOIN supplier ON l_suppkey  = s_suppkey
@@ -1226,7 +1226,18 @@ def z32_sql_frontend_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     for partsupp's supply cost (no partsupp in this corpus — the
     arithmetic shape, a signed mixed-dim expression summed per group, is
     what Q9 tests). Catalyst broadcasts part/supplier/nation, shuffles
-    on orderkey for orders, then one final group-key shuffle."""
+    on orderkey for orders, then one final group-key shuffle.
+
+    The profit is summed as INTEGER CENTS (round each row, then
+    sum-as-BIGINT — k53's micro-unit recipe), not rounded after a double
+    sum: the signed expression cancels heavily, and at sf0.1 the 3-SF
+    parity sweep caught one group whose accumulation-order jitter
+    straddled the cent boundary (Spark ...65.77 vs DuckDB ...65.78).
+    Per-row rounding is deterministic from identical inputs and the
+    integer sum is order-independent, so the hash is stable at ANY
+    scale — the general fix for float sums under cancellation, now
+    demonstrated in the shared text itself (both sums CAST to BIGINT
+    for DuckDB's HUGEINT surface)."""
     from marasa_spark.catalog import register_views
 
     register_views(spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation")

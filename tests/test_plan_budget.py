@@ -154,7 +154,11 @@ EXCHANGE_BUDGET = {
     "m42_psi_drift": 8,
     "d23_chi_square": 4,
     "e10_gaps_islands": 4,
-    "l8_cogrouped_map": 4,
+    # l8's 6 = the semi-join prune's broadcast + the two cogroup
+    # co-partitioning shuffles (measured after the prune-before-Python
+    # fix; the prune costs one broadcast and saves shipping the filtered
+    # corpus to Python)
+    "l8_cogrouped_map": 6,
     # m43: basket self-join shuffle + pair groupBy + the two-branch union's
     # rank shuffle; z38: the VALUES LocalRelation broadcasts, one agg
     # shuffle (AQE initial+final print)
