@@ -1427,3 +1427,31 @@ def z38_sql_frontend_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "customer")
     return spark.sql(Z38_SQL)
+
+
+Z39_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       CAST(count(*) FILTER (WHERE o_totalprice > CAST(100000 AS DOUBLE)) AS BIGINT) AS n_large,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE c_name ILIKE 'customer#%1'
+GROUP BY o_orderpriority
+"""
+
+
+@register("z39_sql_frontend_filter_ilike", oracle=Z39_SQL, group="B")
+def z39_sql_frontend_filter_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER clause + ILIKE through the SQL front end: the
+    ANSI conditional-count form (one pass, N independent predicates —
+    what the CASE-sum idiom of z33 compiles down to, now in its standard
+    spelling) and case-insensitive LIKE, both verified shared by running
+    the constructs on each engine (SQLFRONTEND.md's table is empirical,
+    not copied from docs). FILTER counts are HUGEINT on DuckDB — CAST
+    to BIGINT, the d14 rule. Plan: the ILIKE prunes customers before
+    the broadcast, one orderkey-side shuffle for the 5-group agg."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(Z39_SQL)

@@ -164,6 +164,7 @@ EXCHANGE_BUDGET = {
     # shuffle (AQE initial+final print)
     "m43_market_basket": 9,
     "z38_sql_frontend_values": 4,
+    "z39_sql_frontend_filter_ilike": 4,
     "z30_sql_frontend_q6": 2,
     "z31_sql_frontend_q2": 21,
     "z32_sql_frontend_q9": 10,
