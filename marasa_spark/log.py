@@ -16,7 +16,12 @@ the API shape follows SURVEY's reconstruction of pjz/marasa: ``put``/
   window (time travel);
 * **compaction** (= marasa's segment snapshot) materializes the fold into
   ``snapshot/upto=<S>/`` so reads become snapshot ∪ log-tail — replay cost
-  is bounded by the tail length, not log length.
+  is bounded by the tail length, not log length;
+* **deletes are tombstones** (NULL-value records, the Kafka-compaction
+  convention): ``latest``/``lookup``/``get``/``asof`` treat
+  tombstone-as-last-change as key-gone, ``changes`` surfaces the
+  tombstone to CDC consumers, and compaction physically drops the key
+  from the snapshot.
 
 Record schema (marasa stores JSON payloads keyed by string keys):
 ``ns string, key string, seqno long, ts timestamp, value string``.
@@ -442,6 +447,23 @@ class MarasaLog:
         §0.4 lists both call shapes)."""
         return self.put(ns, **changes)
 
+    def delete(self, ns: str, keys: list[str]) -> int:
+        """Delete keys via TOMBSTONES (the Kafka-compaction convention:
+        a NULL-value change record). Deletion is an APPEND like any other
+        write — history and time travel stay exact (``asof`` before the
+        tombstone still shows the key; ``changes`` shows the tombstone
+        itself, so CDC consumers SEE deletes) — while ``latest``/
+        ``lookup``/``get`` treat a tombstone-as-last-change as key-gone,
+        and :meth:`compact` therefore physically drops tombstoned keys
+        from the snapshot (the retention half of a forget request; the
+        raw log files age out via j9 retention). A later ``put`` of the
+        same key simply supersedes the tombstone. The key list is
+        driver-side by design — forget lists are human-scale, not
+        corpus-scale."""
+        rows = [(ns, k, None) for k in keys]
+        df = self.spark.createDataFrame(rows, "ns string, key string, value string")
+        return self.append(df)
+
     # -- metadata -----------------------------------------------------------
 
     def _read_dir(self, d: str, schema: str = DISK_SCHEMA) -> DataFrame | None:
@@ -508,7 +530,11 @@ class MarasaLog:
             return self.spark.createDataFrame([], LOG_SCHEMA)
         if ns is not None:
             log = log.filter(F.col("ns") == ns)  # partition-pruned
-        return self._fold_latest(log).drop("segment")
+        return (
+            self._fold_latest(log)
+            .filter(F.col("value").isNotNull())  # tombstone-as-last = gone
+            .drop("segment")
+        )
 
     def lookup(self, ns: str, keys: list[str]) -> DataFrame:
         """Batch point lookup: latest value for the given keys of ONE
@@ -521,7 +547,11 @@ class MarasaLog:
         if log is None:
             return self.spark.createDataFrame([], LOG_SCHEMA)
         pruned = log.filter((F.col("ns") == ns) & F.col("key").isin(list(keys)))
-        return self._fold_latest(pruned).drop("segment")
+        return (
+            self._fold_latest(pruned)
+            .filter(F.col("value").isNotNull())
+            .drop("segment")
+        )
 
     def get(self, ns: str, key: str, seqno: int | None = None) -> str | None:
         """Point lookup (latest or as-of). The only collect in the class —
@@ -541,7 +571,11 @@ class MarasaLog:
         # segment pruning: the prefix can only live in segments whose start
         # is <= seqno (null segment = pre-segmentation snapshot rows)
         log = log.filter(F.col("segment").isNull() | (F.col("segment") <= seqno))
-        return self._fold_latest(log.filter(F.col("seqno") <= seqno)).drop("segment")
+        return (
+            self._fold_latest(log.filter(F.col("seqno") <= seqno))
+            .filter(F.col("value").isNotNull())  # tombstones hide the key as-of too
+            .drop("segment")
+        )
 
     def read(self, ns: str, seqno: int) -> DataFrame:
         """marasa ``read(ns, seqno)`` — namespace state as of a seqno

@@ -587,3 +587,48 @@ def z8_log_idempotent_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hw1 != hw2:
         raise AssertionError(f"idempotent resubmit changed high-water: {hw1} != {hw2}")
     return store.latest().select("ns", "key", "value")
+
+
+# ---------------------------------------------------------------------------
+# j12 — forget keys: tombstone deletes with exact history (GDPR verb)
+# ---------------------------------------------------------------------------
+
+J12_ORACLE = """
+SELECT event_type AS ns, CAST(user_id AS VARCHAR) AS key, props AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                               ORDER BY ts DESC, props DESC) AS rn
+  FROM events
+  WHERE event_id < 500
+)
+WHERE rn = 1 AND NOT (event_type = 'click' AND user_id % 5 = 0)
+"""
+
+
+@register("j12_log_forget_keys", oracle=J12_ORACLE, group="J")
+def j12_log_forget_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The right-to-be-forgotten verb: ``delete(ns, keys)`` appends NULL
+    tombstones (the Kafka-compaction convention), and ``latest`` treats
+    tombstone-as-last-change as key-gone — here every user_id % 5 == 0 is
+    forgotten from the 'click' namespace and the served state must equal
+    the fold that never saw them (the oracle's NOT predicate). Deletion
+    stays an APPEND: time travel before the tombstone is exact, the CDC
+    feed shows the tombstone (a downstream consumer LEARNS about the
+    forget instead of silently diverging), and compaction physically
+    drops the keys from the snapshot. The forget list is collected —
+    driver-side by design, forget lists are human-scale — and the delete
+    batch rides the normal seqno CAS like any writer."""
+    store = MarasaLog(spark, fresh_scratch("j12_forget", sf_dir))
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    store.append(_events_as_log(spark, sf_dir, events=ev))
+    doomed = [
+        r["key"]
+        for r in ev.filter(
+            (F.col("event_type") == "click") & (F.col("user_id") % 5 == 0)
+        )
+        .select(F.col("user_id").cast("string").alias("key"))
+        .distinct()
+        .collect()
+    ]
+    store.delete("click", doomed)
+    return store.latest().select("ns", "key", "value")

@@ -499,3 +499,37 @@ def test_append_once_inflight_claim(spark, tmp_base):
     assert store.recover_claims() >= 2  # empty claim + stale tmp cleared
     assert store.append_once(df, "dead-batch") == 1  # now resubmittable
     assert store.append_once(df, "dead-batch") == 1  # and idempotent again
+
+
+def test_tombstone_lifecycle(spark, tmp_base):
+    """The delete verb's full contract: latest hides a tombstoned key,
+    asof BEFORE the tombstone still shows it (history exact), the CDC
+    feed carries the tombstone itself (consumers learn about forgets),
+    a later put revives the key, and compaction physically drops
+    tombstoned keys from the snapshot files."""
+    store = MarasaLog(spark, str(tmp_base / f"tomb{next(_counter)}"))
+    s1 = store.put("ns", a="1", b="2")
+    store.delete("ns", ["a"])
+
+    live = {r["key"]: r["value"] for r in store.latest("ns").collect()}
+    assert live == {"b": "2"}, "tombstoned key must vanish from latest"
+    assert store.get("ns", "a") is None
+
+    before = {r["key"] for r in store.asof(s1, ns="ns").collect()}
+    assert before == {"a", "b"}, "time travel before the delete is exact"
+
+    feed = store.changes(0, ns="ns").collect()
+    tombs = [r for r in feed if r["value"] is None]
+    assert [t["key"] for t in tombs] == ["a"], "CDC must surface the tombstone"
+
+    # compaction drops the key from the PHYSICAL snapshot
+    s_compact = store.compact()
+    snap = spark.read.parquet(f"{store.snap_dir}/upto={s_compact}")
+    assert snap.filter(F.col("key") == "a").count() == 0
+    assert {r["key"] for r in store.latest("ns").collect()} == {"b"}
+
+    # revival: a put AFTER the tombstone supersedes it
+    store.put("ns", a="3")
+    assert store.get("ns", "a") == "3"
+    # and lookup agrees with latest on the tombstone rule
+    assert store.lookup("ns", ["a", "b"]).count() == 2
