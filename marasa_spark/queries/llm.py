@@ -4198,3 +4198,64 @@ def k78_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_masked",
         "mask_ratio",
     )
+
+
+# ---------------------------------------------------------------------------
+# k79 — length-bucketed batching: padding-waste accounting
+# ---------------------------------------------------------------------------
+
+_K79_BUCKET = 16
+
+K79_ORACLE = f"""
+WITH lens AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tok
+  FROM documents
+), bucketed AS (
+  SELECT CAST((n_tok - 1) // {_K79_BUCKET} AS BIGINT) AS bucket, n_tok FROM lens
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_tok) AS BIGINT) AS max_len,
+       CAST(sum(n_tok) AS BIGINT) AS sum_len,
+       CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste,
+       {r2sql("(count(*) * max(n_tok) - sum(n_tok)) / CAST(count(*) * max(n_tok) AS DOUBLE)", 4)} AS waste_ratio
+FROM bucketed
+GROUP BY bucket
+"""
+
+
+@register("k79_length_bucketing", oracle=K79_ORACLE, group="K")
+def k79_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: group documents into 16-token
+    length buckets and account the PADDING WASTE of batching each bucket
+    to its max length — the number a training-infra team watches when
+    picking bucket boundaries (naive batching pads everything to the
+    global max; bucketing caps waste at bucket_width-1 per doc, and
+    waste_ratio quantifies the win per bucket). Pure arithmetic on
+    per-doc token counts: one stateless length projection + one groupBy
+    on the bucket id — the audit costs a single aggregation at any
+    corpus size, and the bucket id is the natural repartition key for
+    the downstream packing job (k36/k70 consume exactly this layout).
+    All-integer outputs except the ratio (same-group integer arithmetic,
+    rounded)."""
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select(
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast("long").alias(
+            "n_tok"
+        )
+    )
+    b = lens.withColumn(
+        "bucket", ((F.col("n_tok") - 1) / F.lit(_K79_BUCKET)).cast("long")
+    )
+    waste = F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok")
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tok").alias("max_len"),
+        F.sum("n_tok").alias("sum_len"),
+        waste.cast("long").alias("pad_waste"),
+        r2(
+            waste.cast("double") / (F.count(F.lit(1)) * F.max("n_tok")).cast("double"),
+            4,
+        ).alias("waste_ratio"),
+    )

@@ -33,6 +33,10 @@ SWEEP = [
     "z2_asof_tolerance_bucketed",  # bucket-replicated asof under repartition
     "k56_temperature_sampling",    # pow-share rounding boundary
     "k58_pq_encode",    # argmin codeword tiebreaks
+    "k73_bpe_train",    # orderBy+limit(1) top-pair boundary per merge round
+    "k75_bm25_topk",    # rounded-score top-k boundary
+    "k78_mlm_masking",  # array_sort discipline over collect_list order
+    "m43_market_basket",  # per-item rank tiebreaks
 ]
 
 
