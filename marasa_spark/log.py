@@ -460,6 +460,9 @@ class MarasaLog:
         same key simply supersedes the tombstone. The key list is
         driver-side by design — forget lists are human-scale, not
         corpus-scale."""
+        if not keys:
+            # A no-op delete must not claim a seqno / write empty log files.
+            return self.max_seqno()
         rows = [(ns, k, None) for k in keys]
         df = self.spark.createDataFrame(rows, "ns string, key string, value string")
         return self.append(df)

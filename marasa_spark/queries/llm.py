@@ -3811,6 +3811,14 @@ def _bpe_train(spark: SparkSession, sf_dir: str, iters: int):
             top1 = top1.localCheckpoint(eager=True)
         except Exception:
             top1.cache().count()
+        if not top1.take(1):
+            # No bigrams left (tiny or fully-merged vocab): without this
+            # guard the crossJoin against an EMPTY top1 would silently
+            # empty `vocab` for every remaining round and the op would
+            # return zero rows — and the unrolled-CTE oracle degrades the
+            # same way, so parity would HIDE the failure. Stop loudly-by-
+            # construction instead: merges found so far are the result.
+            break
         merges.append(top1)
         vocab = vocab.crossJoin(F.broadcast(top1.select("p1", "p2"))).selectExpr(
             "w",
@@ -3821,6 +3829,8 @@ def _bpe_train(spark: SparkSession, sf_dir: str, iters: int):
             vocab = vocab.localCheckpoint(eager=True)
         except Exception:
             vocab.cache().count()
+    if not merges:
+        raise ValueError("_bpe_train: corpus produced no symbol bigrams at all")
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
@@ -4101,7 +4111,10 @@ def k77_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tok.withColumn(
-            "block_id", (F.col("doc_id") / F.lit(_K77_BLOCK)).cast("long")
+            # Integer division, not a float round-trip: double division is
+            # exact only below 2^53 and truncates toward zero for negative
+            # ids where the DuckDB oracle's // floors. `div` matches.
+            "block_id", F.expr(f"doc_id div {_K77_BLOCK}")
         )
         .groupBy("token", "block_id")
         .agg(

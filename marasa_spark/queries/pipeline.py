@@ -1863,7 +1863,11 @@ def m39_bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 4000)
 
     def pos_expr(key: str, j: int) -> str:
-        return f"pmod(xxhash64({key}, {j}), {_BLOOM_BITS})"
+        # xxhash64 is input-TYPE-sensitive: hashing s_suppkey (build) and
+        # l_suppkey (probe) at different widths would silently prune
+        # MATCHING rows (false negatives the exact join cannot repair).
+        # Pin both sides to BIGINT so the filter is robust to schema drift.
+        return f"pmod(xxhash64(CAST({key} AS BIGINT), {j}), {_BLOOM_BITS})"
 
     pos = su.selectExpr(
         f"explode(array({pos_expr('s_suppkey', 0)}, {pos_expr('s_suppkey', 1)})) AS pos"

@@ -533,3 +533,12 @@ def test_tombstone_lifecycle(spark, tmp_base):
     assert store.get("ns", "a") == "3"
     # and lookup agrees with latest on the tombstone rule
     assert store.lookup("ns", ["a", "b"]).count() == 2
+
+    # an EMPTY forget list is a no-op: no seqno claimed, no log files written
+    import os
+
+    hw = store.max_seqno()
+    n_files = sum(len(fs) for _, _, fs in os.walk(store.log_dir))
+    assert store.delete("ns", []) == hw
+    assert store.max_seqno() == hw
+    assert sum(len(fs) for _, _, fs in os.walk(store.log_dir)) == n_files
