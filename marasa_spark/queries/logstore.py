@@ -195,16 +195,21 @@ WHERE event_type = 'click' AND user_id = 7
 @register("j4_log_history", oracle=J4_ORACLE, group="J")
 def j4_log_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """marasa ``history(ns, key)``: ordered per-key change stream
-    (change_idx materializes the replay order for the hash check)."""
+    (change_idx materializes the replay order for the hash check). The
+    replay index is a (ns, key)-KEYED window, never a global one: with the
+    predicate pinning a single key the values are identical, but the keyed
+    shape hash-partitions across keys — a bulk history() over many keys
+    stays parallel instead of funneling through one task."""
     ev = load_table(spark, sf_dir, "events").filter(
         (F.col("event_type") == "click") & (F.col("user_id") == 7)
     )
+    w = Window.partitionBy("event_type", "user_id").orderBy("event_id")
     return ev.select(
         F.col("event_type").alias("ns"),
         F.col("user_id").alias("key"),
         F.col("event_id").alias("seqno"),
         F.col("props").alias("value"),
-        F.row_number().over(Window.orderBy("event_id")).alias("change_idx"),
+        F.row_number().over(w).alias("change_idx"),
     )
 
 

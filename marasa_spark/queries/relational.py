@@ -126,18 +126,42 @@ WHERE o_totalprice > 450000
 @register("f1_sort_multi", oracle=F1_ORACLE, group="F")
 def f1_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-key sort with explicit NULLS LAST; rn materializes the order so
-    the order-insensitive hash still verifies ordering semantics."""
+    the order-insensitive hash still verifies ordering semantics. The rank
+    rides f3_global_index's TWO-PHASE shape, not a global row_number()
+    window (which funnels every surviving row through ONE task): (1)
+    range-repartition on the full sort key — balanced, sampled bounds,
+    Spark's own global-sort machinery, nulls-last honored by the range
+    partitioner; (2) tiny per-partition counts → exclusive running offsets
+    (a 16-row window, broadcast back); (3) rn = offset + local row_number
+    within the partition. The unique o_orderkey tiebreaker makes the total
+    order — and therefore rn — exact regardless of which side of a range
+    boundary equal-key rows land on."""
+    nparts = 16
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
     prio = F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))
-    w = Window.orderBy(
-        prio.desc_nulls_last(), F.col("o_totalprice").desc(), F.col("o_orderkey")
+    base = o.select("o_orderkey", prio.alias("prio"), "o_totalprice")
+    keys = [
+        F.col("prio").desc_nulls_last(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey"),
+    ]
+    ranged = base.repartitionByRange(nparts, *keys).withColumn(
+        "pid", F.spark_partition_id()
     )
-    return o.select(
-        "o_orderkey",
-        prio.alias("prio"),
-        "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-    ).orderBy(F.col("prio").desc_nulls_last(), F.col("o_totalprice").desc(), "o_orderkey")
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    wcum = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("n").over(wcum), F.lit(0))
+    ).select("pid", "offset")
+    wlocal = Window.partitionBy("pid").orderBy(*keys)
+    return (
+        ranged.join(F.broadcast(offsets), "pid")
+        .withColumn("rn", (F.col("offset") + F.row_number().over(wlocal)).cast("long"))
+        .select("o_orderkey", "prio", "o_totalprice", "rn")
+        .orderBy(
+            F.col("prio").desc_nulls_last(), F.col("o_totalprice").desc(), "o_orderkey"
+        )
+    )
 
 
 F2_ORACLE = """

@@ -402,3 +402,82 @@ def test_m39_bloom_prunes_before_merge_join(spark):
     assert "element_at" in frags[1], (
         "bloom membership test is not below the fact shuffle:\n" + frags[1][:800]
     )
+
+
+# ---------------------------------------------------------------------------
+# §2-wide invariant: no data-sized SinglePartition window anywhere in the set
+# ---------------------------------------------------------------------------
+
+SECTION2_IDS = [
+    "a1_scan_parquet", "a2_source_csv_json", "a3_sink_parquet", "a4_log_sink",
+    "a5_stream_source",
+    "b1_project", "b2_filter_pred", "b3_expr_case", "b4_expr_arith",
+    "c1_join_inner", "c2_join_multiway", "c3_join_left", "c4_join_right",
+    "c5_join_full", "c6_join_semi", "c7_join_anti", "c8_join_cross",
+    "c9_join_range", "c10_join_asof", "c11_join_theta",
+    "d1_agg_hash", "d2_agg_distinct", "d3_agg_rollup", "d4_agg_cube",
+    "d5_agg_gsets", "d6_agg_having", "d7_agg_stats", "d8_agg_percentile",
+    "d9_agg_approx", "d10_agg_collect",
+    "e1_win_rank", "e2_win_analytic", "e3_win_frame_rows",
+    "e4_win_frame_range", "e5_topk_per_group",
+    "f1_sort_multi", "f2_topk_global",
+    "g1_union_all", "g2_union_distinct", "g3_intersect", "g4_except",
+    "h1_fn_string", "h2_fn_regex", "h3_fn_split_explode", "h4_fn_datetime",
+    "h5_fn_math", "h6_fn_array", "h7_fn_map", "h8_fn_json", "h9_fn_hash",
+    "i1_win_tumbling", "i2_win_sliding", "i3_win_session", "i4_watermark",
+    "i5_stream_dedup", "i6_stateful", "i7_stream_static_join",
+    "i8_output_modes",
+    "j1_log_append", "j2_log_latest", "j3_log_asof", "j4_log_history",
+    "j5_log_compact", "j6_log_namespaces",
+    "k1_word_count", "k2_lang_stats", "k3_keyword_class", "k4_dedup_exact",
+    "k5_dedup_near", "k6_sim_cosine_topk", "k7_knn_label", "k8_multimodal",
+    "l1_udf_scalar", "l2_udf_pandas", "l3_udaf_pandas", "l4_grouped_map",
+    "l5_udtf", "l6_map_in_arrow",
+]
+
+_CARDINALITY_COLLAPSERS = (
+    "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+    "GlobalLimit", "LocalLimit", "TakeOrderedAndProject",
+    "Scan OneRowRelation", "LocalTableScan", "BroadcastExchange",
+)
+
+_DATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _single_partition_windows_over_data(plan: str) -> list[str]:
+    """Fragments where an Exchange SinglePartition feeds a Window/Sort AND
+    its subtree reaches a raw data-table scan with no cardinality collapse
+    (aggregate / limit / literal source) in between — the one plan shape
+    that funnels table-sized data through one task."""
+    bad = []
+    frags = plan.split("Exchange SinglePartition")
+    for before, after in zip(frags[:-1], frags[1:]):
+        parent = "\n".join(before.splitlines()[-4:])
+        if "Window" not in parent and "Sort " not in parent:
+            continue  # e.g. the final stage of a scalar global aggregate
+        subtree = after
+        for marker in _CARDINALITY_COLLAPSERS:
+            idx = subtree.find(marker)
+            if idx != -1:
+                subtree = subtree[:idx]
+        if any(f"{t}.parquet" in subtree for t in _DATA_TABLES):
+            bad.append((parent + " || Exchange SinglePartition || " + subtree)[:600])
+    return bad
+
+
+def test_no_section2_plan_has_data_sized_single_partition_window(spark):
+    """VERDICT r6 item 1: with f1 re-registered on f3's two-phase rank
+    shape, NO §2-contract plan may contain a SinglePartition exchange that
+    feeds a Window/Sort directly from a raw table scan. Tiny windows over
+    already-aggregated inputs (f1/f3's 16-row offset table) are exempt —
+    the collapse sits between the scan and the exchange."""
+    offenders = {}
+    for qid in SECTION2_IDS:
+        plan = plan_of(spark, qid)
+        bad = _single_partition_windows_over_data(plan)
+        if bad:
+            offenders[qid] = bad[0]
+    assert not offenders, f"data-sized SinglePartition windows: {offenders}"
