@@ -38,6 +38,9 @@ subclass" claim is a tested fact rather than a comment.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame
 
 from marasa_spark.log import DISK_SCHEMA, MarasaLog
@@ -57,8 +60,102 @@ class JsonMarasaLog(MarasaLog):
         state.write.mode("overwrite").json(f"{self.snap_dir}/upto={upto}")
 
     def _read_dir(self, d: str, schema: str = DISK_SCHEMA):
-        import os
-
         if not os.path.isdir(d):
             return None
         return self.spark.read.schema(schema).json(d)
+
+
+class ManifestMarasaLog(MarasaLog):
+    """MarasaLog on Parquet data + a TRANSACTION MANIFEST — the closest
+    offline approximation of the Delta/Iceberg physical layer, still as a
+    3-method seam subclass.
+
+    The defining property (Delta's core trick): **readers never list the
+    directory**. The set of data files belonging to the table is an
+    explicit, append-only journal of manifest entries (one JSON file per
+    committed write action, created with tmp-write + atomic ``os.rename``
+    — the same crash discipline as ``append_once``'s tags). This is what
+    makes object-store tables transactional: a write job that crashes
+    mid-flight leaves part-files on disk, but they are UNMANIFESTED and
+    therefore invisible to every reader, with no seqno filter needed —
+    exactly Delta's add-action semantics, rehearsed on the local FS.
+
+    Mapping to the base class's machinery:
+
+    * ``_write_log_batch`` appends parquet files, then manifests exactly
+      the files that job created (before/after diff — sound because the
+      claim CAS admits one in-flight writer per store);
+    * ``_write_snapshot`` overwrites the ``upto=N`` directory, then
+      manifests its contents (overwrite wipes any prior manifest with the
+      prior data — consistent, since a re-compact at the same high-water
+      rewrites both together);
+    * ``_read_dir`` unions the manifested files (``basePath`` recovers the
+      ``ns``/``segment`` partition columns). Entries whose file has been
+      removed by :meth:`MarasaLog._vacuum_uncommitted` (which physically
+      unlinks whole orphan files — Delta's remove-action + vacuum,
+      collapsed) are tolerated and skipped, the manifest analogue of a
+      logged remove action.
+
+    The seqno claim/commit-marker machinery is inherited unchanged — in a
+    real Delta backend it would collapse into the log's own optimistic
+    commit protocol; here both layers run, and the manifest adds the
+    listing-isolation property on top."""
+
+    _MANIFEST = "_manifest"
+
+    def _manifest_dir(self, d: str) -> str:
+        return f"{d}/{self._MANIFEST}"
+
+    def _list_parts(self, d: str) -> set[str]:
+        parts: set[str] = set()
+        for root, dirs, files in os.walk(d):
+            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    parts.add(os.path.join(root, f))
+        return parts
+
+    def _manifest_add(self, d: str, files: list[str]) -> None:
+        mdir = self._manifest_dir(d)
+        os.makedirs(mdir, exist_ok=True)
+        n = len(os.listdir(mdir))
+        name = f"{n:010d}-{os.getpid()}-{os.urandom(4).hex()}.json"
+        tmp = f"{mdir}/.{name}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"add": sorted(files)}, f)
+        os.rename(tmp, f"{mdir}/{name}")
+
+    def _manifested_files(self, d: str) -> list[str] | None:
+        mdir = self._manifest_dir(d)
+        if not os.path.isdir(mdir):
+            return None
+        files: list[str] = []
+        for name in sorted(os.listdir(mdir)):
+            if name.startswith(("_", ".")):
+                continue
+            with open(f"{mdir}/{name}") as f:
+                files.extend(json.load(f)["add"])
+        # a missing manifested file == a logged remove action (vacuum
+        # unlinked a whole orphan file); committed data is never rewritten
+        return [f for f in files if os.path.exists(f)]
+
+    # -- the three seam overrides --------------------------------------------
+
+    def _write_log_batch(self, batch: DataFrame) -> None:
+        before = self._list_parts(self.log_dir) if os.path.isdir(self.log_dir) else set()
+        batch.write.mode("append").partitionBy("ns", "segment").parquet(self.log_dir)
+        new = self._list_parts(self.log_dir) - before
+        self._manifest_add(self.log_dir, sorted(new))
+
+    def _write_snapshot(self, state: DataFrame, upto: int) -> None:
+        d = f"{self.snap_dir}/upto={upto}"
+        state.write.mode("overwrite").parquet(d)
+        self._manifest_add(d, sorted(self._list_parts(d)))
+
+    def _read_dir(self, d: str, schema: str = DISK_SCHEMA):
+        files = self._manifested_files(d)
+        if not files:
+            return None
+        return (
+            self.spark.read.option("basePath", d).schema(schema).parquet(*files)
+        )

@@ -75,3 +75,55 @@ def test_json_backend_full_surface(spark, tmp_path):
         ("b", "k9"): "v4",
         ("c", "kz"): "z1",
     }
+
+
+def test_manifest_backend_full_surface(spark, tmp_path):
+    from marasa_spark.log_backends import ManifestMarasaLog
+
+    store = ManifestMarasaLog(spark, str(tmp_path / "mstore"), segment_size=3)
+
+    assert store.append(_batch(spark, [("a", "k1", "v1"), ("a", "k2", "v2")], 0)) == 2
+    assert store.append(_batch(spark, [("a", "k1", "v3"), ("b", "k9", "v4")], 10)) == 4
+    latest = {(r["ns"], r["key"]): r["value"] for r in store.latest().collect()}
+    assert latest == {("a", "k1"): "v3", ("a", "k2"): "v2", ("b", "k9"): "v4"}
+    asof2 = {(r["ns"], r["key"]): r["value"] for r in store.asof(2).collect()}
+    assert asof2 == {("a", "k1"): "v1", ("a", "k2"): "v2"}
+    assert [r["value"] for r in store.history("a", "k1").collect()] == ["v1", "v3"]
+    assert store.compact() == 4
+    assert store.append(_batch(spark, [("a", "k2", "v5")], 20)) == 5
+    latest2 = {(r["ns"], r["key"]): r["value"] for r in store.latest().collect()}
+    assert latest2[("a", "k2")] == "v5" and latest2[("a", "k1")] == "v3"
+
+
+def test_manifest_backend_listing_isolation(spark, tmp_path):
+    """The property the manifest ADDS beyond the base class: readers list
+    files from the transaction journal, never the directory. A parquet
+    file that lands in the log directory without a manifest entry (a
+    foreign job, or a writer that crashed between its data job and its
+    manifest append) is invisible — even when its seqnos sit INSIDE the
+    committed range, where the base class's seqno filter would happily
+    admit it. This is Delta's add-action semantics, tested directly."""
+    import datetime
+
+    from marasa_spark.log_backends import ManifestMarasaLog
+
+    store = ManifestMarasaLog(spark, str(tmp_path / "iso_store"))
+    store.append(_batch(spark, [("a", "k1", "v1"), ("a", "k2", "v2")], 0))
+
+    # rogue file: committed-range seqno (2 == high-water), never manifested
+    rogue = spark.createDataFrame(
+        [("a", "k1", 2, datetime.datetime(2030, 1, 1), "ALIEN", 0)],
+        "ns string, key string, seqno long, ts timestamp, value string, segment long",
+    )
+    rogue.write.mode("append").partitionBy("ns", "segment").parquet(store.log_dir)
+
+    vals = {r["key"]: r["value"] for r in store.latest("a").collect()}
+    assert vals == {"k1": "v1", "k2": "v2"}, (
+        "an unmanifested file leaked into a read — directory listing is "
+        "not isolation"
+    )
+    assert store.max_seqno() == 2
+    # and the next append is numbered from the COMMITTED high-water,
+    # oblivious to the rogue file
+    assert store.append(_batch(spark, [("a", "k1", "v3")], 10)) == 3
+    assert store.get("a", "k1") == "v3"

@@ -18,6 +18,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from marasa_spark.log import MarasaLog
+from marasa_spark.log_backends import JsonMarasaLog, ManifestMarasaLog
 
 NS = ["alpha", "beta"]
 KEYS = ["k0", "k1", "k2"]
@@ -39,15 +40,28 @@ def tmp_base(tmp_path_factory):
     return tmp_path_factory.mktemp("marasa_log")
 
 
+@pytest.fixture(
+    scope="module",
+    params=[MarasaLog, JsonMarasaLog, ManifestMarasaLog],
+    ids=["parquet", "json", "manifest"],
+)
+def backend(request):
+    """Every property in this file must hold for EVERY physical backend —
+    the seam proof (VERDICT r6 item 2): semantics (snapshot isolation,
+    writer races, crash/recover interleavings, tombstones, idempotent
+    producers) live entirely above the 3-method storage seam."""
+    return request.param
+
+
 @settings(
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(steps=steps)
-def test_log_replay_model(spark, tmp_base, steps):
+def test_log_replay_model(spark, tmp_base, backend, steps):
     path = str(tmp_base / f"store_{next(_counter)}")
-    store = MarasaLog(spark, path)
+    store = backend(spark, path)
 
     model: dict[tuple[str, str], str] = {}   # (ns,key) -> value
     journal: list[tuple[int, str, str, str]] = []  # (seqno, ns, key, value)
@@ -118,7 +132,7 @@ maint_steps = st.lists(maint_step, min_size=1, max_size=5)
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(msteps=maint_steps)
-def test_reader_snapshot_isolation_under_maintenance(spark, tmp_base, msteps):
+def test_reader_snapshot_isolation_under_maintenance(spark, tmp_base, backend, msteps):
     """Round-5 verdict #5 — the read half of the ACID contract: a reader
     pinned at seqno S must see exactly the prefix-fold state at S across
     ANY interleaving of compact / crashed-writer / vacuum-recovery /
@@ -132,14 +146,17 @@ def test_reader_snapshot_isolation_under_maintenance(spark, tmp_base, msteps):
     import os
 
     path = str(tmp_base / f"iso_{next(_counter)}")
-    store = MarasaLog(spark, path, segment_size=5)
+    store = backend(spark, path, segment_size=5)
 
     def committed_files() -> dict[str, float]:
-        hw = store._committed_high_water() or 0
         out = {}
-        for f in glob.glob(f"{path}/log/**/*.parquet", recursive=True):
-            out[f] = os.path.getmtime(f)
-        return {f: m for f, m in out.items()}
+        for root, dirs, files in os.walk(f"{path}/log"):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    full = os.path.join(root, f)
+                    out[full] = os.path.getmtime(full)
+        return out
 
     # two committed batches, then pin the reader at S = high-water of #1
     t = iter(range(10_000))
@@ -196,9 +213,9 @@ def test_reader_snapshot_isolation_under_maintenance(spark, tmp_base, msteps):
         store.recover_claims()
 
 
-def test_marasa_call_shapes(spark, tmp_base):
+def test_marasa_call_shapes(spark, tmp_base, backend):
     """The reference's call shapes (SURVEY §0.4): put/write/get/read."""
-    store = MarasaLog(spark, str(tmp_base / "shapes"))
+    store = backend(spark, str(tmp_base / f"shapes_{backend.__name__}"))
     s1 = store.put("cfg", color="red", size="large")
     assert s1 == 2
     s2 = store.write("cfg", color="blue")
@@ -210,11 +227,11 @@ def test_marasa_call_shapes(spark, tmp_base):
     assert asof_rows["color"] == "red"
 
 
-def test_changes_range_and_replay_invariant(spark, tmp_base):
+def test_changes_range_and_replay_invariant(spark, tmp_base, backend):
     """changes(s, u) returns exactly the (s, u] seqno slice; consuming the
     feed in two adjacent ranges replays the full log; an open until reads
     to the head; ns filter composes."""
-    store = MarasaLog(spark, str(tmp_base / "cdc"), segment_size=4)
+    store = backend(spark, str(tmp_base / f"cdc_{backend.__name__}"), segment_size=4)
     rows = [("a", f"k{i % 3}", _ts(i), f"v{i}") for i in range(10)]
     store.append(spark.createDataFrame(rows, "ns string, key string, ts timestamp, value string"))
     rows2 = [("b", f"k{i % 2}", _ts(100 + i), f"w{i}") for i in range(5)]
@@ -231,7 +248,7 @@ def test_changes_range_and_replay_invariant(spark, tmp_base):
     assert store.changes(15).count() == 0
 
 
-def test_concurrent_append_conflict_detected(spark, tmp_base):
+def test_concurrent_append_conflict_detected(spark, tmp_base, backend):
     """The single-writer contract is ENFORCED, not assumed: two writers
     racing append() from the same high-water must not silently interleave
     colliding seqnos — the second claimant gets LogWriteConflict before any
@@ -241,9 +258,9 @@ def test_concurrent_append_conflict_detected(spark, tmp_base):
     claim and re-opens the base."""
     from marasa_spark.log import LogWriteConflict
 
-    path = str(tmp_base / "conflict_store")
-    writer_a = MarasaLog(spark, path)
-    writer_b = MarasaLog(spark, path)
+    path = str(tmp_base / f"conflict_store_{backend.__name__}")
+    writer_a = backend(spark, path)
+    writer_b = backend(spark, path)
     df = spark.createDataFrame(
         [("ns1", "k1", "v1"), ("ns1", "k2", "v2")],
         "ns string, key string, value string",
@@ -273,7 +290,7 @@ def test_concurrent_append_conflict_detected(spark, tmp_base):
     assert seqs == [1, 2, 3, 4]
 
 
-def test_concurrent_appends_serialize_with_retry(spark, tmp_base):
+def test_concurrent_appends_serialize_with_retry(spark, tmp_base, backend):
     """append_retrying turns the claim CAS into optimistic concurrency:
     N writers racing from the same high-water all SUCCEED, serialized by
     the commit loop (loser re-reads the advanced high-water and rebases) —
@@ -282,13 +299,13 @@ def test_concurrent_appends_serialize_with_retry(spark, tmp_base):
     free seqnos, i.e. equivalent to SOME serial order of the appends."""
     import threading
 
-    path = str(tmp_base / "retry_store")
+    path = str(tmp_base / f"retry_store_{backend.__name__}")
     n_writers, rows_each = 4, 25
     results, errors = {}, []
     barrier = threading.Barrier(n_writers)
 
     def run(w: int) -> None:
-        store = MarasaLog(spark, path)
+        store = backend(spark, path)
         df = spark.createDataFrame(
             [("ns1", f"w{w}_k{i}", _ts(w * rows_each + i), f"v{w}_{i}")
              for i in range(rows_each)],
@@ -314,7 +331,7 @@ def test_concurrent_appends_serialize_with_retry(spark, tmp_base):
     assert sorted(results.values()) == [
         rows_each * (i + 1) for i in range(n_writers)
     ]
-    reader = MarasaLog(spark, path)
+    reader = backend(spark, path)
     rows = reader.changes(0).orderBy("seqno").collect()
     assert [r["seqno"] for r in rows] == list(range(1, total + 1))
     # the union of batches survived intact: every key exactly once
@@ -329,14 +346,14 @@ def test_concurrent_appends_serialize_with_retry(spark, tmp_base):
         assert seqs == list(range(min(seqs), min(seqs) + rows_each))
 
 
-def test_uncommitted_batch_is_invisible_to_readers(spark, tmp_base):
+def test_uncommitted_batch_is_invisible_to_readers(spark, tmp_base, backend):
     """Read atomicity against an in-flight writer: data files that landed
     WITHOUT a commit marker (a writer mid-append, or crashed between its
     data job and its marker) must be invisible to every read path —
     latest, asof, history-by-changes, and max_seqno (so a new writer
     numbers from the committed base, not the orphan one)."""
-    path = str(tmp_base / "atomic_store")
-    store = MarasaLog(spark, path)
+    path = str(tmp_base / f"atomic_store_{backend.__name__}")
+    store = backend(spark, path)
     df = spark.createDataFrame(
         [("n", "k1", "v1"), ("n", "k2", "v2")],
         "ns string, key string, value string",
@@ -364,13 +381,13 @@ def test_uncommitted_batch_is_invisible_to_readers(spark, tmp_base):
     assert store.get("n", "k3") is None
 
 
-def test_recover_vacuums_crashed_writer_orphans(spark, tmp_base):
+def test_recover_vacuums_crashed_writer_orphans(spark, tmp_base, backend):
     """Crash recovery must physically remove the orphan rows, because the
     next append re-issues the same seqnos from the committed base — if
     the orphans stayed on disk, that batch's commit marker would surface
     them as duplicates."""
-    path = str(tmp_base / "vacuum_store")
-    store = MarasaLog(spark, path)
+    path = str(tmp_base / f"vacuum_store_{backend.__name__}")
+    store = backend(spark, path)
     df = spark.createDataFrame(
         [("n", "k1", "v1")], "ns string, key string, value string"
     )
@@ -388,8 +405,9 @@ def test_recover_vacuums_crashed_writer_orphans(spark, tmp_base):
     store._write_log_batch(orphan)
 
     assert store.recover_claims() == 1
-    # orphans are gone from DISK, not just filtered
-    raw = spark.read.parquet(store.log_dir)
+    # orphans are gone from DISK, not just filtered (raw backend read,
+    # no committed filter)
+    raw = store._read_dir(store.log_dir)
     assert raw.filter(F.col("seqno") > 1).count() == 0
 
     # the re-issued seqno now commits cleanly with no duplicate surfacing
@@ -402,15 +420,15 @@ def test_recover_vacuums_crashed_writer_orphans(spark, tmp_base):
     assert store.get("n", "k1") == "v2"
 
 
-def test_clone_excludes_uncommitted(spark, tmp_base):
+def test_clone_excludes_uncommitted(spark, tmp_base, backend):
     """A backup taken while a writer's data files are on disk WITHOUT a
     commit marker must contain exactly the last committed state — the
     clone reads through the committed filter, so a torn backup is
     impossible by construction. Also: the restored store is
     reader-equivalent (latest, changes, max_seqno) and independently
     writable (its next append numbers from the copied high-water)."""
-    path = str(tmp_base / "clone_src")
-    store = MarasaLog(spark, path)
+    path = str(tmp_base / f"clone_src_{backend.__name__}")
+    store = backend(spark, path)
     df1 = spark.createDataFrame(
         [("ns1", "a", _ts(1), "v1"), ("ns1", "b", _ts(2), "v2")],
         "ns string, key string, ts timestamp, value string",
@@ -429,7 +447,7 @@ def test_clone_excludes_uncommitted(spark, tmp_base):
     )
     store._write_log_batch(batch)
 
-    restored = store.clone_to(str(tmp_base / "clone_dst"))
+    restored = store.clone_to(str(tmp_base / f"clone_dst_{backend.__name__}"))
     rows = {(r["key"], r["value"]) for r in restored.latest().collect()}
     assert rows == {("a", "v1"), ("b", "v2")}, "torn row leaked into backup"
     assert restored.max_seqno() == 2
@@ -444,12 +462,12 @@ def test_clone_excludes_uncommitted(spark, tmp_base):
     assert store.max_seqno() == 2
 
 
-def test_append_once_idempotence(spark, tmp_base):
+def test_append_once_idempotence(spark, tmp_base, backend):
     """append_once: same batch_id is a no-op returning the recorded
     high-water; distinct ids append normally; the tag survives a reader
     re-open (a NEW store object over the same path still dedups)."""
-    path = str(tmp_base / "once_store")
-    store = MarasaLog(spark, path)
+    path = str(tmp_base / f"once_store_{backend.__name__}")
+    store = backend(spark, path)
     df = spark.createDataFrame(
         [("ns1", "a", _ts(1), "v1"), ("ns1", "b", _ts(2), "v2")],
         "ns string, key string, ts timestamp, value string",
@@ -458,7 +476,7 @@ def test_append_once_idempotence(spark, tmp_base):
     assert store.append_once(df, "batch-1") == 2      # resubmit: no-op
     assert store.changes(0).count() == 2
     assert store.append_once(df, "batch-2") == 4      # new id: appends
-    reopened = MarasaLog(spark, path)
+    reopened = backend(spark, path)
     assert reopened.append_once(df, "batch-1") == 2   # tag is durable
     assert reopened.changes(0).count() == 4
     import pytest as _pytest
@@ -467,7 +485,7 @@ def test_append_once_idempotence(spark, tmp_base):
         store.append_once(df, "../escape")
 
 
-def test_append_once_inflight_claim(spark, tmp_base):
+def test_append_once_inflight_claim(spark, tmp_base, backend):
     """The batch_id tag is claimed (O_EXCL) BEFORE the append and its
     content landed by atomic rename: a resubmit that finds the claim but
     no recorded high-water (owner in flight or crashed between claim and
@@ -478,8 +496,8 @@ def test_append_once_inflight_claim(spark, tmp_base):
 
     from marasa_spark.log import ProducerBatchInFlight
 
-    path = str(tmp_base / "once_inflight")
-    store = MarasaLog(spark, path)
+    path = str(tmp_base / f"once_inflight_{backend.__name__}")
+    store = backend(spark, path)
     df = spark.createDataFrame(
         [("ns1", "a", _ts(1), "v1")],
         "ns string, key string, ts timestamp, value string",
@@ -501,13 +519,13 @@ def test_append_once_inflight_claim(spark, tmp_base):
     assert store.append_once(df, "dead-batch") == 1  # and idempotent again
 
 
-def test_tombstone_lifecycle(spark, tmp_base):
+def test_tombstone_lifecycle(spark, tmp_base, backend):
     """The delete verb's full contract: latest hides a tombstoned key,
     asof BEFORE the tombstone still shows it (history exact), the CDC
     feed carries the tombstone itself (consumers learn about forgets),
     a later put revives the key, and compaction physically drops
     tombstoned keys from the snapshot files."""
-    store = MarasaLog(spark, str(tmp_base / f"tomb{next(_counter)}"))
+    store = backend(spark, str(tmp_base / f"tomb{next(_counter)}"))
     s1 = store.put("ns", a="1", b="2")
     store.delete("ns", ["a"])
 
@@ -524,7 +542,7 @@ def test_tombstone_lifecycle(spark, tmp_base):
 
     # compaction drops the key from the PHYSICAL snapshot
     s_compact = store.compact()
-    snap = spark.read.parquet(f"{store.snap_dir}/upto={s_compact}")
+    snap = store._read_dir(f"{store.snap_dir}/upto={s_compact}")
     assert snap.filter(F.col("key") == "a").count() == 0
     assert {r["key"] for r in store.latest("ns").collect()} == {"b"}
 
