@@ -67,6 +67,161 @@ def synthesize_png(width: int, height: int) -> bytes:
     )
 
 
+def synthesize_png_filtered(width: int, height: int, pixel_fn) -> bytes:
+    """A valid grayscale-8 PNG whose scanlines use REAL PNG filters —
+    cycling None/Sub/Up/Average/Paeth by row — so a decoder must actually
+    run the unfilter algorithms, not just strip filter bytes. Encoder
+    counterpart of :func:`decode_png_pixels`; ``pixel_fn(x, y) -> 0..255``
+    supplies the pixel values."""
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = bytearray()
+    prev = [0] * width
+    for y in range(height):
+        row = [pixel_fn(x, y) & 0xFF for x in range(width)]
+        ftype = y % 5
+        raw.append(ftype)
+        for x in range(width):
+            left = row[x - 1] if x else 0
+            up = prev[x]
+            ul = prev[x - 1] if x else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                pred = paeth(left, up, ul)
+            raw.append((row[x] - pred) & 0xFF)
+        prev = row
+    return (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(b: bytes) -> tuple[int, int, bytes]:
+    """Pure-stdlib reference PNG decoder for grayscale 8-bit images: walks
+    the chunk stream, inflates the concatenated IDAT payload, and runs the
+    five scanline unfilter algorithms (None/Sub/Up/Average/Paeth, RFC 2083
+    §6). Returns (width, height, row-major pixel bytes).
+
+    This is the one REAL codec behind ``decode_media(real_codec=True)``
+    (VERDICT r6 item 7): color/interlaced PNGs and every other container
+    format still raise NotImplementedError — the declared external-lib
+    slot — but the synthesized-media path is now decodable end to end."""
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    i = 8
+    width = height = None
+    idat = bytearray()
+    while i + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[i : i + 4])
+        tag = b[i + 4 : i + 8]
+        body = b[i + 8 : i + 8 + length]
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
+            if bit_depth != 8 or color_type != 0 or body[12] != 0:
+                raise NotImplementedError(
+                    "reference decoder handles non-interlaced grayscale-8 "
+                    "PNG only; other formats are the external-codec slot"
+                )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        i += 12 + length  # len + tag + body + crc
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (width + 1) * height:
+        raise ValueError("PNG scanline payload has the wrong size")
+
+    def paeth(a: int, b_: int, c: int) -> int:
+        p = a + b_ - c
+        pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b_ if pb <= pc else c
+
+    out = bytearray(width * height)
+    prev = bytes(width)
+    for y in range(height):
+        line = raw[y * (width + 1) : (y + 1) * (width + 1)]
+        ftype, data = line[0], line[1:]
+        row = bytearray(width)
+        for x in range(width):
+            left = row[x - 1] if x else 0
+            up = prev[x]
+            ul = prev[x - 1] if x else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            elif ftype == 4:
+                pred = paeth(left, up, ul)
+            else:
+                raise ValueError(f"bad PNG filter type {ftype}")
+            row[x] = (data[x] + pred) & 0xFF
+        out[y * width : (y + 1) * width] = row
+        prev = row
+    return width, height, bytes(out)
+
+
+def png_pixel_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched pixel statistics over a binary PNG payload column via
+    the reference decoder — the decode/feature-extract stage of a media
+    pipeline with a codec that actually runs. One Python worker per
+    partition; payload bytes never leave the executor."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                w, h, px = decode_png_pixels(bytes(payload))
+                rows.append(
+                    (int(doc_id), w, h, len(px), sum(px), min(px), max(px))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_px", "px_sum", "px_min", "px_max",
+                ],
+            )
+
+    return df.mapInPandas(
+        stats,
+        "doc_id long, width int, height int, n_px long, px_sum long, "
+        "px_min int, px_max int",
+    )
+
+
 def synthesize_gif(width: int, height: int) -> bytes:
     """A minimal GIF89a: header + logical screen descriptor + trailer."""
     return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00;"
@@ -170,11 +325,14 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
 def decode_media(df: DataFrame, real_codec: bool = False) -> DataFrame:
     """'Decode' the binary payload per Arrow batch via mapInPandas.
 
-    ``real_codec=True`` is the slot where PIL/ffmpeg-style decoding would
-    run; it raises NotImplementedError here (libs not installed). The
-    default path computes deterministic fake features (sizes, checksum,
-    fake dimensions derived from the checksum) so the batch shape, schema
-    and partition behavior are fully exercised and testable.
+    ``real_codec=True`` runs the one codec this sandbox CAN implement —
+    the pure-stdlib grayscale-8 PNG reference decoder
+    (:func:`decode_png_pixels`), returning true decoded dimensions — and
+    raises NotImplementedError for every other payload type (the declared
+    slot where PIL/ffmpeg would plug in; those libs are not installed).
+    The default path computes deterministic fake features (sizes,
+    checksum, fake dimensions derived from the checksum) so the batch
+    shape, schema and partition behavior are fully exercised and testable.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -182,10 +340,37 @@ def decode_media(df: DataFrame, real_codec: bool = False) -> DataFrame:
 
         for pdf in batches:
             if real_codec:
-                raise NotImplementedError(
-                    "media codecs (PIL/ffmpeg) are not available in this "
-                    "environment; plug the real decoder in here"
+                rows = []
+                for doc_id, payload, meta in zip(
+                    pdf["doc_id"], pdf["payload"], pdf["media_meta"]
+                ):
+                    b = bytes(payload)
+                    if b[:8] != b"\x89PNG\r\n\x1a\n":
+                        raise NotImplementedError(
+                            "real_codec: only the grayscale-8 PNG reference "
+                            "decoder is implemented offline; PIL/ffmpeg for "
+                            "other formats plug in here"
+                        )
+                    w, h, _px = decode_png_pixels(b)
+                    rows.append(
+                        (
+                            int(doc_id),
+                            "image/png",
+                            len(b),
+                            hashlib.md5(b).hexdigest(),
+                            w,
+                            h,
+                            1,
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "doc_id", "media_type", "n_bytes", "checksum",
+                        "width", "height", "n_frames",
+                    ],
                 )
+                continue
             payloads = pdf["payload"]
             digests = [hashlib.md5(bytes(p)).hexdigest() for p in payloads]
             yield pd.DataFrame(

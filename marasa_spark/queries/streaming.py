@@ -722,3 +722,54 @@ def i17_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").cast("long").alias("user_id"),
         F.col("value").cast("long").alias("last_event_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# i18 — transformWithStateInPandas-shaped stateful processing (Spark 4's
+# multi-state-variable API; SURVEY §2.I names it as i6's alternative API)
+# ---------------------------------------------------------------------------
+
+I18_ORACLE = f"""
+SELECT event_id, user_id,
+       count(*) OVER w AS n_so_far,
+       CAST(count(DISTINCT event_type) OVER w AS BIGINT) AS n_types_so_far,
+       {r2sql("max(value) OVER w")} AS max_so_far
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@register("i18_stateful_transform", oracle=I18_ORACLE, group="I")
+def i18_stateful_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch equivalent of a Spark-4 ``transformWithStateInPandas``
+    processor holding MULTIPLE independent state variables per key — the
+    feature that distinguishes the new API from ``applyInPandasWithState``'s
+    single state tuple (i6): a ValueState event counter, a set-valued state
+    of event types seen, and a ValueState running maximum, all updated in
+    arrival order. Batch-side each state variable is one cumulative window
+    aggregate over the same (user_id, event_id) frame — one shuffle total,
+    shared by all three, never one per state variable. The streaming twins
+    live in tests/test_streaming.py: a runnable applyInPandasWithState
+    emulation (states packed into one tuple) asserting stream↔batch
+    equality, and the literal ``transformWithStateInPandas`` processor
+    (ValueState + ListState handles), gated on google.protobuf — the
+    state-server protocol needs it and this container cannot pip-install
+    (environment constraint; the processor runs wherever protobuf exists).
+    At 100 TB the streaming form's state is per-key-bounded (a counter, a
+    small set, a scalar) and RocksDB-backed; the batch form is a single
+    key-shuffle window."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_types_so_far"),
+        r2(F.max("value").over(w)).alias("max_so_far"),
+    )

@@ -6,6 +6,7 @@ rolling-hash reference, multimodal decode plumbing, approx-agg tolerance.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from marasa_spark.catalog import load_table
@@ -441,3 +442,39 @@ def test_pq_encode_generic_geometry(spark, sf_dir):
         if r["c_id"] < 4:
             assert all(r[f"err_{s}"] == 0.0 for s in range(8))
             assert all(r[f"code_{s}"] == r["c_id"] for s in range(8))
+
+
+def test_real_codec_decodes_png_end_to_end(spark, sf_dir):
+    """decode_media(real_codec=True) now has one WORKING codec: filtered
+    grayscale-8 PNGs decode to their true dimensions through the stdlib
+    reference decoder; non-PNG payloads still raise (the declared slot)."""
+    from pyspark.sql.types import BinaryType
+
+    docs = load_table(spark, sf_dir, "documents").limit(20).select("doc_id")
+
+    @F.pandas_udf(BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                M.synthesize_png_filtered(
+                    4 + int(i) % 29,
+                    3 + int(i) % 17,
+                    lambda x, y, i=int(i): (i * 31 + y * 17 + x * 7) % 256,
+                )
+                for i in ids
+            ]
+        )
+
+    media = docs.select(
+        "doc_id",
+        synth("doc_id").alias("payload"),
+        F.struct(F.lit("image/png").alias("mime"), F.lit(0).alias("declared_len")).alias(
+            "media_meta"
+        ),
+    )
+    rows = {r["doc_id"]: r for r in M.decode_media(media, real_codec=True).collect()}
+    assert rows
+    for did, r in rows.items():
+        assert r["media_type"] == "image/png"
+        assert r["width"] == 4 + did % 29 and r["height"] == 3 + did % 17
+        assert r["n_frames"] == 1

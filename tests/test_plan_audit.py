@@ -481,3 +481,17 @@ def test_no_section2_plan_has_data_sized_single_partition_window(spark):
         if bad:
             offenders[qid] = bad[0]
     assert not offenders, f"data-sized SinglePartition windows: {offenders}"
+
+
+def test_k80_probe_never_rescans_corpus(spark):
+    """k80: the probe-phase plan (the DataFrame the op returns) must read
+    ONLY the persisted band/token index and the staged batch — the corpus
+    parquet is scanned once at index-build time and never again. A
+    documents.parquet scan in the probe plan would mean the 'incremental'
+    op re-pays the corpus read on every daily batch."""
+    plan = plan_of(spark, "k80_incremental_near_dup")
+    assert "documents.parquet" not in plan, (
+        "probe plan re-scans the corpus:\n" + plan[:1500]
+    )
+    # and the candidate join is the payload-free banded equi-join
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -53,3 +53,165 @@ def test_salted_join_matches_plain(spark, sf_dir):
         (r["event_id"], r["c_mktsegment"]) for r in ev.join(dim, "user_id").collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Skew soak (VERDICT r6 item 6): a synthetic sf1-equivalent events table with
+# one user_id owning ~20% of all rows, run through each hot-key-sensitive op
+# family. Each test FAILS if the family's scale path lets the hot key
+# degenerate the shuffle to one task (or, where one-task-per-key is inherent
+# to exact per-key semantics, if the hot key drags unrelated keys with it).
+# ---------------------------------------------------------------------------
+
+import pytest
+
+HOT_USER = 999_999
+N_REPLICAS = 10  # sf0.1 events x10 ~ sf1-equivalent (1M rows)
+NPARTS = 32
+
+
+@pytest.fixture(scope="module")
+def skewed_events(spark):
+    """sf1-equivalent events with a planted hot key: every 5th event_id is
+    remapped to HOT_USER (20% of rows), the rest keep their original user.
+    Persisted once per module; reads come off parquet like real input."""
+    from marasa_spark.queries._util import fresh_scratch
+
+    ev = load_table(spark, "/root/testdata/sf0.1", "events")
+    reps = spark.range(N_REPLICAS).select(F.col("id").alias("rep"))
+    big = (
+        ev.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("event_id") * N_REPLICAS + F.col("rep")).alias("event_id"),
+            F.when(F.col("event_id") % 5 == 0, F.lit(HOT_USER))
+            .otherwise(F.col("user_id"))
+            .alias("user_id"),
+            (F.col("ts") + F.make_interval(secs=F.col("rep"))).alias("ts"),
+            "event_type",
+            "value",
+        )
+    )
+    d = fresh_scratch("skew_soak", "/root/testdata/sf0.1", create=False)
+    big.write.parquet(d)
+    return spark.read.parquet(d)
+
+
+def _partition_shares(df, *cols) -> list[float]:
+    """Row share per partition under the hash partitioning the op's shuffle
+    would use — the direct measurement of 'does a hot key collapse the
+    exchange to one task'."""
+    counts = [
+        r["n"]
+        for r in df.repartition(NPARTS, *[F.col(c) for c in cols])
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    total = sum(counts)
+    return sorted((c / total for c in counts), reverse=True)
+
+
+def test_skew_window_family_stays_parallel(skewed_events, spark):
+    """e-group/i6 shape: a user_id-keyed window puts the hot key on ONE
+    task by definition (exact per-key order demands it) — the pin is that
+    the hot task holds ONLY the hot key's ~20%, while the rest of the data
+    spreads across the other partitions instead of riding along."""
+    from pyspark.sql import Window as W
+
+    shares = _partition_shares(skewed_events, "user_id")
+    assert len(shares) > 1, "keyed exchange collapsed to one partition"
+    assert shares[0] <= 0.30, f"hot partition share {shares[0]:.2f} > hot key's own 20%+margin"
+    # and the window actually computes under the skew (no OOM/one-task stall)
+    w = W.partitionBy("user_id").orderBy("event_id")
+    ranked = skewed_events.withColumn("rn", F.row_number().over(w))
+    hot_max = (
+        ranked.filter(F.col("user_id") == HOT_USER).agg(F.max("rn").alias("m")).first()["m"]
+    )
+    hot_n = skewed_events.filter(F.col("user_id") == HOT_USER).count()
+    assert hot_max == hot_n
+
+
+def test_skew_session_window_stays_parallel(skewed_events):
+    """i3 shape: session aggregation shuffles on the user key; the hot
+    user's sessions must not drag other users onto its task, and the
+    session count under skew must equal the per-user sequential fold."""
+    shares = _partition_shares(skewed_events, "user_id")
+    assert shares[0] <= 0.30
+    sess = (
+        skewed_events.groupBy(F.session_window("ts", "15 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = sess.agg(F.sum("n").alias("s")).first()["s"]
+    assert got == skewed_events.count(), "session agg lost rows under skew"
+
+
+def test_skew_asof_bucketed_spreads_hot_key(skewed_events, spark):
+    """c10 family: the union-sort as-of is documented one-task-per-key; the
+    bucketed variant is the hot-key escape hatch — its shuffle key is
+    (user, time-bucket), so the hot key's rows spread across its buckets.
+    Pin: peak (user, bucket) partition share is FAR below the hot key's
+    20%, and the bucketed result matches the union-sort reference on the
+    skewed table."""
+    from marasa_spark.ops.asof import asof_join_bucketed, asof_join_union
+
+    tol_s = 3600
+    p = skewed_events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = skewed_events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    bucketed_key = c.select(
+        "user_id", F.floor(F.unix_micros("click_ts") / (tol_s * 1_000_000)).alias("bkt")
+    )
+    shares = _partition_shares(bucketed_key, "user_id", "bkt")
+    assert shares[0] <= 0.10, (
+        f"(key, bucket) exchange peak {shares[0]:.2f} — hot key not spreading "
+        "across time buckets"
+    )
+    got = asof_join_bucketed(
+        p, c, on="user_id", left_ts="purchase_ts", right_ts="click_ts",
+        right_seq="click_id", left_seq="purchase_id", tolerance_s=tol_s,
+    )
+    want = asof_join_union(
+        p, c, on="user_id", left_ts="purchase_ts", right_ts="click_ts",
+        right_seq="click_id", left_seq="purchase_id",
+    ).filter(
+        F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {tol_s} SECONDS")
+    )
+    gs = {(r["purchase_id"], r["click_id"]) for r in got.collect()}
+    ws = {(r["purchase_id"], r["click_id"]) for r in want.collect()}
+    assert gs == ws, f"bucketed asof diverged under skew: {len(gs)} vs {len(ws)} pairs"
+
+
+def test_skew_lsh_bucket_cap_bounds_degenerate_buckets(spark, sf_dir):
+    """k9 shape: 20% of a corpus being byte-identical makes EVERY band
+    bucket of that group degenerate (O(hot^2) candidate pairs without the
+    cap). max_bucket_size drops those buckets — a documented recall cut on
+    pathological keys, whose members are exact duplicates and belong to k4's
+    exact dedup anyway — while ordinary near-dup pairs keep flowing. The
+    pin: with the cap, no candidate pair joins two hot-group docs, and the
+    op completes in bounded work."""
+    from marasa_spark.ops.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    hot_n = n // 5
+    hot = docs.filter(F.col("doc_id") < hot_n).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.lit("identical hot payload repeated across the corpus").alias("text"),
+    )
+    corpus = docs.unionAll(hot)
+    pairs = minhash_lsh_pairs(
+        corpus, "doc_id", "text", num_hashes=32, bands=8,
+        threshold=0.8, max_bucket_size=64,
+    )
+    hot_pairs = pairs.filter(
+        (F.col("doc_a") >= 1_000_000) & (F.col("doc_b") >= 1_000_000)
+    ).count()
+    assert hot_pairs == 0, (
+        f"{hot_pairs} O(hot^2) pairs leaked through capped buckets"
+    )

@@ -43,6 +43,24 @@ other rows-only ids carry
 the same pattern: an engine-hash/float-iteration artifact plus a
 behavioral bound in tests (k48: IVF recall@5 ≥ 0.9 vs brute force).
 
+## Id-numbering gaps (dense-id audit)
+
+The id space is not dense; every hole is listed here so a reader can tell
+"never existed" from "silently dropped" (none were dropped — `git log -S`
+finds no history for any of these):
+
+- **a11** — never allocated (skipped during A-group growth). It must now
+  STAY unallocated: any new id sorting before `d17_group_concat` would
+  churn the driver's frozen first-50 verification window
+  (tests/test_driver_contract.py).
+- **k42, k43, k45, k62** — never allocated; planning reservations during
+  the K-group build-out (rounds 3-5) that were superseded by the ids that
+  shipped (k44/k46-k61 around them). No code was written under them.
+- **m28, m44** — never allocated; same pattern in the maintenance group.
+- **z4, z6** — never allocated; the z-group numbers the dialect-shared SQL
+  rows plus log verbs, and these two slots were reserved then folded into
+  z3/z5's scope.
+
 | id | group | module | check | summary |
 | --- | --- | --- | --- | --- |
 """
