@@ -4461,3 +4461,58 @@ def k81_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = d.select("doc_id", synth("doc_id").alias("payload"))
     return png_pixel_stats(media)
+
+
+# ---------------------------------------------------------------------------
+# k82 — leakage-safe train/val/test split: duplicate groups never straddle
+# a split boundary
+# ---------------------------------------------------------------------------
+
+K82_ORACLE = """
+WITH groups AS (
+  SELECT md5(text) AS content_hash, min(doc_id) AS rep
+  FROM documents GROUP BY md5(text)
+), assigned AS (
+  SELECT content_hash, rep,
+         CASE
+           WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+           WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM groups
+)
+SELECT d.doc_id AS doc_id, a.rep AS group_rep, a.split AS split
+FROM documents d JOIN assigned a ON md5(d.text) = a.content_hash
+"""
+
+
+@register("k82_leakage_safe_split", oracle=K82_ORACLE, group="K")
+def k82_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that can never leak a duplicate across
+    the boundary: docs group by content hash (k4's exact-dup shuffle), the
+    GROUP — not the doc — draws its split from a hash of its
+    representative id, and every member inherits it. Random row-level
+    splits put byte-identical train/test twins in 100 TB corpora (dup rate
+    is never zero); splitting on the dup-group key is the fix, and the
+    same two-join shape lifts to near-dup cluster ids (k25/k49 connected
+    components) when semantic leakage matters too. Deterministic and
+    engine-portable: the split comes from the first hex char of
+    md5(rep) — 12/16 train, 2/16 val, 2/16 test — string comparison, no
+    modulo-on-signed-hash pitfalls. Shuffle budget: one hash groupBy +
+    one join back on the hash key (co-partitioned by Catalyst); the split
+    table is derived, not stored, so re-sharding the corpus never churns
+    assignments."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", F.md5("text").alias("content_hash"))
+    hexc = F.substring(F.md5(F.col("rep").cast("string")), 1, 1)
+    assigned = (
+        hashed.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("rep"))
+        .withColumn(
+            "split",
+            F.when(hexc <= "b", "train").when(hexc <= "d", "val").otherwise("test"),
+        )
+    )
+    return hashed.join(assigned, "content_hash").select(
+        "doc_id", F.col("rep").alias("group_rep"), "split"
+    )

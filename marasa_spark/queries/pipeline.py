@@ -2165,3 +2165,63 @@ def m43_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("item", "other", "n_baskets", F.col("rk").cast("long").alias("rk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# m45 — one-pass table profile (the ANALYZE/data-quality report as a query)
+# ---------------------------------------------------------------------------
+
+M45_ORACLE = """
+SELECT 'o_custkey' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       CAST(min(o_custkey) AS VARCHAR) AS min_v, CAST(max(o_custkey) AS VARCHAR) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_orderstatus) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(o_orderdate) AS BIGINT),
+       CAST(count(DISTINCT o_orderdate) AS BIGINT),
+       CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+FROM orders
+"""
+
+
+@register("m45_table_profile", oracle=M45_ORACLE, group="M")
+def m45_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (ANALYZE-style data-quality report) as ONE
+    aggregation pass: row count, null count, exact distinct count, and
+    min/max per profiled column, emitted long-form (one row per column).
+    The oracle spells the same report as per-column UNION ALL selects —
+    semantically identical, but the Spark plan computes every column's
+    statistics in a SINGLE scan + one aggregate (count(DISTINCT a),
+    count(DISTINCT b), ... expand to one multi-distinct aggregate), then
+    unpivots the 1-row wide result with stack() — a metadata-sized
+    reshape. At 100 TB the difference is 1 scan vs N scans; swapping the
+    exact distincts for approx_count_distinct (d9's posture) makes the
+    same plan sketch-cheap when exactness isn't contractual. min/max
+    stringify so heterogeneous column types share one report schema
+    (dates render ISO — matching DuckDB's VARCHAR cast)."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderdate"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__null, {c}__ndv, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col, n_rows, n_null, n_distinct, min_v, max_v)"
+    )
