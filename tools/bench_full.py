@@ -54,6 +54,12 @@ WAIVERS: dict[str, str] = {
     "k9_dedup_minhash_lsh": "the LSH scale path itself — cost is the "
     "linear 32-hash signature computation over every doc; the shuffle "
     "carries only (doc, band, bucket)",
+    "k80_incremental_near_dup": "the measured window INCLUDES the one-time "
+    "corpus index build (tokenize + 32-hash minhash + two parquet "
+    "persists) that the op exists to amortize across daily batches — a "
+    "nightly job at scale, not per-query cost; the probe itself is the "
+    "banded equi-join + candidate verify (corpus never re-scanned, "
+    "pinned by test_plan_audit)",
     "k10_dedup_simhash": "linear signature computation (64 weighted bit "
     "positions per doc via higher-order array exprs); no pair stage",
     "k11_embed_neardup": "all-pairs cosine verification reference, "
