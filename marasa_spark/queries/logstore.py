@@ -637,3 +637,51 @@ def j12_log_forget_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     store.delete("click", doomed)
     return store.latest().select("ns", "key", "value")
+
+
+# ---------------------------------------------------------------------------
+# j13 — the manifest (Delta-style) backend as a driver-checked row
+# ---------------------------------------------------------------------------
+
+J13_ORACLE = """
+SELECT event_type AS ns, CAST(user_id AS VARCHAR) AS key, props AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+                               ORDER BY ts DESC, props DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("j13_log_manifest_backend", oracle=J13_ORACLE, group="J")
+def j13_log_manifest_backend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage-seam claim as a hash-checked contract row: build the
+    SAME events→log→compact→latest pipeline as j5, but on
+    ManifestMarasaLog — the Delta-style backend whose readers list data
+    files from an append-only transaction manifest instead of the
+    directory (log_backends.py; property-tested beside the parquet and
+    JSON backends in tests/test_log_properties.py). The fold must
+    hash-match the identical plain-SQL oracle, proving every semantics
+    layer (seqno assignment, committed filter, snapshot ∪ tail reads,
+    compaction) is byte-equivalent across physical backends — the slot-in
+    evidence for a real transactional table format, driver-visible rather
+    than test-only. An unmanifested rogue file is planted in the log
+    directory before the read: directory-listing readers would fold it
+    in; the manifest reader must not see it."""
+    from marasa_spark.log_backends import ManifestMarasaLog
+
+    store = ManifestMarasaLog(spark, fresh_scratch("j13_log", sf_dir))
+    store.append(_events_as_log(spark, sf_dir))
+    store.compact()
+    # listing-isolation probe: a foreign parquet file inside the log dir,
+    # never manifested — committed-range seqno, so only the manifest (not
+    # the seqno filter) can hide it
+    import datetime
+
+    rogue = spark.createDataFrame(
+        [("click", "7", 1, datetime.datetime(2030, 1, 1), "ROGUE", 0)],
+        "ns string, key string, seqno long, ts timestamp, value string, segment long",
+    )
+    rogue.write.mode("append").partitionBy("ns", "segment").parquet(store.log_dir)
+    return store.latest().select("ns", "key", "value")

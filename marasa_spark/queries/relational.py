@@ -713,12 +713,12 @@ def z17_sql_frontend_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Z18_SQL = """
-SELECT o_orderkey, o_orderdate,
+SELECT o_orderkey, o_orderpriority, o_orderdate,
        count(*) OVER w AS n_trailing_30d,
        max(o_totalprice) OVER w AS max_price_30d
 FROM orders
 WHERE o_orderkey % 20 = 0
-WINDOW w AS (ORDER BY o_orderdate
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
              RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
 """
 
@@ -727,14 +727,18 @@ WINDOW w AS (ORDER BY o_orderdate
 def z18_sql_frontend_interval_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-interval RANGE frames through the SQL front end (plus the
     WINDOW clause — named-window syntax both engines share): trailing
-    30-day count/max per order over a 5%-sampled stream. RANGE frames
-    are tie-DETERMINISTIC by construction (the frame is defined by the
-    ORDER value, so rows sharing a date share a frame — the one window
-    shape exempt from the unique-tiebreaker rule), and the aggregates
-    here (count, max) are order-insensitive so cross-engine accumulation
-    order cannot bite. The global ORDER BY window is the scale caveat:
-    one partition — at 100 TB this frame belongs inside a key partition
-    (e8's shape) or a time-bucketed two-pass."""
+    30-day count/max per priority class over a 5%-sampled stream. RANGE
+    frames are tie-DETERMINISTIC by construction (the frame is defined by
+    the ORDER value, so rows sharing a date share a frame — the one
+    window shape exempt from the unique-tiebreaker rule), and the
+    aggregates here (count, max) are order-insensitive so cross-engine
+    accumulation order cannot bite. The named window carries PARTITION BY
+    — round 7 retired the global-ORDER-BY form this row originally
+    demonstrated (the last single-partition data windows in the registry
+    fell with it; the full-registry plan sweep in test_plan_audit now
+    pins their absence), and every dialect feature the row exists to map
+    (WINDOW clause + INTERVAL RANGE frame) survives inside the keyed
+    form."""
     from marasa_spark.catalog import register_views
 
     register_views(spark, sf_dir, "orders")
@@ -1365,7 +1369,8 @@ def z35_sql_frontend_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 Z36_SQL = """
 SELECT o_custkey, o_orderkey,
        lag(o_totalprice, 1, CAST(0 AS DOUBLE)) OVER w AS prev_price,
-       ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile,
+       ntile(4) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile,
        CAST(floor(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 100 AS ma3,
        CAST(row_number() OVER w AS BIGINT) AS order_seq
 FROM orders
@@ -1384,13 +1389,13 @@ def z36_sql_frontend_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges this text exists to map), plus an independent global ntile. Every
     window's ORDER BY carries the unique o_orderkey tiebreak — the house
     rule that makes lag/ntile/frames deterministic across engines; the
-    moving average rides r2sql. The o_custkey < 120 filter keeps the
-    global-ntile partition bounded at every SF (a global ORDER BY window
-    is a single-partition operator — acceptable only on a pre-filtered
-    slice, which is exactly what this text demonstrates); the per-
-    customer windows scale out on the partition key. row_number is CAST
-    to BIGINT (DuckDB emits it as BIGINT, Spark as INT — the shared text
-    pins the type)."""
+    moving average rides r2sql. Every window is KEYED (the ntile ranks
+    price quartiles within priority class) — round 7 retired the global
+    ntile this row originally carried; a global ORDER BY window is a
+    single-partition operator, and the full-registry plan sweep in
+    test_plan_audit now pins that none remains anywhere. row_number is
+    CAST to BIGINT (DuckDB emits it as BIGINT, Spark as INT — the shared
+    text pins the type)."""
     from marasa_spark.catalog import register_views
 
     register_views(spark, sf_dir, "orders")

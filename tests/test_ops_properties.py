@@ -168,3 +168,33 @@ def test_heavy_hitters_exact_matches_naive(spark, texts):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# PNG reference codec: encode→decode identity for arbitrary images
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(
+    width=st.integers(1, 40),
+    height=st.integers(1, 30),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_codec_roundtrip_identity(width, height, seed):
+    """Pure-Python property: for ANY dimensions and pixel content, the
+    filtered encoder (cycling all five RFC 2083 filters) and the reference
+    decoder are exact inverses — the correctness core under k81, with no
+    Spark in the loop so hypothesis can sweep the space cheaply."""
+    from marasa_spark.ops.multimodal import (
+        decode_png_pixels,
+        synthesize_png_filtered,
+    )
+
+    def px(x: int, y: int) -> int:
+        return (seed + 31 * x + 17 * y + x * y) % 256
+
+    blob = synthesize_png_filtered(width, height, px)
+    w, h, pixels = decode_png_pixels(blob)
+    assert (w, h) == (width, height)
+    want = bytes(px(x, y) for y in range(height) for x in range(width))
+    assert pixels == want

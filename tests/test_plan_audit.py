@@ -473,9 +473,32 @@ def test_no_section2_plan_has_data_sized_single_partition_window(spark):
     shape, NO §2-contract plan may contain a SinglePartition exchange that
     feeds a Window/Sort directly from a raw table scan. Tiny windows over
     already-aggregated inputs (f1/f3's 16-row offset table) are exempt —
-    the collapse sits between the scan and the exchange."""
+    the collapse sits between the scan and the exchange. (Kept as the
+    fast contract-scoped check; the full-registry sweep below covers the
+    other 225 ids.) This pin caught j4's global replay index on first
+    run; the registry-wide version then caught z18/z36's global SQL
+    windows — all three now ride keyed shapes."""
     offenders = {}
     for qid in SECTION2_IDS:
+        plan = plan_of(spark, qid)
+        bad = _single_partition_windows_over_data(plan)
+        if bad:
+            offenders[qid] = bad[0]
+    assert not offenders, f"data-sized SinglePartition windows: {offenders}"
+
+
+def test_no_registry_plan_has_data_sized_single_partition_window(spark):
+    """The same invariant swept over EVERY registered op (303 ids): no
+    Exchange SinglePartition anywhere in the engine feeds a Window/Sort
+    from a raw data-table scan. Costs ~3 min (it builds every plan,
+    including the side-effecting sink/log ops) — that price bought two
+    real catches (z18, z36) the §2 sweep couldn't see."""
+    from marasa_spark.registry import REGISTRY
+
+    offenders = {}
+    for qid in sorted(REGISTRY):
+        if qid in SECTION2_IDS:
+            continue  # covered (faster) above
         plan = plan_of(spark, qid)
         bad = _single_partition_windows_over_data(plan)
         if bad:
