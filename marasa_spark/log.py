@@ -502,15 +502,24 @@ class MarasaLog:
         return max(seqs, default=0)
 
     def _union_snapshot_tail(self) -> DataFrame | None:
-        """snapshot(≤S) ∪ log-tail(>S) — the bounded-replay read set."""
+        """snapshot(≤S) ∪ log-tail(>S) — the bounded-replay read set.
+
+        Crash-hardening: ``_latest_snapshot_seq`` selects by directory NAME,
+        so an ``upto=S`` dir a writer left half-materialized (exists but
+        ``_read_dir`` sees no committed content — e.g. unmanifested in the
+        manifest backend) must NOT silently hide rows ≤ S. When the selected
+        snapshot reads as None the fold falls back to replaying the full
+        log — correct (the log retains everything), just unaccelerated
+        until the next compact() succeeds."""
         s = self._latest_snapshot_seq()
         tail = self._committed(self._read_dir(self.log_dir))
         if s == 0:
             return tail
         snap = self._read_dir(f"{self.snap_dir}/upto={s}")
+        if snap is None:
+            return tail
         if tail is not None:
-            tail = tail.filter(F.col("seqno") > s)
-            return snap.unionByName(tail) if snap is not None else tail
+            return snap.unionByName(tail.filter(F.col("seqno") > s))
         return snap
 
     # -- read path ----------------------------------------------------------

@@ -148,9 +148,26 @@ class ManifestMarasaLog(MarasaLog):
         self._manifest_add(self.log_dir, sorted(new))
 
     def _write_snapshot(self, state: DataFrame, upto: int) -> None:
-        d = f"{self.snap_dir}/upto={upto}"
-        state.write.mode("overwrite").parquet(d)
-        self._manifest_add(d, sorted(self._list_parts(d)))
+        """Stage → manifest → atomic rename. The snapshot becomes visible
+        under its final ``upto=N`` name only AFTER its manifest entry is on
+        disk inside it, closing the crash window where the dir exists by
+        name (so ``_latest_snapshot_seq`` selects it) but reads as empty —
+        which would make ``_union_snapshot_tail`` silently drop rows ≤ N.
+        (The base class ALSO hardens that read path by falling back to the
+        full log; this keeps the invariant from being violated at all.)
+        A crash before the rename leaves only a hidden ``.tmp`` dir, swept
+        by :meth:`_sweep_unmanifested` on the next recovery."""
+        final = f"{self.snap_dir}/upto={upto}"
+        tmp = f"{self.snap_dir}/.tmp_upto={upto}.{os.getpid()}.{os.urandom(4).hex()}"
+        state.write.mode("overwrite").parquet(tmp)
+        parts = sorted(self._list_parts(tmp))
+        # manifest entries must name the files' POST-rename paths
+        self._manifest_add(tmp, [p.replace(tmp, final, 1) for p in parts])
+        if os.path.isdir(final):  # re-compact at the same high-water
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(tmp, final)
 
     def _read_dir(self, d: str, schema: str = DISK_SCHEMA):
         files = self._manifested_files(d)
@@ -159,3 +176,72 @@ class ManifestMarasaLog(MarasaLog):
         return (
             self.spark.read.option("basePath", d).schema(schema).parquet(*files)
         )
+
+    # -- recovery: physical sweep of unmanifested leftovers -------------------
+
+    def _sweep_unmanifested(self) -> int:
+        """Remove files no manifest entry points at — the leftovers of a
+        writer that crashed between its parquet job and ``_manifest_add``
+        (log side), or between staging and rename (snapshot side). They are
+        invisible to every reader by construction, so the sweep is pure
+        disk-leak hygiene restoring the base class's 'orphans do not stay
+        on disk' contract. Same operator contract as
+        :meth:`MarasaLog.recover_claims`: never run while a writer is in
+        flight (an in-flight append's files are unmanifested mid-job).
+        Returns the number of files/dirs removed."""
+        import shutil
+
+        n = 0
+        if os.path.isdir(self.log_dir):
+            manifested = set(self._manifested_files(self.log_dir) or [])
+            for p in sorted(self._list_parts(self.log_dir) - manifested):
+                os.unlink(p)
+                n += 1
+        if os.path.isdir(self.snap_dir):
+            for name in os.listdir(self.snap_dir):
+                if name.startswith(".tmp_upto="):
+                    shutil.rmtree(f"{self.snap_dir}/{name}", ignore_errors=True)
+                    n += 1
+        return n
+
+    def _vacuum_uncommitted(self, hw: int) -> int:
+        # manifested-but-uncommitted rows first (the base contract) …
+        removed = super()._vacuum_uncommitted(hw)
+        # … then unmanifested physical leftovers the manifest-scoped
+        # _read_dir can never surface (counted as files, not rows — their
+        # rows were never visible)
+        self._sweep_unmanifested()
+        return removed
+
+    # -- optimistic multi-writer commit (the Delta-OCC seam) ------------------
+
+    def append(self, records: DataFrame, max_attempts: int = 10) -> int:
+        """Multi-writer optimistic append — Delta's commit protocol shape,
+        rehearsed on the claim CAS. The base class surfaces a raced base
+        seqno as :class:`~marasa_spark.log.LogWriteConflict` (single-writer
+        contract, SURVEY §7.4#2); a transactional-manifest table instead
+        makes concurrency a COMMIT-LOOP: on conflict, re-read the journal
+        head (``max_seqno`` — the winner's marker has landed or will),
+        re-CAS the new base, and re-stamp seqnos by re-running the append
+        (seqnos live IN the data files, so a rebase rewrites the batch —
+        the analogue of Delta regenerating its commit actions at version
+        N+1). N racing appenders therefore ALL succeed with serialized,
+        contiguous seqno ranges (property-tested in
+        tests/test_log_properties.py); the other backends keep the raise.
+        Bounded like :meth:`~marasa_spark.log.MarasaLog.append_retrying`:
+        a dead claimant holds its base until ``recover_claims``, so after
+        ``max_attempts`` losses the conflict surfaces with its recovery
+        hint intact. (Explicit loop, not ``append_retrying`` — that helper
+        dispatches back to ``self.append``, i.e. this method.)"""
+        import time
+
+        from marasa_spark.log import LogWriteConflict
+
+        for attempt in range(max_attempts):
+            try:
+                return super().append(records)
+            except LogWriteConflict:
+                if attempt == max_attempts - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        raise AssertionError("unreachable")  # pragma: no cover

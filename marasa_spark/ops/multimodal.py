@@ -341,9 +341,9 @@ def decode_media(df: DataFrame, real_codec: bool = False) -> DataFrame:
         for pdf in batches:
             if real_codec:
                 rows = []
-                for doc_id, payload, meta in zip(
-                    pdf["doc_id"], pdf["payload"], pdf["media_meta"]
-                ):
+                # payload-only, like decode_png_pixels: media_meta must not
+                # be a hard input requirement of the real-codec path
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                     b = bytes(payload)
                     if b[:8] != b"\x89PNG\r\n\x1a\n":
                         raise NotImplementedError(

@@ -4111,9 +4111,11 @@ def k77_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tok.withColumn(
-            # Integer division, not a float round-trip: double division is
-            # exact only below 2^53 and truncates toward zero for negative
-            # ids where the DuckDB oracle's // floors. `div` matches.
+            # Integer division, not a float round-trip (double division is
+            # exact only below 2^53). Caveat: Spark `div` truncates toward
+            # zero while DuckDB `//` FLOORS, so the two agree only because
+            # doc_id >= 0 here; negative ids would need pmod/floor on the
+            # Spark side to keep the oracle in step.
             "block_id", F.expr(f"doc_id div {_K77_BLOCK}")
         )
         .groupBy("token", "block_id")

@@ -127,3 +127,76 @@ def test_manifest_backend_listing_isolation(spark, tmp_path):
     # oblivious to the rogue file
     assert store.append(_batch(spark, [("a", "k1", "v3")], 10)) == 3
     assert store.get("a", "k1") == "v3"
+
+
+def test_manifest_snapshot_crash_window_closed(spark, tmp_path):
+    """ADVICE r7 (medium): a writer dying between snapshot materialization
+    and its manifest entry must not make reads silently drop rows <= N.
+    Two layers close it: (1) _write_snapshot stages in a hidden .tmp dir
+    and atomically renames AFTER manifesting, so a half-materialized
+    snapshot is never visible under its upto=N name; (2) the base class's
+    _union_snapshot_tail falls back to full-log replay when the selected
+    snapshot reads as None (simulated here by planting an unmanifested
+    upto=N dir directly)."""
+    import os
+
+    from marasa_spark.log_backends import ManifestMarasaLog
+
+    store = ManifestMarasaLog(spark, str(tmp_path / "snapcrash"))
+    store.append(_batch(spark, [("a", "k1", "v1"), ("a", "k2", "v2")], 0))
+
+    # (1) a real compact is atomic: final dir carries its manifest, no tmp
+    store.compact()
+    snap_names = os.listdir(store.snap_dir)
+    assert snap_names == ["upto=2"]
+    assert os.path.isdir(f"{store.snap_dir}/upto=2/_manifest")
+
+    # (2) plant a NEWER half-materialized snapshot: dir exists by name,
+    # holds data files, but no manifest entry -> _read_dir sees None
+    torn = f"{store.snap_dir}/upto=99"
+    store.latest().write.mode("overwrite").parquet(torn)
+    assert store._read_dir(torn) is None
+    vals = {r["key"]: r["value"] for r in store.latest("a").collect()}
+    assert vals == {"k1": "v1", "k2": "v2"}, (
+        "half-materialized snapshot hid committed rows from latest()"
+    )
+    asof1 = {r["key"]: r["value"] for r in store.asof(1).collect()}
+    assert asof1 == {"k1": "v1"}
+
+
+def test_manifest_recover_sweeps_unmanifested(spark, tmp_path):
+    """ADVICE r7 (low): unmanifested data files (crash between parquet job
+    and _manifest_add) are invisible but used to accumulate forever; the
+    manifest backend's recovery now physically sweeps them, plus stale
+    .tmp snapshot staging dirs — restoring the base class's 'orphans do
+    not stay on disk' contract."""
+    import datetime
+    import os
+
+    from marasa_spark.log_backends import ManifestMarasaLog
+
+    store = ManifestMarasaLog(spark, str(tmp_path / "sweepstore"))
+    store.append(_batch(spark, [("a", "k1", "v1"), ("a", "k2", "v2")], 0))
+
+    # unmanifested log file + stale snapshot staging dir, as a crash leaves
+    rogue = spark.createDataFrame(
+        [("a", "kX", 9, datetime.datetime(2030, 1, 1), "TORN", 0)],
+        "ns string, key string, seqno long, ts timestamp, value string, segment long",
+    )
+    rogue.write.mode("append").partitionBy("ns", "segment").parquet(store.log_dir)
+    stale_tmp = f"{store.snap_dir}/.tmp_upto=2.dead.cafe"
+    store.latest().write.mode("overwrite").parquet(stale_tmp)
+
+    manifested = set(store._manifested_files(store.log_dir))
+    assert store._list_parts(store.log_dir) - manifested, "rogue not planted"
+
+    store.recover_claims()
+
+    assert store._list_parts(store.log_dir) == set(
+        store._manifested_files(store.log_dir)
+    ), "unmanifested files survived recovery"
+    assert not os.path.isdir(stale_tmp), "stale snapshot staging dir survived"
+    # committed data untouched
+    vals = {r["key"]: r["value"] for r in store.latest("a").collect()}
+    assert vals == {"k1": "v1", "k2": "v2"}
+    assert store.max_seqno() == 2

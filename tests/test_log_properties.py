@@ -560,3 +560,59 @@ def test_tombstone_lifecycle(spark, tmp_base, backend):
     assert store.delete("ns", []) == hw
     assert store.max_seqno() == hw
     assert sum(len(fs) for _, _, fs in os.walk(store.log_dir)) == n_files
+
+
+def test_manifest_occ_bare_append_serializes(spark, tmp_base):
+    """VERDICT r7 #3 — the Delta-OCC seam on the transactional-manifest
+    backend: N writers racing BARE append() (no caller-side retry helper)
+    must ALL commit, serialized into contiguous collision-free seqno
+    ranges whose replay equals the serial model. The other backends keep
+    the single-writer LogWriteConflict raise on a bare append (pinned by
+    test_concurrent_append_conflict_detected); the manifest backend makes
+    the commit loop the table's own protocol, as Delta does."""
+    import threading
+
+    path = str(tmp_base / "occ_store")
+    n_writers, rows_each = 4, 10
+    results, errors = {}, []
+    barrier = threading.Barrier(n_writers)
+
+    def run(w: int) -> None:
+        store = ManifestMarasaLog(spark, path)
+        df = spark.createDataFrame(
+            [("ns1", f"w{w}_k{i}", _ts(w * rows_each + i), f"v{w}_{i}")
+             for i in range(rows_each)],
+            "ns string, key string, ts timestamp, value string",
+        )
+        barrier.wait()
+        try:
+            results[w] = store.append(df, max_attempts=40)
+        except Exception as e:  # noqa: BLE001 — surfaced in the assert below
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(w,)) for w in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    total = n_writers * rows_each
+    assert sorted(results.values()) == [rows_each * (i + 1) for i in range(n_writers)]
+    reader = ManifestMarasaLog(spark, path)
+    rows = reader.changes(0).orderBy("seqno").collect()
+    assert [r["seqno"] for r in rows] == list(range(1, total + 1))
+    assert sorted(r["key"] for r in rows) == sorted(
+        f"w{w}_k{i}" for w in range(n_writers) for i in range(rows_each)
+    )
+    # batches never interleave: each writer's rows are a contiguous range
+    by_writer: dict[str, list[int]] = {}
+    for r in rows:
+        by_writer.setdefault(r["key"].split("_")[0], []).append(r["seqno"])
+    for seqs in by_writer.values():
+        assert seqs == list(range(min(seqs), min(seqs) + rows_each))
+    # replay equals the serial model: last write per key wins
+    latest = {r["key"]: r["value"] for r in reader.latest().collect()}
+    assert latest == {
+        f"w{w}_k{i}": f"v{w}_{i}" for w in range(n_writers) for i in range(rows_each)
+    }

@@ -22,6 +22,15 @@ from marasa_spark.streaming.runtime import (
 SCRATCH = "/root/repo/_scratch/streaming_tests"
 
 
+def _r2(x: float) -> float:
+    """Python twin of queries/_util.py r2 (IEEE half-up floor rounding) —
+    the batch side rounds with r2, so the streaming side must round with
+    the SAME formula; Python's round() is banker's and flaps on .xx5 ties."""
+    import math
+
+    return math.floor(x * 100 + 0.5) / 100
+
+
 @pytest.fixture(scope="module")
 def chunk_dir(spark, sf_dir):
     d = f"{SCRATCH}/chunks"
@@ -422,7 +431,7 @@ def test_stream_multi_state_counter(spark, sf_dir, chunk_dir):
 
     w = W.partitionBy("user_id").orderBy(F.desc("n"))
     got = {
-        (r["user_id"]): (r["n"], r["n_types"], round(r["mx"], 2))
+        (r["user_id"]): (r["n"], r["n_types"], _r2(r["mx"]))
         for r in sink.withColumn("rk", F.row_number().over(w))
         .filter("rk = 1")
         .collect()
@@ -502,7 +511,7 @@ def test_stream_transform_with_state_multi(spark, sf_dir, chunk_dir):
 
     w = W.partitionBy("user_id").orderBy(F.desc("n"))
     got = {
-        r["user_id"]: (r["n"], r["n_types"], round(r["mx"], 2))
+        r["user_id"]: (r["n"], r["n_types"], _r2(r["mx"]))
         for r in sink.withColumn("rk", F.row_number().over(w)).filter("rk = 1").collect()
     }
     from marasa_spark.registry import queries_map
