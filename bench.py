@@ -67,6 +67,31 @@ def bench_one(spark, fn, sf_dir: str) -> float:
     return min(times)
 
 
+# Probe gate (VERDICT r7 #1): BENCH_r07 was taken while the box's load
+# varied 11x within one sweep window, which no single scalar box_ratio can
+# correct — so a sample is accepted only when the fixed DuckDB probe, run
+# BEFORE and AFTER the query loop, agrees within this factor. A sample that
+# disagrees is contended and is re-measured (the measurement is cheap next
+# to being wrong); if the box never settles, the last sample ships marked
+# "contended": true so no downstream consumer mistakes it for evidence.
+PROBE_TOLERANCE = 1.20
+PROBE_GATE_ATTEMPTS = 3
+
+
+def _measure_headline(spark, sf_dir: str, qmap) -> dict[str, float]:
+    results: dict[str, float] = {}
+    for label, qids in HEADLINE.items():
+        if not all(qid in qmap for qid in qids):
+            continue
+        total_t = 0.0
+        for qid in qids:
+            fn = qmap[qid]
+            fn(spark, sf_dir).collect()  # warm (plan + parquet footer + JIT)
+            total_t += bench_one(spark, fn, sf_dir)
+        results[label] = round(total_t, 4)
+    return results
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -78,19 +103,31 @@ def main() -> None:
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
     qmap = queries_map()
 
-    results: dict[str, float] = {}
-    for label, qids in HEADLINE.items():
-        if not all(qid in qmap for qid in qids):
-            continue
-        total_t = 0.0
-        for qid in qids:
-            fn = qmap[qid]
-            fn(spark, sf_dir).collect()  # warm (plan + parquet footer + JIT)
-            total_t += bench_one(spark, fn, sf_dir)
-        results[label] = round(total_t, 4)
+    for attempt in range(1, PROBE_GATE_ATTEMPTS + 1):
+        calib_start = calibration_probe(spark, sf_dir)
+        results = _measure_headline(spark, sf_dir, qmap)
+        calib_end = calibration_probe(spark, sf_dir)
+        d0 = calib_start["duckdb_lineitem_agg_sec"]
+        d1 = calib_end["duckdb_lineitem_agg_sec"]
+        drift = max(d0, d1) / min(d0, d1)
+        contended = drift > PROBE_TOLERANCE
+        if not contended:
+            break
+        print(
+            f"probe gate: start/end DuckDB probes disagree {drift:.2f}x "
+            f"(> {PROBE_TOLERANCE}x) — box contended, rejecting sample "
+            f"(attempt {attempt}/{PROBE_GATE_ATTEMPTS})",
+            file=sys.stderr,
+        )
 
+    # least-contended probe wins the normalization (transient load only
+    # ever inflates the probe, never deflates it)
+    calib = (
+        calib_start
+        if calib_start["duckdb_lineitem_agg_sec"] <= calib_end["duckdb_lineitem_agg_sec"]
+        else calib_end
+    )
     total = round(sum(results.values()), 4)
-    calib = calibration_probe(spark, sf_dir)
     ratio = box_ratio(calib, sf)
     print(
         json.dumps(
@@ -100,11 +137,20 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": sf,
-                "calibration": calib,
-                # r5-box-equivalent numbers: raw / (this box's spark probe /
-                # the frozen R5_REF_PROBE). Cross-round comparisons use THESE
+                "calibration": {
+                    **calib,
+                    "start": calib_start,
+                    "end": calib_end,
+                    "probe_drift": round(drift, 3),
+                    "attempts": attempt,
+                    "contended": contended,
+                },
+                # r5-box-equivalent numbers: raw / (this box's probe / the
+                # frozen R5_REF_PROBE). Cross-round comparisons use THESE
                 # (the round-5 verdict: raw-time comparison is defeated by
-                # 1.3-1.7x box swings between rounds).
+                # 1.3-1.7x box swings between rounds) — and only when
+                # "contended" is false (the round-7 lesson: a probe gate,
+                # not a scalar ratio, is what makes the sample meaningful).
                 "box_ratio_vs_r5": round(ratio, 4),
                 "value_norm": round(total / ratio, 4),
                 "queries_norm": {q: round(t / ratio, 4) for q, t in results.items()},

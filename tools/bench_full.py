@@ -193,6 +193,23 @@ def main() -> None:
     calib_end = calibration_probe(spark, sf_dir)
     print(f"calibration(end): {calib_end}", file=sys.stderr)
     best = calib if calib["duckdb_lineitem_agg_sec"] <= calib_end["duckdb_lineitem_agg_sec"] else calib_end
+    # probe gate (VERDICT r7 #1): start/end disagreement means load varied
+    # WITHIN the sweep window and no scalar ratio can correct the timings.
+    # A full sweep is too expensive to auto-rerun, so the artifact is
+    # marked contended instead — CLAUDE.md's rule: never use a contended
+    # sweep as the regression prior.
+    probe_drift = round(
+        max(calib["duckdb_lineitem_agg_sec"], calib_end["duckdb_lineitem_agg_sec"])
+        / min(calib["duckdb_lineitem_agg_sec"], calib_end["duckdb_lineitem_agg_sec"]),
+        3,
+    )
+    contended = probe_drift > 1.20
+    if contended:
+        print(
+            f"WARNING: probe drift {probe_drift}x > 1.2x — sweep ran on a "
+            "contended box; do NOT use this artifact as a regression prior",
+            file=sys.stderr,
+        )
     ratio = box_ratio(best, sf)
     print(f"box_ratio_vs_r5={ratio:.3f}", file=sys.stderr)
     for o in ops.values():
@@ -258,12 +275,52 @@ def main() -> None:
     )
     errored = sorted(qid for qid, o in ops.items() if "error" in o)
 
+    # headline 2x-budget margin watch (VERDICT r7 #8): the driver's pass/
+    # fail is bench.py raw time vs BASELINE.md's 2x column; this gate trips
+    # EARLIER — any §2 headline label whose box-neutral time exceeds 90% of
+    # its 2x budget is a margin flag, so a real future regression surfaces
+    # in the sweep before the driver sees it. Uses sec_norm (r5-box-
+    # equivalent) so a slow round box doesn't fake a margin breach. Only
+    # meaningful at the baseline SF (budgets are sf0.1 numbers).
+    from bench_margin import BASELINE as HEADLINE_BUDGET
+
+    headline_margin: dict[str, dict] = {}
+    margin_flagged: list[str] = []
+    if abs(sf - 0.1) < 1e-12 and not args.only:
+        for label, qids in HEADLINE.items():
+            if label not in HEADLINE_BUDGET:
+                continue
+            if not all("sec_norm" in ops.get(q, {}) for q in qids):
+                continue
+            t = sum(ops[q]["sec_norm"] for q in qids)
+            budget = 2 * HEADLINE_BUDGET[label]
+            pct = round(100 * t / budget, 1)
+            headline_margin[label] = {
+                "sec_norm": round(t, 4),
+                "budget_2x": budget,
+                "pct_of_budget": pct,
+            }
+            if pct > 90.0:
+                margin_flagged.append(label)
+        for label in margin_flagged:
+            print(
+                f"MARGIN: {label} at {headline_margin[label]['pct_of_budget']}% "
+                f"of its 2x budget (>90%)",
+                file=sys.stderr,
+            )
+
     out = {
         "sf": sf,
         "runs": args.runs,
         "label": time.strftime("%Y-%m-%d %H:%M"),
         "protocol": "warm_best_of_N_collect_on_built_plan",
-        "calibration": {"start": calib, "end": calib_end, "used": best},
+        "calibration": {
+            "start": calib,
+            "end": calib_end,
+            "used": best,
+            "probe_drift": probe_drift,
+            "contended": contended,
+        },
         "box_ratio_vs_r5": round(ratio, 4),
         "n_ops": len(ops),
         "ops": ops,
@@ -273,6 +330,8 @@ def main() -> None:
         "regressed_vs_prior_norm": regressed,
         "regressed_prior": prior_label,
         "build_flagged": build_flagged,
+        "headline_margin": headline_margin,
+        "margin_flagged": margin_flagged,
         "errors": errored,
         "total_sec": round(sum(o.get("sec", 0.0) for o in ops.values()), 3),
         "total_sec_norm": round(sum(o.get("sec_norm", 0.0) for o in ops.values()), 3),
@@ -295,11 +354,14 @@ def main() -> None:
                     "flagged",
                     "regressed_vs_prior_norm",
                     "build_flagged",
+                    "margin_flagged",
                     "errors",
                 )
             }
         )
     )
+    if margin_flagged:
+        sys.exit(1)  # fail the sweep: a headline row is >90% of its budget
 
 
 if __name__ == "__main__":
