@@ -266,16 +266,48 @@ def k8_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# k9/k10 — the dedup scale paths (engine-hash-based → rows-only oracles;
-# recall/precision vs exact Jaccard asserted in tests/test_llm_ops.py)
+# k9/k10 — the dedup scale paths (k9 is hash-oracled: at 16 bands × 2 rows
+# the banding curve gives candidate recall ≈ 1-(1-0.81)^16 ≈ 1.0 at θ=0.9
+# and verification removes every false positive, so the verified LSH output
+# EQUALS the exact all-pairs Jaccard set — the same SQL k5 pins, unbounded)
 # ---------------------------------------------------------------------------
 
+# k5's exact-Jaccard SQL with the doc_id bound removed: k9's whole claim is
+# full-corpus recall, so its oracle is the full-corpus truth.
+K9_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / (CAST(na.n + nb.n AS DOUBLE) - CAST(i AS DOUBLE)) AS jaccard
+FROM inter
+JOIN cnt na ON doc_a = na.doc_id
+JOIN cnt nb ON doc_b = nb.doc_id
+WHERE CAST(i AS DOUBLE) / (CAST(na.n + nb.n AS DOUBLE) - CAST(i AS DOUBLE)) >= 0.9
+"""
 
-@register("k9_dedup_minhash_lsh", oracle=None, group="K")
+
+@register("k9_dedup_minhash_lsh", oracle=K9_ORACLE, group="K")
 def k9_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates, exact-Jaccard-verified (xxhash64
-    signatures aren't reproducible in DuckDB → rows-only; tests assert
-    parity with k5's exact pairs)."""
+    """MinHash-LSH near-dup pairs, exact-Jaccard-verified — the dedup scale
+    path, hash-oracled against the unbounded all-pairs truth (VERDICT r7
+    #2). The Jaccard verification is the identical IEEE double expression
+    on both engines, so values hash-match despite the xxhash64 signature
+    internals being engine-private.
+
+    ``max_bucket_size`` is set EXPLICITLY above the corpus's densest
+    band-bucket (measured 3,189 docs at sf0.1): the default 1,000 cap
+    silently dropped that whole near-dup family from every band and cost
+    94% of true pairs (56,950 of 964,854 found — measured round 8). At
+    real scale the cap is the recall/cost knob for pathological keys; a
+    registered-correctness query must sit above the data's real family
+    size, so the cap here is a guard against degenerate blowup only."""
     return D.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
         "doc_id",
@@ -283,6 +315,7 @@ def k9_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=32,
         bands=16,
         threshold=0.9,
+        max_bucket_size=10_000,
     )
 
 

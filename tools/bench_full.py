@@ -51,9 +51,12 @@ WAIVERS: dict[str, str] = {
     "constant overhead at this bound, already cheaper than the k55 "
     "all-pairs reference it replaces (same doc_id<1000 bound, same "
     "oracle) and the asymptotic shape (no all-pairs) is the point",
-    "k9_dedup_minhash_lsh": "the LSH scale path itself — cost is the "
-    "linear 32-hash signature computation over every doc; the shuffle "
-    "carries only (doc, band, bucket)",
+    "k9_dedup_minhash_lsh": "the LSH scale path at FULL recall (hash-"
+    "oracled vs unbounded all-pairs since r8): the corpus's densest "
+    "near-dup family is ~3.2k docs at sf0.1, so the within-family "
+    "candidate join and the ~1M-true-pair output are inherent to the "
+    "data, not a plan defect; the shuffle still carries only (doc, band, "
+    "bucket) and the collect protocol pays the 1M-row py4j bill",
     "k80_incremental_near_dup": "the measured window INCLUDES the one-time "
     "corpus index build (tokenize + 32-hash minhash + two parquet "
     "persists) that the op exists to amortize across daily batches — a "
