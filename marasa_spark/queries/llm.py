@@ -4551,3 +4551,79 @@ def k82_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.join(assigned, "content_hash").select(
         "doc_id", F.col("rep").alias("group_rep"), "split"
     )
+
+
+# ---------------------------------------------------------------------------
+# k83 — truecolor + Adam7-interlaced PNG decode (VERDICT r7 #4): the widened
+# reference codec, hash-checked against the closed-form pixel oracle
+# ---------------------------------------------------------------------------
+
+K83_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 3 + doc_id % 23 AS w, 2 + doc_id % 13 AS h,
+         doc_id % 2 AS interlaced
+  FROM documents WHERE doc_id < 300
+), px AS (
+  SELECT doc_id, w, h, interlaced,
+         (doc_id*31 + y*17 + x*7 + c*11) % 256 AS v
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, h)) AS y) t1,
+       LATERAL (SELECT unnest(range(0, w)) AS x) t2,
+       LATERAL (SELECT unnest(range(0, 3)) AS c) t3
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(interlaced AS INT) AS interlaced,
+       CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+FROM px GROUP BY doc_id, w, h, interlaced
+"""
+
+
+@register("k83_png_truecolor_interlaced", oracle=K83_ORACLE, group="K")
+def k83_png_truecolor_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k81's round trip through the WIDENED codec (VERDICT r7 #4): each doc
+    synthesizes a truecolor (RGB8) PNG — even doc_ids sequential, odd ones
+    Adam7-interlaced, so both rasters decode in one query — with real
+    cycling scanline filters and closed-form channel values; the reference
+    decoder (ops/multimodal.py decode_png_pixels: per-pass unfilter with
+    bpp-aware left references, then the seven-pass re-raster) recovers the
+    interleaved samples inside Arrow-batched mapInPandas, and the per-image
+    stats must hash-match DuckDB evaluating the closed form over
+    (x, y, channel). Same scale posture as k81: per-row Python over Arrow
+    batches, payloads never on the driver, stats are decoder output with
+    no extra shuffle. The NotImplementedError slot now covers only
+    palette/16-bit/alpha PNG and externally-codec'd formats (JPEG/audio),
+    which genuinely need PIL/ffmpeg."""
+    from pyspark.sql.types import BinaryType
+
+    from marasa_spark.ops.multimodal import png_pixel_stats, synthesize_png_filtered
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+    @F.pandas_udf(BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in doc_ids:
+            i = int(doc_id)
+            out.append(
+                synthesize_png_filtered(
+                    3 + i % 23,
+                    2 + i % 13,
+                    lambda x, y, i=i: (
+                        (i * 31 + y * 17 + x * 7) % 256,
+                        (i * 31 + y * 17 + x * 7 + 11) % 256,
+                        (i * 31 + y * 17 + x * 7 + 22) % 256,
+                    ),
+                    color_type=2,
+                    interlace=i % 2,
+                )
+            )
+        return pd.Series(out)
+
+    media = d.select("doc_id", synth("doc_id").alias("payload"))
+    # interlaced is a function of doc_id — re-derive post-decode, no join
+    return png_pixel_stats(media).select(
+        "doc_id", "width", "height",
+        (F.col("doc_id") % 2).cast("int").alias("interlaced"),
+        "n_px", "px_sum", "px_min", "px_max",
+    )

@@ -194,7 +194,51 @@ def test_png_codec_roundtrip_identity(width, height, seed):
         return (seed + 31 * x + 17 * y + x * y) % 256
 
     blob = synthesize_png_filtered(width, height, px)
-    w, h, pixels = decode_png_pixels(blob)
-    assert (w, h) == (width, height)
+    w, h, ch, pixels = decode_png_pixels(blob)
+    assert (w, h, ch) == (width, height, 1)
     want = bytes(px(x, y) for y in range(height) for x in range(width))
+    assert pixels == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    width=st.integers(1, 40),
+    height=st.integers(1, 30),
+    seed=st.integers(0, 2**31 - 1),
+    color_type=st.sampled_from([0, 2]),
+    interlace=st.sampled_from([0, 1]),
+)
+def test_png_codec_roundtrip_color_interlace(width, height, seed, color_type, interlace):
+    """VERDICT r7 #4: the widened codec — truecolor (3-byte pixels, so the
+    unfilter's left/upper-left references shift by bpp) and Adam7 (seven
+    independently-filtered sub-images re-rastered) — is an exact inverse
+    of the encoder for ANY dimensions, including the degenerate ones where
+    several interlace passes are empty (w or h < 5)."""
+    from marasa_spark.ops.multimodal import (
+        decode_png_pixels,
+        synthesize_png_filtered,
+    )
+
+    if color_type == 0:
+        def px(x: int, y: int) -> int:
+            return (seed + 31 * x + 17 * y + x * y) % 256
+
+        def flat(x: int, y: int):
+            return (px(x, y),)
+    else:
+        def px(x: int, y: int):
+            return (
+                (seed + 31 * x) % 256,
+                (seed // 7 + 17 * y) % 256,
+                (seed // 13 + x * y + 5) % 256,
+            )
+
+        flat = px
+
+    blob = synthesize_png_filtered(width, height, px, color_type, interlace)
+    w, h, ch, pixels = decode_png_pixels(blob)
+    assert (w, h, ch) == (width, height, 1 if color_type == 0 else 3)
+    want = bytes(
+        c for y in range(height) for x in range(width) for c in flat(x, y)
+    )
     assert pixels == want
