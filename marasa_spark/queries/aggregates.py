@@ -666,3 +666,118 @@ def d23_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# d24 — exact percentiles via the two-phase rank shape (VERDICT r7 #7):
+# d8's answer without d8's O(group) per-task buffer
+# ---------------------------------------------------------------------------
+
+
+@register("d24_percentile_two_phase", oracle=D8_ORACLE, group="D")
+def d24_percentile_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d8's exact interpolated percentiles, computed WITHOUT buffering a
+    group's values in one aggregation buffer. Spark's ``percentile`` (and
+    d16's ``median``) materializes every value of a group inside a single
+    task — the documented break-first #2 for a skewed group at 100 TB.
+    This is the scale shape instead, riding f3's two-phase global-rank
+    machinery *per group*:
+
+    1. range-repartition on (group, value) — Spark's sampled global-sort
+       partitioner, so each task holds a bounded value range, never a
+       whole group;
+    2. per-(partition, group) counts -> exclusive running offsets (a
+       nparts x ngroups metadata table, broadcast back), so
+       rank0 = offset + local row_number - 1 is the group-wide 0-based
+       sort index with only partition-local sorting;
+    3. the quantile positions pos = (n_g - 1) * q need exactly the values
+       at ranks floor(pos) and min(floor(pos)+1, n_g-1): a ~18-row
+       broadcast "need" table (group x 3 quantiles x 2 sides) equi-joins
+       on (group, rank0) and a conditional agg interpolates with the LERP
+       form v_lo * (1 - frac) + v_hi * frac — the exact IEEE expression
+       percentile_cont evaluates (the algebraically-equal
+       v_lo + frac * (v_hi - v_lo) differs in the last ulp and flipped a
+       rounding boundary at sf0.001) — hash-checked against d8's oracle.
+
+    Memory per task is the partition slice, not the group; every phase is
+    a JVM-side exchange or broadcast. The only new shuffles are the
+    counts agg (nparts x ngroups rows) and the final 9-row agg."""
+    from pyspark.sql import Window as _W
+
+    nparts = 32
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    ranged = li.repartitionByRange(
+        nparts, F.col("l_returnflag"), F.col("l_extendedprice")
+    ).withColumn("pid", F.spark_partition_id())
+
+    counts = ranged.groupBy("pid", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wcum = (
+        _W.partitionBy("l_returnflag")
+        .orderBy("pid")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("n").over(wcum), F.lit(0).cast("long"))
+    ).select("pid", "l_returnflag", "offset")
+
+    totals = counts.groupBy("l_returnflag").agg(F.sum("n").alias("n_g"))
+    # which global ranks each quantile needs: floor(pos) and its successor
+    # (clamped for the pos == n_g - 1 edge, where frac = 0 and lo == hi)
+    targets = (
+        totals.select(
+            "l_returnflag",
+            "n_g",
+            F.explode(
+                F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+            ).alias("q"),
+        )
+        .withColumn("pos", (F.col("n_g") - 1).cast("double") * F.col("q"))
+        .withColumn("k_lo", F.floor("pos").cast("long"))
+        .withColumn("frac", F.col("pos") - F.col("k_lo"))
+    )
+    need = targets.select(
+        "l_returnflag",
+        "q",
+        "frac",
+        F.explode(
+            F.array(
+                F.struct(F.col("k_lo").alias("k"), F.lit("lo").alias("side")),
+                F.struct(
+                    F.least(F.col("k_lo") + 1, F.col("n_g") - 1).alias("k"),
+                    F.lit("hi").alias("side"),
+                ),
+            )
+        ).alias("t"),
+    ).select("l_returnflag", "q", "frac", F.col("t.k").alias("k"), "t.side")
+
+    wlocal = _W.partitionBy("pid", "l_returnflag").orderBy("l_extendedprice")
+    indexed = ranged.join(F.broadcast(offsets), ["pid", "l_returnflag"]).select(
+        "l_returnflag",
+        "l_extendedprice",
+        (F.col("offset") + F.row_number().over(wlocal) - 1).alias("rank0"),
+    )
+    picked = indexed.join(
+        F.broadcast(need),
+        ["l_returnflag"],
+    ).filter(F.col("rank0") == F.col("k"))
+
+    per_q = picked.groupBy("l_returnflag", "q", "frac").agg(
+        F.max(
+            F.when(F.col("side") == "lo", F.col("l_extendedprice"))
+        ).alias("v_lo"),
+        F.max(
+            F.when(F.col("side") == "hi", F.col("l_extendedprice"))
+        ).alias("v_hi"),
+    )
+    v = F.col("v_lo") * (F.lit(1.0) - F.col("frac")) + F.col("v_hi") * F.col(
+        "frac"
+    )
+    return per_q.groupBy("l_returnflag").agg(
+        r2(F.max(F.when(F.col("q") == 0.25, v))).alias("p25"),
+        r2(F.max(F.when(F.col("q") == 0.50, v))).alias("median"),
+        r2(F.max(F.when(F.col("q") == 0.75, v))).alias("p75"),
+    )

@@ -171,6 +171,11 @@ EXCHANGE_BUDGET = {
     "z33_sql_frontend_q12": 4,
     "z34_sql_frontend_q14": 4,
     "z35_sql_frontend_q20": 8,
+    # d24: AQE initial+final double-print; the FINAL plan holds exactly two
+    # data-sized movements (the range partition, reused by the counts
+    # branch, + the window's (pid, group) co-partition) — the rest are
+    # metadata-row aggs and the two broadcasts
+    "d24_percentile_two_phase": 23,
     # m40: the returned frame reads the last per-iteration localCheckpoint
     # (iteration shuffles run in earlier jobs), so the final plan is a
     # projection — any exchange appearing here means the checkpoint
