@@ -1484,3 +1484,136 @@ def z39_sql_frontend_filter_ilike(spark: SparkSession, sf_dir: str) -> DataFrame
 
     register_views(spark, sf_dir, "orders", "customer")
     return spark.sql(Z39_SQL)
+
+
+# ---------------------------------------------------------------------------
+# z40..z42 — TPC-DS-shaped dialect rows (VERDICT r7 #6): the three DS
+# query shapes the TPC-H sweep (z7..z35) never exercises, each one shared
+# text on both engines like every z-row
+# ---------------------------------------------------------------------------
+
+Z40_SQL = """
+SELECT
+  CAST(count(*) FILTER (WHERE l_quantity < CAST(7 AS DOUBLE)
+        AND (l_discount <= CAST(0.02 AS DOUBLE) OR l_tax >= CAST(0.06 AS DOUBLE))) AS BIGINT) AS b1,
+  CAST(count(*) FILTER (WHERE l_quantity >= CAST(7 AS DOUBLE) AND l_quantity < CAST(13 AS DOUBLE)
+        AND (l_returnflag = 'R' OR l_tax >= CAST(0.05 AS DOUBLE))) AS BIGINT) AS b2,
+  CAST(count(*) FILTER (WHERE l_quantity >= CAST(13 AS DOUBLE) AND l_quantity < CAST(19 AS DOUBLE)
+        AND (l_linestatus = 'F' OR l_discount <= CAST(0.04 AS DOUBLE))) AS BIGINT) AS b3,
+  CAST(count(*) FILTER (WHERE l_quantity >= CAST(19 AS DOUBLE) AND l_quantity < CAST(25 AS DOUBLE)
+        AND (l_discount <= CAST(0.02 AS DOUBLE) OR l_tax >= CAST(0.06 AS DOUBLE))) AS BIGINT) AS b4,
+  CAST(count(*) FILTER (WHERE l_quantity >= CAST(25 AS DOUBLE) AND l_quantity < CAST(31 AS DOUBLE)
+        AND (l_returnflag = 'R' OR l_tax >= CAST(0.05 AS DOUBLE))) AS BIGINT) AS b5,
+  CAST(count(*) FILTER (WHERE l_quantity >= CAST(31 AS DOUBLE) AND l_quantity < CAST(37 AS DOUBLE)
+        AND (l_linestatus = 'F' OR l_discount <= CAST(0.04 AS DOUBLE))) AS BIGINT) AS b6,
+  CAST(count(*) FILTER (WHERE l_quantity >= CAST(37 AS DOUBLE) AND l_quantity < CAST(43 AS DOUBLE)
+        AND (l_discount <= CAST(0.02 AS DOUBLE) OR l_tax >= CAST(0.06 AS DOUBLE))) AS BIGINT) AS b7,
+  CAST(count(*) FILTER (WHERE l_quantity >= CAST(43 AS DOUBLE)
+        AND (l_returnflag = 'R' OR l_tax >= CAST(0.05 AS DOUBLE))) AS BIGINT) AS b8
+FROM lineitem
+"""
+
+
+@register("z40_sql_frontend_q88_shape", oracle=Z40_SQL, group="B")
+def z40_sql_frontend_q88_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 shape through the SQL front end: EIGHT banded
+    conditional counts answered by ONE scan. Q88's published text is
+    eight scalar subqueries cross-joined — each re-reading store_sales
+    for a different (time band AND demographic-OR) predicate; the
+    efficient spelling both engines share is aggregate FILTER, which
+    fuses all eight into a single partial+final agg over one pass
+    (z39 introduced FILTER; this row pins the many-disjoint-band,
+    OR-of-conditions DS idiom at global-agg cardinality). At 100 TB the
+    difference is 8 scans vs 1. Dialect notes: every FILTER count CASTs
+    to BIGINT (DuckDB HUGEINT, the d14 rule); every decimal literal is
+    CAST to DOUBLE (Spark would parse it as DECIMAL and change the
+    comparison lattice). The zero-key final agg's SinglePartition
+    exchange carries 8 longs — cardinality-collapsed by the partial
+    agg, the shape the plan audit explicitly allows."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(Z40_SQL)
+
+
+Z41_SQL = """
+WITH channels AS (
+  SELECT 'order' AS channel, o_orderpriority AS class, o_totalprice AS amount
+  FROM orders
+  UNION ALL
+  SELECT 'return' AS channel, l_linestatus AS class, l_extendedprice AS amount
+  FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT coalesce(channel, 'ALL') AS channel,
+       coalesce(class, 'ALL') AS class,
+       CAST(grouping(channel) * 2 + grouping(class) AS BIGINT) AS grp_level,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(floor(sum(amount) * 100 + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 100 AS total_amount
+FROM channels
+GROUP BY ROLLUP(channel, class)
+"""
+
+
+@register("z41_sql_frontend_q5_shape", oracle=Z41_SQL, group="B")
+def z41_sql_frontend_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q5 shape through the SQL front end: heterogeneous fact
+    tables UNION ALLed into one (channel, class, amount) stream inside a
+    CTE, then ROLLUP over (channel, class) produces per-class detail,
+    per-channel subtotals, and the grand total in one pass — the
+    multi-channel report every DS variant (Q5, Q77, Q80) is built on.
+    Both engines push the rollup's Expand below one shuffle; the union
+    itself is exchange-free (g1's posture), so the whole report costs a
+    single data movement. grouping() bits disambiguate subtotal rows
+    (z37's trick), CAST to BIGINT; the positive-sum rounding rides the
+    shared floor form (z37 precedent at 3 SFs)."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(Z41_SQL)
+
+
+Z42_SQL = """
+WITH sales AS (
+  SELECT n_name AS nation, o_orderpriority AS priority,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(floor(sum(o_totalprice) * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, o_orderpriority
+), ranked AS (
+  SELECT nation, priority, n_orders, cents,
+         CAST(floor(CAST(cents AS DOUBLE) * 10000
+                    / CAST(sum(cents) OVER (PARTITION BY nation) AS DOUBLE)
+                    + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 100 AS share_pct,
+         CAST(rank() OVER (PARTITION BY nation ORDER BY cents DESC, priority) AS BIGINT) AS rk
+  FROM sales
+)
+SELECT nation, priority, n_orders,
+       CAST(cents AS DOUBLE) / 100 AS revenue, share_pct, rk
+FROM ranked
+WHERE rk <= 3
+"""
+
+
+@register("z42_sql_frontend_q67_shape", oracle=Z42_SQL, group="B")
+def z42_sql_frontend_q67_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67 shape through the SQL front end: window-over-aggregate —
+    aggregate to (nation, priority) revenue, then a partitioned window
+    computes each priority's share of its nation's total and ranks
+    priorities within the nation, keeping the top 3. The
+    rank-the-aggregates idiom (Q67's rank over rollup, Q36's ratio
+    grading) that turns a report into a leaderboard. Float discipline:
+    revenue is snapped to BIGINT cents IN the aggregate (rule 5 — the
+    share division then starts from integers, so both engines divide
+    identical exact doubles and the share's rounding boundary cannot be
+    straddled by summation order); the rank ORDER BY is (cents DESC,
+    priority) — integer key + unique tiebreak (rule 4); rank() CASTs to
+    BIGINT (DuckDB/Spark width split). Plan: one shuffle for the agg,
+    one for the nation-keyed window — both keyed, no single-partition
+    operator; the window input is the agg's ~125-row output, so the
+    second exchange is metadata-sized at any corpus scale."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(Z42_SQL)

@@ -171,6 +171,13 @@ EXCHANGE_BUDGET = {
     "z33_sql_frontend_q12": 4,
     "z34_sql_frontend_q14": 4,
     "z35_sql_frontend_q20": 8,
+    # z40/z41: one data shuffle each (8-band FILTER agg fused into one
+    # pass; channel-union rollup's Expand below a single exchange) —
+    # 2 = AQE initial+final print. z42: 2 broadcasts + agg shuffle +
+    # the ~125-row window's keyed exchange, doubled by the AQE print
+    "z40_sql_frontend_q88_shape": 2,
+    "z41_sql_frontend_q5_shape": 2,
+    "z42_sql_frontend_q67_shape": 8,
     # d24: AQE initial+final double-print; the FINAL plan holds exactly two
     # data-sized movements (the range partition, reused by the counts
     # branch, + the window's (pid, group) co-partition) — the rest are
