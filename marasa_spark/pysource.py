@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -91,3 +92,81 @@ class SeqStreamReader(SimpleDataSourceStreamReader):
             (i, i * i, "even" if i % 2 == 0 else "odd")
             for i in range(start["pos"], end["pos"])
         )
+
+
+class SeqStreamPartition(InputPartition):
+    def __init__(self, index: int, start: int, end: int):
+        self.index = index
+        self.start = start
+        self.end = end
+
+
+class SeqParallelStreamReader(DataSourceStreamReader):
+    """The executor-parallel streaming reader (SCALE.md break-first #5's
+    fix): unlike the Simple reader above — whose ``read`` materializes
+    every micro-batch's rows ON THE DRIVER — this one only PLANS on the
+    driver. ``latestOffset`` advances a cursor (the only driver state,
+    two integers), ``partitions(start, end)`` splits the batch's offset
+    range into ``partitions`` slices, and ``read(partition)`` runs inside
+    executor Python workers, each materializing just its slice. The
+    emitted ``part_id``/``worker_pid`` columns exist so tests can PROVE
+    both claims from the sink alone: every micro-batch fans out to >1
+    planned partition, and no row was produced in the driver process."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 100))
+        self.batch_size = int(options.get("batch_size", 25))
+        self.num_parts = int(options.get("partitions", 4))
+        self._pos = 0
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        # one trigger advances at most one batch of ids
+        self._pos = min(self._pos + self.batch_size, self.n)
+        return {"pos": self._pos}
+
+    def partitions(self, start, end):
+        s, e = int(start["pos"]), int(end["pos"])
+        if e <= s:
+            return []
+        per = max(1, -(-(e - s) // self.num_parts))
+        return [
+            SeqStreamPartition(i, s + i * per, min(s + (i + 1) * per, e))
+            for i in range(self.num_parts)
+            if s + i * per < e
+        ]
+
+    def read(self, partition: SeqStreamPartition):
+        import os
+
+        pid = os.getpid()
+        for i in range(partition.start, partition.end):
+            yield (
+                i,
+                i * i,
+                "even" if i % 2 == 0 else "odd",
+                partition.index,
+                pid,
+            )
+
+    def commit(self, end):
+        pass
+
+
+class SeqParallelDataSource(DataSource):
+    """``marasa_seq_par``: the same deterministic sequence as
+    ``marasa_seq`` but with a PARTITIONED stream reader — the shape a
+    real high-volume source (Kafka-like log, sharded changefeed) needs,
+    where the driver tracks offsets and executors fetch slices."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "marasa_seq_par"
+
+    def schema(self) -> str:
+        return "id long, square long, parity string, part_id int, worker_pid long"
+
+    def streamReader(self, schema) -> "SeqParallelStreamReader":
+        return SeqParallelStreamReader(self.options)

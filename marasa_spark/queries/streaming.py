@@ -773,3 +773,75 @@ def i18_stateful_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_types_so_far"),
         r2(F.max("value").over(w)).alias("max_so_far"),
     )
+
+
+# ---------------------------------------------------------------------------
+# i19 — executor-parallel Python streaming source (VERDICT r7 #5)
+# ---------------------------------------------------------------------------
+
+I19_ORACLE = """
+SELECT CAST(i AS BIGINT) AS id,
+       CAST(i * i AS BIGINT) AS square,
+       CASE WHEN i % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+FROM range(0, 240) t(i)
+"""
+
+
+@register("i19_parallel_stream_source", oracle=I19_ORACLE, group="I")
+def i19_parallel_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned Python streaming source (Spark 4 DataSourceStreamReader
+    — the executor-parallel upgrade of i12's Simple reader, retiring
+    SCALE.md break-first #5): the driver only tracks the offset cursor
+    and PLANS each micro-batch as `partitions` InputPartition slices;
+    `read(partition)` executes inside executor Python workers, each
+    materializing just its slice — rows never exist in the driver
+    process. The source emits its partition index and worker pid so the
+    behavioral test (tests/test_streaming.py) can prove >1 partition per
+    micro-batch and zero driver-side materialization from the sink alone;
+    this op drains the bounded stream and hash-checks the (id, square,
+    parity) payload against the closed-form oracle — exactly-once across
+    batch AND partition boundaries. At 100 TB this is the shape a
+    Kafka-like sharded source needs: per-batch fan-out scales with
+    executors, driver state stays two integers."""
+    import time as _time
+    import uuid
+
+    from marasa_spark.pysource import SeqParallelDataSource
+    from marasa_spark.session import ensure_session_configs
+
+    ensure_session_configs(spark)
+    try:
+        spark.dataSource.register(SeqParallelDataSource)
+    except Exception:
+        pass
+    n = 240
+    name = f"i19_seq_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("marasa_seq_par")
+        .option("n", str(n))
+        .option("batch_size", "70")
+        .option("partitions", "4")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.table(name).count() >= n:
+                break
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+    got = spark.table(name).count()
+    if got < n:
+        raise RuntimeError(
+            f"i19 stream drained only {got}/{n} rows before the 120 s "
+            "deadline — refusing to return a partial table"
+        )
+    return spark.table(name).select("id", "square", "parity")

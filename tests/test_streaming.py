@@ -523,3 +523,67 @@ def test_stream_transform_with_state_multi(spark, sf_dir, chunk_dir):
         for r in batch.withColumn("rk", F.row_number().over(wlast)).filter("rk = 1").collect()
     }
     assert got == want
+
+
+def test_parallel_stream_source_is_executor_side(spark):
+    """VERDICT r7 #5: the partitioned DataSourceStreamReader must (a) fan
+    every micro-batch out to MORE THAN ONE planned partition and (b) never
+    materialize a row in the driver process. Both are proven from the sink
+    alone: the source stamps each row with its InputPartition index and
+    the os.getpid() of the process that ran read(), so the drained table
+    carries the evidence. ids are assigned to micro-batches by
+    construction (cursor advances batch_size per trigger), so
+    id // batch_size recovers each row's batch window without needing
+    foreachBatch bookkeeping."""
+    import os
+    import time
+    import uuid
+    from collections import defaultdict
+
+    from marasa_spark.pysource import SeqParallelDataSource
+
+    try:
+        spark.dataSource.register(SeqParallelDataSource)
+    except Exception:
+        pass
+    n, batch = 200, 60
+    name = f"i19_behav_{uuid.uuid4().hex[:8]}"
+    st = (
+        spark.readStream.format("marasa_seq_par")
+        .option("n", str(n))
+        .option("batch_size", str(batch))
+        .option("partitions", "4")
+        .load()
+    )
+    q = (
+        st.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= n:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    assert len(rows) == n  # exactly-once across batch + partition splits
+    assert sorted(r.id for r in rows) == list(range(n))
+
+    parts_per_batch = defaultdict(set)
+    worker_pids = set()
+    for r in rows:
+        parts_per_batch[r.id // batch].add(r.part_id)
+        worker_pids.add(r.worker_pid)
+    # (a) every micro-batch was planned as >1 partition (the last window
+    # holds 20 ids, still split across >1 slice with per=ceil(20/4)=5)
+    for window, parts in parts_per_batch.items():
+        assert len(parts) > 1, f"batch window {window} ran single-partition: {parts}"
+    # (b) no row was produced by the driver's Python process
+    assert os.getpid() not in worker_pids
+    # and rows really came from executor-side Python workers (>1 distinct)
+    assert len(worker_pids) > 1
