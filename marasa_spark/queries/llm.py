@@ -4627,3 +4627,113 @@ def k83_png_truecolor_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2).cast("int").alias("interlaced"),
         "n_px", "px_sum", "px_min", "px_max",
     )
+
+
+# ---------------------------------------------------------------------------
+# k84 — full-matrix PNG decode (palette / gray+alpha / RGBA / 16-bit):
+# round-8 completion of the reference codec, hash-checked per color type
+# ---------------------------------------------------------------------------
+
+K84_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         3 + doc_id % 19 AS w, 2 + doc_id % 11 AS h,
+         doc_id % 4 AS mode,
+         CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 1 END AS ch,
+         4 + doc_id % 12 AS n_pal
+  FROM documents WHERE doc_id < 240
+), px AS (
+  SELECT doc_id, w, h, mode,
+    CASE mode
+      WHEN 0 THEN CASE c
+        WHEN 0 THEN (7 * ((x + 3*y + doc_id) % n_pal) + doc_id) % 256
+        WHEN 1 THEN (11 * ((x + 3*y + doc_id) % n_pal) + 3) % 256
+        ELSE (13 * ((x + 3*y + doc_id) % n_pal) + 7) % 256 END
+      WHEN 3 THEN (doc_id*523 + y*291 + x*97) % 65536
+      ELSE (doc_id*31 + y*17 + x*7 + c*5) % 256
+    END AS v
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, h)) AS y) t1,
+       LATERAL (SELECT unnest(range(0, w)) AS x) t2,
+       LATERAL (SELECT unnest(range(0, ch)) AS c) t3
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(mode AS INT) AS mode,
+       CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+FROM px GROUP BY doc_id, w, h, mode
+"""
+
+
+@register("k84_png_colortype_matrix", oracle=K84_ORACLE, group="K")
+def k84_png_colortype_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8 codec completion, driver-checkable: each doc synthesizes
+    a PNG in one of the four color modes beyond k81/k83's gray/RGB — palette
+    (PLTE index expansion to RGB), gray+alpha, RGBA, and 16-bit grayscale
+    (2-byte samples, big-endian recombination) — alternating sequential /
+    Adam7 rasters INDEPENDENTLY of the mode ((doc_id // 4) % 2), with the
+    full cycling filter set. The reference decoder recovers the samples
+    inside Arrow-batched mapInPandas and the per-image stats hash-match
+    DuckDB evaluating the closed form over (x, y, channel) — palette docs
+    are checked against the EXPANDED palette bytes, 16-bit docs against
+    0..65535 sample values. Same scale posture as k81: payloads never on
+    the driver, stats are decoder output, no extra shuffle. What remains
+    NotImplemented in the codec is exactly the external-library surface:
+    sub-byte depths, JPEG entropy decode, audio."""
+    from pyspark.sql.types import BinaryType
+
+    from marasa_spark.ops.multimodal import (
+        png_pixel_stats,
+        synthesize_png_filtered,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+
+    @F.pandas_udf(BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in doc_ids:
+            i = int(doc_id)
+            w, h = 3 + i % 19, 2 + i % 11
+            mode, il = i % 4, (i // 4) % 2
+            if mode == 0:
+                n_pal = 4 + i % 12
+                pal = [
+                    ((7 * j + i) % 256, (11 * j + 3) % 256, (13 * j + 7) % 256)
+                    for j in range(n_pal)
+                ]
+                blob = synthesize_png_filtered(
+                    w, h, lambda x, y, i=i, n=n_pal: (x + 3 * y + i) % n,
+                    3, il, 8, pal,
+                )
+            elif mode == 1:
+                blob = synthesize_png_filtered(
+                    w, h,
+                    lambda x, y, i=i: tuple(
+                        (i * 31 + y * 17 + x * 7 + c * 5) % 256 for c in range(2)
+                    ),
+                    4, il, 8,
+                )
+            elif mode == 2:
+                blob = synthesize_png_filtered(
+                    w, h,
+                    lambda x, y, i=i: tuple(
+                        (i * 31 + y * 17 + x * 7 + c * 5) % 256 for c in range(4)
+                    ),
+                    6, il, 8,
+                )
+            else:
+                blob = synthesize_png_filtered(
+                    w, h,
+                    lambda x, y, i=i: (i * 523 + y * 291 + x * 97) % 65536,
+                    0, il, 16,
+                )
+            out.append(blob)
+        return pd.Series(out)
+
+    media = d.select("doc_id", synth("doc_id").alias("payload"))
+    return png_pixel_stats(media).select(
+        "doc_id", "width", "height",
+        (F.col("doc_id") % 4).cast("int").alias("mode"),
+        "n_px", "px_sum", "px_min", "px_max",
+    )

@@ -242,3 +242,68 @@ def test_png_codec_roundtrip_color_interlace(width, height, seed, color_type, in
         c for y in range(height) for x in range(width) for c in flat(x, y)
     )
     assert pixels == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    width=st.integers(1, 32),
+    height=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+    color_depth=st.sampled_from(
+        # every (color_type, bit_depth) the reference codec claims
+        [(0, 8), (0, 16), (2, 8), (2, 16), (3, 8), (4, 8), (4, 16), (6, 8), (6, 16)]
+    ),
+    interlace=st.sampled_from([0, 1]),
+)
+def test_png_codec_roundtrip_full_matrix(width, height, seed, color_depth, interlace):
+    """Round 8 codec completion: palette (PLTE index expansion), gray+alpha,
+    RGBA, and 16-bit samples (2-byte bpp shifts every unfilter reference;
+    big-endian pair recombination) — the encoder and reference decoder are
+    exact inverses over the WHOLE claimed (color_type, depth, interlace)
+    matrix, any dimensions, including degenerate Adam7 rasters."""
+    from marasa_spark.ops.multimodal import (
+        decode_png_pixels,
+        synthesize_png_filtered,
+    )
+
+    color_type, depth = color_depth
+    lim = 256 if depth == 8 else 65536
+    n_pal = 1 + seed % 16
+    pal = [
+        ((7 * i + seed) % 256, (11 * i + 3) % 256, (13 * i + 7) % 256)
+        for i in range(n_pal)
+    ]
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+
+    if color_type == 3:
+        def px(x: int, y: int) -> int:
+            return (x + 3 * y + seed) % n_pal
+
+        def flat(x: int, y: int):
+            return pal[px(x, y)]
+    elif n_ch == 1:
+        def px(x: int, y: int) -> int:
+            return (seed + 31 * x + 17 * y + x * y) % lim
+
+        def flat(x: int, y: int):
+            return (px(x, y),)
+    else:
+        def px(x: int, y: int):
+            return tuple(
+                (seed + 31 * x + 17 * y + c * (seed % 97 + 1)) % lim
+                for c in range(n_ch)
+            )
+
+        flat = px
+
+    blob = synthesize_png_filtered(
+        width, height, px, color_type, interlace, depth,
+        pal if color_type == 3 else None,
+    )
+    w, h, ch, samples = decode_png_pixels(blob)
+    assert (w, h) == (width, height)
+    assert ch == (3 if color_type in (2, 3) else n_ch)
+    want = [
+        c for y in range(height) for x in range(width) for c in flat(x, y)
+    ]
+    assert list(samples) == want
