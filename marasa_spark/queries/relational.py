@@ -1617,3 +1617,86 @@ def z42_sql_frontend_q67_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "orders", "customer", "nation")
     return spark.sql(Z42_SQL)
+
+
+Z43_SQL = """
+SELECT n_name AS nation, c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(floor(CAST(sum(CAST(floor(c_acctbal * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+                  / count(*) + CAST(0.5 AS DOUBLE)) AS DOUBLE) / 100 AS avg_bal,
+       min(c_acctbal) AS min_bal,
+       max(c_acctbal) AS max_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND (EXISTS (SELECT 1 FROM orders
+               WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+       OR EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_totalprice > CAST(150000 AS DOUBLE)))
+GROUP BY n_name, c_mktsegment
+"""
+
+
+@register("z43_sql_frontend_q35_shape", oracle=Z43_SQL, group="B")
+def z43_sql_frontend_q35_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q35 shape through the SQL front end: demographic stats over
+    customers gated by an EXISTS in one channel AND an OR of EXISTS in
+    two others — the multi-channel membership filter Q35/Q10/Q69 share,
+    and the decorrelation stress case: a bare EXISTS rewrites to a
+    semi-join, but EXISTS inside OR cannot (the row must survive when
+    either side matches), so Catalyst plans ExistenceJoin marker columns
+    and filters on the disjunction — all hash joins, no nested loop,
+    verified by the registry plan audit. min/max of doubles pass through
+    un-rounded (both engines pick the same stored value — exact); avg is
+    computed from exact BIGINT cents (rule 5: a double avg differs
+    between engines in summation order, and a 12-customer group landed
+    exactly on a cent boundary at sf0.01) then floor-rounded."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "customer", "nation", "orders")
+    return spark.sql(Z43_SQL)
+
+
+Z44_SQL = """
+WITH clicks AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS DATE)
+), purchases AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, CAST(ts AS DATE)
+), cum_c AS (
+  SELECT user_id, day,
+         CAST(sum(n) OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS cum_clicks
+  FROM clicks
+), cum_p AS (
+  SELECT user_id, day,
+         CAST(sum(n) OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS cum_purchases
+  FROM purchases
+)
+SELECT coalesce(c.user_id, p.user_id) AS user_id,
+       coalesce(c.day, p.day) AS day,
+       c.cum_clicks, p.cum_purchases
+FROM cum_c c
+FULL JOIN cum_p p ON c.user_id = p.user_id AND c.day = p.day
+WHERE coalesce(c.cum_clicks, 0) > coalesce(p.cum_purchases, 0) * 2
+"""
+
+
+@register("z44_sql_frontend_q51_shape", oracle=Z44_SQL, group="B")
+def z44_sql_frontend_q51_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 shape through the SQL front end: two per-key daily
+    cumulative series built by window-over-aggregate CTEs, FULL OUTER
+    JOINed on (key, day), and filtered where one running total outruns
+    the other — the trend-crossover detector. Dialect/determinism notes:
+    day is unique per (user, series) after the pre-aggregation, so the
+    running windows' ORDER BY day satisfies the unique-tiebreak rule
+    with no extra key; both window sums CAST to BIGINT (DuckDB HUGEINT);
+    the full join's NULL sides flow through coalesce exactly like Q51's
+    published text. Every window is keyed by user_id — one shuffle per
+    series, never a single-partition sort; the join keys match the
+    window partitioning so AQE can plan it shuffle-free."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(Z44_SQL)

@@ -348,3 +348,94 @@ def e10_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_isl")
     )
+
+
+# ---------------------------------------------------------------------------
+# e11 — hot-key running sum via time-sliced two-phase (SCALE.md break-first
+# #1's fix for associative frame aggregates)
+# ---------------------------------------------------------------------------
+
+E11_ORACLE = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(floor(value * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS run_value_u
+FROM events
+"""
+
+
+@register("e11_running_sum_two_phase", oracle=E11_ORACLE, group="E")
+def e11_running_sum_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key cumulative sum WITHOUT the hot-key ceiling. A plain
+    `sum() OVER (PARTITION BY user ORDER BY ts)` puts each key's entire
+    history in one task — SCALE.md break-first #1 when one key dominates.
+    For ASSOCIATIVE frame aggregates the two-phase cut works per key:
+
+    1. slice time into B global buckets (floor-scaled from the corpus
+       min/max ts — one tiny agg, broadcast as a scalar pair; bucket is
+       monotone in ts, so (bucket, ts) order == ts order within a key);
+    2. local cumulative sum within (user, bucket) — a hot key's window
+       partition is now one time slice, 1/B of its history (B rises with
+       the corpus: days/hours at 100 TB);
+    3. per-(user, bucket) totals -> exclusive running offsets over bucket
+       (a users x B row table — 1 row per slice, not per event). The
+       totals branch partial-aggregates map-side, so its exchange carries
+       ~users x B rows, and the join back lands on the window's existing
+       (user, bucket) partitioning (AQE broadcasts it at test scale);
+    4. run = offset + local cum.
+
+    Works because integer addition is associative: values are snapped to
+    BIGINT micro-units first (rule 5 — a groupBy float sum is
+    order-NONdeterministic, so the bucket totals would drift from the
+    oracle's sequential fold by last-ulp rounding; exact integers make
+    phase-3 totals equal any fold order). Oracle: the plain window text
+    (with the unique (ts, event_id) tiebreak, HUGEINT-cast) — proving the
+    sliced plan IS the running sum."""
+    n_buckets = 8
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("v_u"),
+    )
+    lo, hi = ev.agg(
+        F.min(F.col("ts").cast("long")), F.max(F.col("ts").cast("long"))
+    ).first()
+    span = max(1, int(hi) - int(lo) + 1)
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        ((F.col("ts").cast("long") - F.lit(int(lo))) * n_buckets / F.lit(span))
+        .cast("long"),
+    ).alias("bucket")
+    bucketed = ev.select("*", bucket)
+
+    w_local = (
+        W.partitionBy("user_id", "bucket")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    local = bucketed.withColumn("local_cum", F.sum("v_u").over(w_local))
+
+    totals = bucketed.groupBy("user_id", "bucket").agg(
+        F.sum("v_u").alias("bucket_total")
+    )
+    w_off = (
+        W.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("bucket_total").over(w_off), F.lit(0))
+    ).select("user_id", "bucket", "offset")
+
+    return (
+        local.join(offsets, ["user_id", "bucket"])
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("offset") + F.col("local_cum")).cast("long").alias("run_value_u"),
+        )
+    )

@@ -178,6 +178,15 @@ EXCHANGE_BUDGET = {
     "z40_sql_frontend_q88_shape": 2,
     "z41_sql_frontend_q5_shape": 2,
     "z42_sql_frontend_q67_shape": 8,
+    # z43: the three EXISTS channels broadcast + customer-side agg; z44:
+    # two series' pre-agg + window shuffles and the full join's exchanges
+    # (AQE double-print, no nested loop in either)
+    "z43_sql_frontend_q35_shape": 10,
+    "z44_sql_frontend_q51_shape": 12,
+    # e11: AQE double-print of {window's (user,bucket) shuffle, the
+    # partial-agged totals shuffle (~users x B rows), the offsets window's
+    # user shuffle, offsets broadcast} — one data-sized movement total
+    "e11_running_sum_two_phase": 8,
     # d24: AQE initial+final double-print; the FINAL plan holds exactly two
     # data-sized movements (the range partition, reused by the counts
     # branch, + the window's (pid, group) co-partition) — the rest are
