@@ -215,3 +215,87 @@ def test_skew_lsh_bucket_cap_bounds_degenerate_buckets(spark, sf_dir):
     assert hot_pairs == 0, (
         f"{hot_pairs} O(hot^2) pairs leaked through capped buckets"
     )
+
+
+@pytest.fixture(scope="module")
+def skew_sf_dir(spark, skewed_events):
+    """A synthetic sf_dir whose `events` is the hot-key soak corpus (20%
+    of ~1M rows on one user) and whose `lineitem` is group-skewed (every
+    row's returnflag remapped so 'R' holds ~60% of the table) — so the
+    REGISTERED two-phase ops can be run through their real front door
+    (load_table + the registry fn) on adversarial data."""
+    from marasa_spark.queries._util import fresh_scratch
+
+    d = fresh_scratch("skew_sfdir", "/root/testdata/sf0.1", create=True)
+    skewed_events.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    li = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+    li.withColumn(
+        "l_returnflag",
+        F.when(F.col("l_orderkey") % 5 < 3, F.lit("R")).otherwise(
+            F.col("l_returnflag")
+        ),
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    return d
+
+
+def test_skew_two_phase_percentile_matches_buffered(spark, skew_sf_dir):
+    """d24's whole claim is 'd8's answer without d8's O(group) buffer on a
+    skewed group' — so run BOTH registered ops through their real front
+    door on a corpus where one returnflag holds ~60% of the table and
+    require exact row equality. Two independent product implementations
+    (one-buffer `percentile` vs range-repartitioned rank select) agreeing
+    on adversarial data is the strongest in-repo check the claim can get."""
+    from marasa_spark.registry import REGISTRY, queries_map
+
+    queries_map()
+    d8 = {
+        r["l_returnflag"]: (r["p25"], r["median"], r["p75"])
+        for r in REGISTRY["d8_agg_percentile"].fn(spark, skew_sf_dir).collect()
+    }
+    d24 = {
+        r["l_returnflag"]: (r["p25"], r["median"], r["p75"])
+        for r in REGISTRY["d24_percentile_two_phase"].fn(spark, skew_sf_dir).collect()
+    }
+    assert d8 == d24
+    # and the skew is real: 'R' dominates
+    li = spark.read.parquet(f"{skew_sf_dir}/lineitem.parquet")
+    shares = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert shares["R"] / sum(shares.values()) > 0.5
+
+
+def test_skew_two_phase_running_sum_matches_plain_window(spark, skew_sf_dir):
+    """e11 through its real front door on the hot-key soak corpus: the
+    time-sliced two-phase cumulative sum must equal the plain one-task-
+    per-key window EXACTLY (BIGINT micro-units — associativity makes the
+    regrouping lossless, which is the whole trick), including on the user
+    holding 20% of ~1M rows whose history now spans every time slice."""
+    from pyspark.sql import Window as W
+
+    from marasa_spark.registry import REGISTRY, queries_map
+
+    queries_map()
+    got = REGISTRY["e11_running_sum_two_phase"].fn(spark, skew_sf_dir)
+
+    ev = load_table(spark, skew_sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long").alias("v_u"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    want = ev.select(
+        "event_id", "user_id", F.sum("v_u").over(w).cast("long").alias("run_value_u")
+    )
+    # exact anti-join equality in both directions, no driver-side sort of 1M rows
+    assert got.exceptAll(want).isEmpty()
+    assert want.exceptAll(got).isEmpty()
+    # and the hot key really is hot
+    hot = ev.filter(F.col("user_id") == HOT_USER).count()
+    assert hot / ev.count() > 0.15
