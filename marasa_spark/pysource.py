@@ -117,18 +117,63 @@ class SeqParallelStreamReader(DataSourceStreamReader):
         self.n = int(options.get("n", 100))
         self.batch_size = int(options.get("batch_size", 25))
         self.num_parts = int(options.get("partitions", 4))
-        self._pos = 0
+        # paced micro-batches require a DURABLE cursor (see latestOffset)
+        self.cursor_dir = options.get("cursor_dir")
+
+    # -- durable pacing cursor -------------------------------------------
+    # An offset a stream reader reports must never go BEHIND what Spark
+    # has committed: the engine compares offsets only for equality, so a
+    # rewound latestOffset constructs a backwards batch, the checkpoint
+    # records its end, and the ranges in between are re-emitted — a file
+    # sink appends them as DUPLICATE rows (batch ids differ, so sink-side
+    # replay dedup does not apply). An in-memory cursor cannot guarantee
+    # monotonicity across restarts (initialOffset is NOT re-called from a
+    # checkpoint, and the engine may consult latestOffset on an instance
+    # that never saw initialOffset), so pacing state lives in a tiny
+    # atomically-replaced file, bumped at batch PLAN time (partitions) —
+    # before any commit — and again on commit as belt-and-braces.
+
+    def _hw_file(self) -> str:
+        import os
+
+        return os.path.join(self.cursor_dir, "hw")
+
+    def _read_hw(self) -> int:
+        try:
+            with open(self._hw_file()) as f:
+                return int(f.read().strip() or 0)
+        except (OSError, ValueError):
+            return 0
+
+    def _bump_hw(self, v: int) -> None:
+        import os
+
+        os.makedirs(self.cursor_dir, exist_ok=True)
+        if v > self._read_hw():
+            tmp = f"{self._hw_file()}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, self._hw_file())
 
     def initialOffset(self):
         return {"pos": 0}
 
     def latestOffset(self):
-        # one trigger advances at most one batch of ids
-        self._pos = min(self._pos + self.batch_size, self.n)
-        return {"pos": self._pos}
+        """Without ``cursor_dir``: the WHOLE remaining range is declared
+        available (drain-all — the generator's data all exists already,
+        and a single catch-up batch is what any source does with its
+        backlog). With ``cursor_dir``: one durable-cursor step of
+        ``batch_size`` ids per trigger — paced micro-batches whose
+        monotonicity survives restart because the cursor is bumped at
+        plan time, never inferred from instance state."""
+        if not self.cursor_dir:
+            return {"pos": self.n}
+        return {"pos": min(self._read_hw() + self.batch_size, self.n)}
 
     def partitions(self, start, end):
         s, e = int(start["pos"]), int(end["pos"])
+        if self.cursor_dir:
+            self._bump_hw(max(s, e))
         if e <= s:
             return []
         per = max(1, -(-(e - s) // self.num_parts))
@@ -152,7 +197,8 @@ class SeqParallelStreamReader(DataSourceStreamReader):
             )
 
     def commit(self, end):
-        pass
+        if self.cursor_dir:
+            self._bump_hw(int(end["pos"]))
 
 
 class SeqParallelDataSource(DataSource):

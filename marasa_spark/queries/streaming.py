@@ -800,13 +800,18 @@ def i19_parallel_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch and zero driver-side materialization from the sink alone;
     this op drains the bounded stream and hash-checks the (id, square,
     parity) payload against the closed-form oracle — exactly-once across
-    batch AND partition boundaries. At 100 TB this is the shape a
-    Kafka-like sharded source needs: per-batch fan-out scales with
-    executors, driver state stays two integers."""
+    batch AND partition boundaries, including a checkpoint RESTART
+    (tests/test_streaming.py stop/start case: the pacing cursor is a
+    durable file bumped at plan time, because an in-memory cursor
+    restarting behind the committed offset would make Spark re-plan — and
+    a file sink re-append — the in-between ranges). At 100 TB this is the
+    shape a Kafka-like sharded source needs: per-batch fan-out scales
+    with executors, driver state stays one integer offset."""
     import time as _time
     import uuid
 
     from marasa_spark.pysource import SeqParallelDataSource
+    from marasa_spark.queries._util import fresh_scratch
     from marasa_spark.session import ensure_session_configs
 
     ensure_session_configs(spark)
@@ -816,11 +821,15 @@ def i19_parallel_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     n = 240
     name = f"i19_seq_{uuid.uuid4().hex[:8]}"
+    # cursor_dir turns on PACED micro-batches (4 real batches here); the
+    # durable cursor is what keeps offsets monotone across restarts —
+    # see SeqParallelStreamReader.latestOffset
     stream = (
         spark.readStream.format("marasa_seq_par")
         .option("n", str(n))
         .option("batch_size", "70")
         .option("partitions", "4")
+        .option("cursor_dir", f"{fresh_scratch('i19_cursor', sf_dir, create=True)}")
         .load()
     )
     q = (

@@ -546,6 +546,8 @@ def test_parallel_stream_source_is_executor_side(spark):
         spark.dataSource.register(SeqParallelDataSource)
     except Exception:
         pass
+    from marasa_spark.queries._util import fresh_scratch
+
     n, batch = 200, 60
     name = f"i19_behav_{uuid.uuid4().hex[:8]}"
     st = (
@@ -553,6 +555,10 @@ def test_parallel_stream_source_is_executor_side(spark):
         .option("n", str(n))
         .option("batch_size", str(batch))
         .option("partitions", "4")
+        .option(
+            "cursor_dir",
+            fresh_scratch("i19_behav_cursor", "/root/testdata/sf0.001", create=True),
+        )
         .load()
     )
     q = (
@@ -587,3 +593,81 @@ def test_parallel_stream_source_is_executor_side(spark):
     assert os.getpid() not in worker_pids
     # and rows really came from executor-side Python workers (>1 distinct)
     assert len(worker_pids) > 1
+
+
+def test_parallel_stream_source_restart_is_exactly_once(spark):
+    """Checkpoint-restart semantics of the PACED partitioned source: stop
+    the query mid-stream, build a FRESH reader instance, restart from the
+    same checkpoint, drain, and require the file sink to hold EXACTLY ids
+    0..n-1 — no duplicates, no gaps. The hazard this pins: Spark compares
+    stream offsets only for equality, so a paced cursor that restarted
+    behind the committed offset would construct a rewound batch and the
+    in-between ranges would be APPENDED AGAIN (file sinks dedup replays of
+    the same batch id, not re-planned ranges). The source's pacing cursor
+    is therefore durable (cursor_dir file, bumped at batch plan time) —
+    monotone across instances by construction — which is exactly what
+    this stop/start exercises."""
+    import time
+    import uuid
+
+    from marasa_spark.pysource import SeqParallelDataSource
+    from marasa_spark.queries._util import fresh_scratch
+
+    try:
+        spark.dataSource.register(SeqParallelDataSource)
+    except Exception:
+        pass
+    n, batch = 300, 30
+    base = fresh_scratch("i19_restart", "/root/testdata/sf0.001", create=True)
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+
+    def start_query():
+        return (
+            spark.readStream.format("marasa_seq_par")
+            .option("n", str(n))
+            .option("batch_size", str(batch))
+            .option("partitions", "4")
+            .option("cursor_dir", f"{base}/cursor")
+            .load()
+            .select("id", "square", "parity")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+
+    q = start_query()
+    try:
+        deadline = time.time() + 60
+        # wait until SOME batches committed but the stream is unfinished
+        while time.time() < deadline:
+            try:
+                got = spark.read.parquet(out).count()
+            except Exception:
+                got = 0
+            if got >= batch:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    mid = spark.read.parquet(out).count()
+    assert 0 < mid, "no batch committed before the stop"
+
+    # fresh reader instance (new query -> new DataSource -> cursor at 0)
+    q2 = start_query()
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.read.parquet(out).count() >= n:
+                break
+            time.sleep(0.3)
+    finally:
+        q2.stop()
+
+    rows = spark.read.parquet(out).collect()
+    ids = sorted(r.id for r in rows)
+    assert len(ids) == n, f"expected {n} rows, got {len(ids)} (dups or loss)"
+    assert ids == list(range(n))
+    assert all(r.square == r.id * r.id for r in rows)
