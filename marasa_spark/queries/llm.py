@@ -4737,3 +4737,186 @@ def k84_png_colortype_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 4).cast("int").alias("mode"),
         "n_px", "px_sum", "px_min", "px_max",
     )
+
+
+# ---------------------------------------------------------------------------
+# k85 — real WAV/PCM audio decode end-to-end: synthesized PCM clips →
+# reference decoder → sample stats, hash-checked against the closed form
+# (narrows the audio codec slot: uncompressed PCM needs no external lib)
+# ---------------------------------------------------------------------------
+
+K85_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         1 + doc_id % 2 AS ch,
+         50 + doc_id % 97 AS frames,
+         CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+         8000 * (1 + doc_id % 3) AS rate
+  FROM documents WHERE doc_id < 400
+), s AS (
+  SELECT doc_id, ch, frames, bits, rate,
+    CASE WHEN bits = 8 THEN (doc_id*37 + f*13 + c*5) % 256
+         ELSE ((doc_id*37 + f*13 + c*5) % 4096) - 2048 END AS v
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, frames)) AS f) t1,
+       LATERAL (SELECT unnest(range(0, ch)) AS c) t2
+)
+SELECT doc_id, CAST(ch AS INT) AS channels, CAST(bits AS INT) AS bits,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(v) AS BIGINT) AS sample_sum,
+       CAST(min(v) AS INT) AS sample_min, CAST(max(v) AS INT) AS sample_max,
+       CAST((frames * 1000000) // rate AS BIGINT) AS duration_us
+FROM s GROUP BY doc_id, ch, bits, frames, rate
+"""
+
+
+@register("k85_wav_sample_stats", oracle=K85_ORACLE, group="K")
+def k85_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-sample decode with a codec that ACTUALLY RUNS — the audio twin
+    of k81's PNG round trip. Each doc synthesizes a RIFF/WAVE container
+    carrying real integer PCM (alternating mono/stereo, 8-/16-bit widths,
+    three sample rates) whose samples follow a closed form in
+    (doc_id, frame, channel); the payload travels as a binary column; the
+    reference decoder (ops/multimodal.py decode_wav_samples — stdlib struct
+    over the RIFF chunk walk) recovers the interleaved samples inside an
+    Arrow-batched mapInPandas, and the per-clip statistics (count / sum /
+    min / max plus exact integer duration_us = frames * 1e6 // rate, floor
+    semantics identical in Spark and DuckDB for non-negative operands) must
+    hash-match DuckDB evaluating the closed form directly. WAV PCM is
+    uncompressed, so this codec is complete offline — the
+    NotImplementedError slot now covers only genuinely-external decode
+    (JPEG entropy, compressed/float audio). Scale shape: synthesis and
+    decode are per-row Python over Arrow batches (the correct posture for
+    per-item codecs — parallelism follows the id partitioning, payload
+    bytes never hit the driver); the stats are decoder output, no extra
+    shuffle."""
+    from pyspark.sql.types import BinaryType
+
+    from marasa_spark.ops.multimodal import synthesize_wav_pcm, wav_sample_stats
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+
+    @F.pandas_udf(BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in doc_ids:
+            i = int(doc_id)
+            ch = 1 + i % 2
+            frames = 50 + i % 97
+            bits = 8 if i % 3 == 0 else 16
+            rate = 8000 * (1 + i % 3)
+            if bits == 8:
+                samples = [
+                    (i * 37 + f * 13 + c * 5) % 256
+                    for f in range(frames)
+                    for c in range(ch)
+                ]
+            else:
+                samples = [
+                    ((i * 37 + f * 13 + c * 5) % 4096) - 2048
+                    for f in range(frames)
+                    for c in range(ch)
+                ]
+            out.append(synthesize_wav_pcm(samples, ch, rate, bits))
+        return pd.Series(out)
+
+    media = d.select("doc_id", synth("doc_id").alias("payload"))
+    return wav_sample_stats(media)
+
+
+# ---------------------------------------------------------------------------
+# k86 — sub-byte PNG decode (1/2/4-bit gray + palette): the last PNG depths,
+# completing the full RFC 2083 (color type, depth, interlace) matrix
+# ---------------------------------------------------------------------------
+
+K86_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         3 + doc_id % 19 AS w, 2 + doc_id % 11 AS h,
+         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS bits,
+         doc_id % 2 AS pal,
+         CASE doc_id % 2 WHEN 0 THEN 1 ELSE 3 END AS ch
+  FROM documents WHERE doc_id < 240
+), px AS (
+  SELECT doc_id, w, h, bits, pal,
+    CASE WHEN pal = 0 THEN (doc_id*31 + y*17 + x*7) % (1 << bits)
+         ELSE CASE c
+           WHEN 0 THEN (7 * ((x + 3*y + doc_id) % (1 << bits)) + doc_id) % 256
+           WHEN 1 THEN (11 * ((x + 3*y + doc_id) % (1 << bits)) + 3) % 256
+           ELSE (13 * ((x + 3*y + doc_id) % (1 << bits)) + 7) % 256 END
+    END AS v
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, h)) AS y) t1,
+       LATERAL (SELECT unnest(range(0, w)) AS x) t2,
+       LATERAL (SELECT unnest(range(0, ch)) AS c) t3
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(bits AS INT) AS bits,
+       CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+FROM px GROUP BY doc_id, w, h, bits, pal
+"""
+
+
+@register("k86_png_subbyte_depths", oracle=K86_ORACLE, group="K")
+def k86_png_subbyte_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final PNG depths (this round): 1-, 2- and 4-bit grayscale and
+    palette images, where several samples pack into each scanline byte
+    (MSB-first, byte-boundary pad per row) and the RFC 2083 filters run
+    over the PACKED bytes at bpp = 1 — so the decoder must unfilter at the
+    packed stride and only then unpack samples, per interlace pass. Docs
+    alternate gray/palette, cycle the three sub-byte depths, and alternate
+    sequential/Adam7 independently; per-image stats (gray: raw 0..2^d-1
+    samples; palette: PLTE-expanded RGB bytes) hash-match DuckDB
+    evaluating the closed form. With k81/k83/k84 this closes the whole
+    legal (color type, depth, interlace) space of RFC 2083 — the
+    NotImplementedError slot is now exactly the external-library surface
+    (JPEG entropy decode, compressed audio) plus ancillary-chunk
+    interpretation. Scale posture unchanged from k81: Arrow-batched
+    per-row codec work, payloads never on the driver, no extra shuffle."""
+    from pyspark.sql.types import BinaryType
+
+    from marasa_spark.ops.multimodal import (
+        png_pixel_stats,
+        synthesize_png_filtered,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+
+    @F.pandas_udf(BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in doc_ids:
+            i = int(doc_id)
+            w, h = 3 + i % 19, 2 + i % 11
+            bits = (1, 2, 4)[i % 3]
+            il = (i // 2) % 2
+            n = 1 << bits
+            if i % 2 == 0:
+                blob = synthesize_png_filtered(
+                    w, h, lambda x, y, i=i, n=n: (i * 31 + y * 17 + x * 7) % n,
+                    0, il, bits,
+                )
+            else:
+                pal = [
+                    ((7 * j + i) % 256, (11 * j + 3) % 256, (13 * j + 7) % 256)
+                    for j in range(n)
+                ]
+                blob = synthesize_png_filtered(
+                    w, h, lambda x, y, i=i, n=n: (x + 3 * y + i) % n,
+                    3, il, bits, pal,
+                )
+            out.append(blob)
+        return pd.Series(out)
+
+    media = d.select("doc_id", synth("doc_id").alias("payload"))
+    bits_col = (
+        F.when(F.col("doc_id") % 3 == 0, 1)
+        .when(F.col("doc_id") % 3 == 1, 2)
+        .otherwise(4)
+    )
+    return png_pixel_stats(media).select(
+        "doc_id", "width", "height",
+        bits_col.cast("int").alias("bits"),
+        "n_px", "px_sum", "px_min", "px_max",
+    )

@@ -250,25 +250,29 @@ def test_png_codec_roundtrip_color_interlace(width, height, seed, color_type, in
     height=st.integers(1, 24),
     seed=st.integers(0, 2**31 - 1),
     color_depth=st.sampled_from(
-        # every (color_type, bit_depth) the reference codec claims
-        [(0, 8), (0, 16), (2, 8), (2, 16), (3, 8), (4, 8), (4, 16), (6, 8), (6, 16)]
+        # every LEGAL (color_type, bit_depth) of RFC 2083 — the byte depths
+        # plus the sub-byte gray/palette depths added this round
+        [(0, 8), (0, 16), (2, 8), (2, 16), (3, 8), (4, 8), (4, 16), (6, 8), (6, 16),
+         (0, 1), (0, 2), (0, 4), (3, 1), (3, 2), (3, 4)]
     ),
     interlace=st.sampled_from([0, 1]),
 )
 def test_png_codec_roundtrip_full_matrix(width, height, seed, color_depth, interlace):
     """Round 8 codec completion: palette (PLTE index expansion), gray+alpha,
-    RGBA, and 16-bit samples (2-byte bpp shifts every unfilter reference;
-    big-endian pair recombination) — the encoder and reference decoder are
-    exact inverses over the WHOLE claimed (color_type, depth, interlace)
-    matrix, any dimensions, including degenerate Adam7 rasters."""
+    RGBA, 16-bit samples (2-byte bpp shifts every unfilter reference;
+    big-endian pair recombination), and sub-byte depths (packed-byte
+    filtering at bpp = 1, MSB-first unpack, per-row pad bits) — the encoder
+    and reference decoder are exact inverses over the WHOLE legal
+    (color_type, depth, interlace) matrix, any dimensions, including
+    degenerate Adam7 rasters."""
     from marasa_spark.ops.multimodal import (
         decode_png_pixels,
         synthesize_png_filtered,
     )
 
     color_type, depth = color_depth
-    lim = 256 if depth == 8 else 65536
-    n_pal = 1 + seed % 16
+    lim = 1 << depth
+    n_pal = 1 + seed % min(16, lim)
     pal = [
         ((7 * i + seed) % 256, (11 * i + 3) % 256, (13 * i + 7) % 256)
         for i in range(n_pal)
@@ -307,3 +311,56 @@ def test_png_codec_roundtrip_full_matrix(width, height, seed, color_depth, inter
         c for y in range(height) for x in range(width) for c in flat(x, y)
     ]
     assert list(samples) == want
+
+
+# ---------------------------------------------------------------------------
+# WAV/PCM reference codec: encode→decode identity for arbitrary clips
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(
+    frames=st.integers(1, 200),
+    channels=st.integers(1, 4),
+    bits=st.sampled_from([8, 16]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_codec_roundtrip_identity(frames, channels, bits, rate, seed):
+    """The audio twin of the PNG round-trip property (k85's correctness
+    core, no Spark in the loop): for ANY frame count, channel count, PCM
+    width, and sample content, the RIFF/WAVE encoder and the reference
+    decoder are exact inverses — including odd-length 8-bit data chunks
+    (RIFF word alignment) and stereo interleaving."""
+    from marasa_spark.ops.multimodal import decode_wav_samples, synthesize_wav_pcm
+
+    n = frames * channels
+    if bits == 8:
+        samples = [(seed + 7 * j) % 256 for j in range(n)]
+    else:
+        samples = [((seed + 7 * j) % 65536) - 32768 for j in range(n)]
+    blob = synthesize_wav_pcm(samples, channels, rate, bits)
+    ch, got_rate, got_bits, got = decode_wav_samples(blob)
+    assert (ch, got_rate, got_bits) == (channels, rate, bits)
+    assert got == samples
+
+
+def test_wav_codec_rejects_non_pcm_and_truncation():
+    """The declared external-codec boundary: non-PCM audio_format raises
+    NotImplementedError (where a real audio lib would plug in), and
+    malformed containers raise ValueError rather than mis-decoding."""
+    import struct
+
+    import pytest as _pytest
+
+    from marasa_spark.ops.multimodal import decode_wav_samples, synthesize_wav_pcm
+
+    good = synthesize_wav_pcm([1, -2, 3, -4], 2, 8000, 16)
+    # patch audio_format (first 2 bytes of the fmt body at offset 20) to
+    # 3 = IEEE float — the decoder must refuse, not misread
+    non_pcm = good[:20] + struct.pack("<H", 3) + good[22:]
+    with _pytest.raises(NotImplementedError):
+        decode_wav_samples(non_pcm)
+    with _pytest.raises(ValueError):
+        decode_wav_samples(b"RIFX" + good[4:])
+    with _pytest.raises(ValueError):
+        decode_wav_samples(good[:12])  # fmt/data chunks missing
