@@ -687,12 +687,14 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
 def decode_media(df: DataFrame, real_codec: bool = False) -> DataFrame:
     """'Decode' the binary payload per Arrow batch via mapInPandas.
 
-    ``real_codec=True`` runs the one codec this sandbox CAN implement —
-    the pure-stdlib PNG reference decoder (:func:`decode_png_pixels`,
-    all five color types at depth 8, non-palette at 16), returning true
-    decoded dimensions — and raises NotImplementedError for every other
-    payload type (the declared slot where PIL/ffmpeg would plug in;
-    those libs are not installed).
+    ``real_codec=True`` dispatches on the container signature to the
+    three reference codecs this sandbox implements for real — PNG
+    (:func:`decode_png_pixels`, full RFC 2083 matrix), baseline grayscale
+    JPEG (:func:`marasa_spark.ops.jpeg.decode_jpeg_gray`, real entropy
+    decode + IDCT), and WAV integer PCM (:func:`decode_wav_samples`) —
+    returning true decoded dimensions / frame counts, and raises
+    NotImplementedError for every other payload type (the declared slot
+    where PIL/ffmpeg would plug in; those libs are not installed).
     The default path computes deterministic fake features (sizes,
     checksum, fake dimensions derived from the checksum) so the batch
     shape, schema and partition behavior are fully exercised and testable.
@@ -708,22 +710,34 @@ def decode_media(df: DataFrame, real_codec: bool = False) -> DataFrame:
                 # be a hard input requirement of the real-codec path
                 for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                     b = bytes(payload)
-                    if b[:8] != b"\x89PNG\r\n\x1a\n":
+                    if b[:8] == b"\x89PNG\r\n\x1a\n":
+                        w, h, _ch, _px = decode_png_pixels(b)
+                        mt, frames = "image/png", 1
+                    elif b[:3] == b"\xff\xd8\xff":
+                        from marasa_spark.ops.jpeg import decode_jpeg_gray
+
+                        w, h, _px = decode_jpeg_gray(b)
+                        mt, frames = "image/jpeg", 1
+                    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        ch, _rate, _bits, samples = decode_wav_samples(b)
+                        w = h = 0
+                        mt, frames = "audio/wav", len(samples) // ch
+                    else:
                         raise NotImplementedError(
-                            "real_codec: only the PNG reference decoder is "
-                            "implemented offline; PIL/ffmpeg for other "
-                            "formats plug in here"
+                            "real_codec: PNG, baseline grayscale JPEG and "
+                            "PCM WAV reference decoders are implemented "
+                            "offline; PIL/ffmpeg for other formats plug in "
+                            "here"
                         )
-                    w, h, _ch, _px = decode_png_pixels(b)
                     rows.append(
                         (
                             int(doc_id),
-                            "image/png",
+                            mt,
                             len(b),
                             hashlib.md5(b).hexdigest(),
                             w,
                             h,
-                            1,
+                            frames,
                         )
                     )
                 yield pd.DataFrame(

@@ -478,3 +478,52 @@ def test_real_codec_decodes_png_end_to_end(spark, sf_dir):
         assert r["media_type"] == "image/png"
         assert r["width"] == 4 + did % 29 and r["height"] == 3 + did % 17
         assert r["n_frames"] == 1
+
+
+def test_real_codec_dispatches_all_three_formats(spark, sf_dir):
+    """decode_media(real_codec=True) now dispatches on the container
+    signature: PNG → pixel decode, baseline grayscale JPEG → entropy
+    decode, WAV PCM → frame count from the decoded samples; anything else
+    still raises (the declared external-codec slot)."""
+    from pyspark.sql.types import BinaryType
+
+    from marasa_spark.ops.jpeg import synthesize_jpeg_gray
+
+    docs = load_table(spark, sf_dir, "documents").limit(21).select("doc_id")
+
+    @F.pandas_udf(BinaryType())
+    def synth(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            i = int(i)
+            if i % 3 == 0:
+                out.append(
+                    M.synthesize_png_filtered(4 + i % 9, 3 + i % 7, lambda x, y: 7)
+                )
+            elif i % 3 == 1:
+                out.append(synthesize_jpeg_gray(8 + i % 9, 8 + i % 7, lambda bx, by: 99))
+            else:
+                out.append(
+                    M.synthesize_wav_pcm([0] * (2 * (10 + i % 5)), 2, 8000, 16)
+                )
+        return pd.Series(out)
+
+    media = docs.select(
+        "doc_id",
+        synth("doc_id").alias("payload"),
+        F.struct(F.lit("x").alias("mime"), F.lit(0).alias("declared_len")).alias(
+            "media_meta"
+        ),
+    )
+    rows = {r["doc_id"]: r for r in M.decode_media(media, real_codec=True).collect()}
+    assert rows
+    for did, r in rows.items():
+        if did % 3 == 0:
+            assert r["media_type"] == "image/png"
+            assert (r["width"], r["height"]) == (4 + did % 9, 3 + did % 7)
+        elif did % 3 == 1:
+            assert r["media_type"] == "image/jpeg"
+            assert (r["width"], r["height"]) == (8 + did % 9, 8 + did % 7)
+        else:
+            assert r["media_type"] == "audio/wav"
+            assert r["n_frames"] == 10 + did % 5

@@ -364,3 +364,118 @@ def test_wav_codec_rejects_non_pcm_and_truncation():
         decode_wav_samples(b"RIFX" + good[4:])
     with _pytest.raises(ValueError):
         decode_wav_samples(good[:12])  # fmt/data chunks missing
+
+
+# ---------------------------------------------------------------------------
+# JPEG reference codec: baseline grayscale entropy decode
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=40, deadline=None)
+@given(
+    bw=st.integers(1, 5),
+    bh=st.integers(1, 5),
+    crop_x=st.integers(0, 7),
+    crop_y=st.integers(0, 7),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_block_constant_roundtrip_exact(bw, bh, crop_x, crop_y, seed):
+    """k87's correctness core: a block-constant image with an all-ones
+    quant table holds only DC coefficients, so encode → entropy decode →
+    IDCT is EXACT for any block grid and any non-multiple-of-8 crop."""
+    from marasa_spark.ops.jpeg import decode_jpeg_gray, synthesize_jpeg_gray
+
+    w = bw * 8 - crop_x
+    h = bh * 8 - crop_y
+    if w <= 0 or h <= 0:
+        return
+
+    def fn(bx: int, by: int) -> int:
+        return (seed + bx * 31 + by * 17) % 256
+
+    blob = synthesize_jpeg_gray(w, h, fn)
+    W, H, px = decode_jpeg_gray(blob)
+    assert (W, H) == (w, h)
+    assert all(
+        px[y * w + x] == fn(x // 8, y // 8) for y in range(h) for x in range(w)
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    restart_interval=st.sampled_from([0, 0, 1, 3, 5]),
+)
+def test_jpeg_arbitrary_coefficients_match_independent_idct(w, h, seed, restart_interval):
+    """The entropy paths block-constant fixtures can't reach — AC
+    run/size symbols, ZRL (16-zero runs), mid-block EOB, non-trivial
+    quant tables, and DRI restart markers (byte re-alignment + DC
+    predictor reset) — decode to EXACTLY the pixels an independent
+    numpy-matrix IDCT produces from the same coefficients."""
+    import math as _math
+    import random as _random
+
+    import numpy as np
+
+    from marasa_spark.ops.jpeg import (
+        ZIGZAG,
+        decode_jpeg_gray,
+        synthesize_jpeg_from_coefficients,
+    )
+
+    rng = _random.Random(seed)
+    nb = ((w + 7) // 8) * ((h + 7) // 8)
+    quant = [rng.randint(1, 32) for _ in range(64)]
+    blocks = []
+    for _ in range(nb):
+        blk = [0] * 64
+        blk[0] = rng.randint(-200, 200)
+        for _ in range(rng.randint(0, 12)):
+            blk[rng.randint(1, 63)] = rng.randint(-100, 100)
+        blocks.append(blk)
+    blob = synthesize_jpeg_from_coefficients(w, h, blocks, quant, restart_interval)
+    W, H, px = decode_jpeg_gray(blob)
+    assert (W, H) == (w, h)
+
+    C = np.array(
+        [
+            [
+                (_math.sqrt(0.5) if u == 0 else 1.0)
+                * _math.cos((2 * x + 1) * u * _math.pi / 16)
+                / 2.0
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    bw = (w + 7) // 8
+    want = np.zeros((h, w), dtype=int)
+    for bi, blk in enumerate(blocks):
+        m = np.zeros((8, 8))
+        for k in range(64):
+            m[ZIGZAG[k] // 8][ZIGZAG[k] % 8] = blk[k] * quant[ZIGZAG[k]]
+        pix = np.floor(C.T @ m @ C + 128.5).astype(int).clip(0, 255)
+        by, bx = divmod(bi, bw)
+        for y in range(min(8, h - by * 8)):
+            for x in range(min(8, w - bx * 8)):
+                want[by * 8 + y][bx * 8 + x] = pix[y][x]
+    assert px == want.flatten().tolist()
+
+
+def test_jpeg_codec_rejects_the_declared_slot():
+    """Color/progressive JPEG raises NotImplementedError (the external-
+    codec boundary), malformed streams raise ValueError."""
+    import pytest as _pytest
+
+    from marasa_spark.ops.jpeg import decode_jpeg_gray, synthesize_jpeg_gray
+
+    blob = synthesize_jpeg_gray(16, 16, lambda bx, by: 128)
+    # patch SOF0 (FFC0) to SOF2 (FFC2): progressive
+    progressive = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_gray(progressive)
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(b"\x00\x01" + blob[2:])
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(blob[:40])  # truncated before any scan
