@@ -1700,3 +1700,137 @@ def z44_sql_frontend_q51_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "events")
     return spark.sql(Z44_SQL)
+
+
+# ---------------------------------------------------------------------------
+# z45..z47 — second TPC-DS dialect batch (round 8 continuation): the
+# cross-channel INTERSECT membership, moving-window time-series anomaly,
+# and integer-exact cross-period ratio shapes
+# ---------------------------------------------------------------------------
+
+Z45_SQL = """
+WITH returned_parts AS (
+  SELECT DISTINCT l_partkey AS pk FROM lineitem WHERE l_returnflag = 'R'
+), urgent_parts AS (
+  SELECT DISTINCT l.l_partkey AS pk
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority = '1-URGENT'
+), both_channels AS (
+  SELECT pk FROM returned_parts INTERSECT SELECT pk FROM urgent_parts
+)
+SELECT p.p_brand AS brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(floor(sum(li.l_extendedprice) * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS revenue_cents
+FROM lineitem li
+JOIN part p ON li.l_partkey = p.p_partkey
+WHERE li.l_partkey IN (SELECT pk FROM both_channels)
+GROUP BY p.p_brand
+"""
+
+
+@register("z45_sql_frontend_q14_shape", oracle=Z45_SQL, group="B")
+def z45_sql_frontend_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q14 shape through the SQL front end: the cross-channel
+    item-membership set built with INTERSECT between two DISTINCT-keyed
+    derived tables (one a filtered scan, one a fact-fact join), consumed
+    as an IN-subquery semi-join that gates the main aggregation — Q14's
+    'items sold in every channel' idiom. Plan shape both engines share:
+    the INTERSECT becomes a left-semi join between the two key sets
+    (key-domain-sized, not fact-sized), the IN becomes another semi join,
+    so the expensive fact table is scanned exactly twice and the dim join
+    broadcasts. Revenue is emitted as integer cents (the z32/k63 snap
+    rule) so the positive sum is hash-exact at any SF."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem", "orders", "part")
+    return spark.sql(Z45_SQL)
+
+
+Z46_SQL = """
+WITH monthly AS (
+  SELECT o_orderpriority AS priority,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mon,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(floor(sum(o_totalprice) * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+  FROM orders
+  GROUP BY o_orderpriority, EXTRACT(YEAR FROM o_orderdate), EXTRACT(MONTH FROM o_orderdate)
+), windowed AS (
+  SELECT priority, yr, mon, n_orders, cents,
+         CAST(sum(cents) OVER (PARTITION BY priority, yr) AS BIGINT) AS yr_cents,
+         CAST(count(*) OVER (PARTITION BY priority, yr) AS BIGINT) AS yr_months,
+         lag(cents) OVER (PARTITION BY priority ORDER BY yr, mon) AS prev_cents,
+         lead(cents) OVER (PARTITION BY priority ORDER BY yr, mon) AS next_cents
+  FROM monthly
+)
+SELECT priority, yr, mon, n_orders,
+       CAST(cents AS DOUBLE) / 100 AS revenue,
+       CAST(yr_cents AS DOUBLE) / 100 AS year_revenue,
+       CAST(prev_cents AS DOUBLE) / 100 AS prev_revenue,
+       CAST(next_cents AS DOUBLE) / 100 AS next_revenue
+FROM windowed
+WHERE cents * yr_months * 10 < yr_cents * 8
+   OR cents * yr_months * 10 > yr_cents * 12
+"""
+
+
+@register("z46_sql_frontend_q47_shape", oracle=Z46_SQL, group="B")
+def z46_sql_frontend_q47_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q47/Q57 shape through the SQL front end: a monthly revenue
+    series per key, annotated with the same-year average (sum/count
+    windows over (key, year)) and the neighbouring months (lag/lead over
+    the full series), filtered to the anomalous months that deviate more
+    than 20% from their year's mean — the v_std moving-deviation
+    detector. Determinism discipline: the deviation test is INTEGER
+    cross-multiplication (cents * months * 10 vs year_cents * 8/12), so
+    no float division ever decides a boundary row; (yr, mon) is unique
+    per priority after the pre-agg, satisfying the window tiebreak rule;
+    month cents snap to integers before any window touches them. One agg
+    shuffle + one window shuffle on the same key prefix — at 100 TB the
+    series table is month-domain-sized, thousands of rows per key, never
+    fact-sized."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(Z46_SQL)
+
+
+Z47_SQL = """
+WITH early AS (
+  SELECT l_partkey AS pk,
+         CAST(floor(sum(l_extendedprice) * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents_early
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey
+), late AS (
+  SELECT l_partkey AS pk,
+         CAST(floor(sum(l_extendedprice) * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents_late
+  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey
+)
+SELECT e.pk AS partkey,
+       CAST(e.cents_early AS DOUBLE) / 100 AS revenue_early,
+       CAST(l.cents_late AS DOUBLE) / 100 AS revenue_late
+FROM early e
+JOIN late l ON e.pk = l.pk
+WHERE e.cents_early * 10 BETWEEN l.cents_late * 9 AND l.cents_late * 11
+"""
+
+
+@register("z47_sql_frontend_q58_shape", oracle=Z47_SQL, group="B")
+def z47_sql_frontend_q58_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q58 shape through the SQL front end: the same key
+    aggregated over two disjoint periods (two CTE aggs over one fact
+    table), equi-joined, and kept only where the two revenues agree
+    within ±10% — the 'consistent performer' ratio filter. The published
+    Q58 compares with avg-based division; the dialect-safe spelling is
+    integer cross-multiplication on snapped cents (cents_early * 10
+    BETWEEN cents_late * 9 AND cents_late * 11), which is exactly
+    equivalent for positive revenues and can never hash-mismatch on a
+    ratio boundary. Both aggs shuffle on the SAME key, so the join that
+    follows is co-partitioned and exchange-free under AQE; at 100 TB
+    this is two fact passes + one key-domain join, no fact-sized
+    shuffle beyond the aggs."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(Z47_SQL)

@@ -183,6 +183,14 @@ EXCHANGE_BUDGET = {
     # (AQE double-print, no nested loop in either)
     "z43_sql_frontend_q35_shape": 10,
     "z44_sql_frontend_q51_shape": 12,
+    # z45: AQE double-print; the FINAL plan's fact joins are all broadcast
+    # semi joins into the lineitem scan, the INTERSECT runs at key-domain
+    # size (its exchanges carry distinct partkeys), one brand agg shuffle.
+    # z46: pre-agg + series window on the same key prefix. z47: the two
+    # period aggs shuffle on the SAME key, join co-partitioned under AQE.
+    "z45_sql_frontend_q14_shape": 23,
+    "z46_sql_frontend_q47_shape": 4,
+    "z47_sql_frontend_q58_shape": 6,
     # e11: AQE double-print of {window's (user,bucket) shuffle, the
     # partial-agged totals shuffle (~users x B rows), the offsets window's
     # user shuffle, offsets broadcast} — one data-sized movement total
