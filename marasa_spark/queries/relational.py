@@ -1834,3 +1834,69 @@ def z47_sql_frontend_q58_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(Z47_SQL)
+
+
+Z48_SQL = """
+WITH counts AS (
+  SELECT l_orderkey AS ok, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+  HAVING count(*) BETWEEN 5 AND 7
+)
+SELECT o.o_orderkey AS orderkey, o.o_orderpriority AS priority,
+       c.n_lines AS n_lines,
+       CAST(floor(o.o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS total_cents
+FROM counts c JOIN orders o ON c.ok = o.o_orderkey
+"""
+
+
+@register("z48_sql_frontend_q34_shape", oracle=Z48_SQL, group="B")
+def z48_sql_frontend_q34_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q34/Q73 shape through the SQL front end: groups selected by
+    a COUNT BAND in HAVING (tickets with 5-7 lines — neither singletons
+    nor bulk), then joined BACK to the parent table for per-row detail —
+    the 'find the mid-size baskets and show them' idiom. The aggregation
+    collapses the fact table to key-domain size before the join, so the
+    detail join is between two key-domain relations; HAVING pushes into
+    the agg operator on both engines (no post-filter pass). Cents snap on
+    the money column keeps the detail rows hash-exact."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem", "orders")
+    return spark.sql(Z48_SQL)
+
+
+Z49_SQL = """
+WITH returns AS (
+  SELECT l_orderkey AS ok, l_partkey AS pk,
+         CAST(sum(l_quantity) AS DOUBLE) AS ret_qty
+  FROM lineitem WHERE l_returnflag = 'R'
+  GROUP BY l_orderkey, l_partkey
+)
+SELECT li.l_suppkey AS suppkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(floor(sum(greatest(li.l_quantity - coalesce(r.ret_qty, CAST(0 AS DOUBLE)),
+                               CAST(0 AS DOUBLE))) * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         AS net_qty_cents
+FROM lineitem li
+LEFT JOIN returns r ON li.l_orderkey = r.ok AND li.l_partkey = r.pk
+WHERE li.l_returnflag <> 'R'
+GROUP BY li.l_suppkey
+"""
+
+
+@register("z49_sql_frontend_q93_shape", oracle=Z49_SQL, group="B")
+def z49_sql_frontend_q93_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q93 shape through the SQL front end: every sale adjusted by
+    its matching RETURN row via a LEFT JOIN to a pre-aggregated returns
+    side, clamped at zero (greatest), then rolled up per supplier — the
+    net-of-returns report. The returns CTE aggregates BEFORE the join
+    (returns are a small fraction of the fact table, so the left join
+    probes a compact build side rather than fact x fact); coalesce
+    handles never-returned lines exactly like Q93's published text.
+    Quantities are integer-valued doubles, and the final sum snaps to
+    cents — hash-exact at any SF. Two shuffles on the fact table: the
+    (order, part) co-partition for the join and the supplier rollup."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(Z49_SQL)

@@ -191,6 +191,11 @@ EXCHANGE_BUDGET = {
     "z45_sql_frontend_q14_shape": 23,
     "z46_sql_frontend_q47_shape": 4,
     "z47_sql_frontend_q58_shape": 6,
+    # z48: count-band agg collapses the fact table before the key-domain
+    # join; z49: (order, part) co-partition for the returns left join +
+    # supplier rollup (AQE double-print on both)
+    "z48_sql_frontend_q34_shape": 4,
+    "z49_sql_frontend_q93_shape": 6,
     # e11: AQE double-print of {window's (user,bucket) shuffle, the
     # partial-agged totals shuffle (~users x B rows), the offsets window's
     # user shuffle, offsets broadcast} — one data-sized movement total
