@@ -464,6 +464,258 @@ def synthesize_gif(width: int, height: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00;"
 
 
+def _lzw_encode(indices: "list[int]", mcs: int) -> bytes:
+    """GIF-variant LZW compression of a pixel-index stream: codes packed
+    LSB-first, starting at ``mcs + 1`` bits, dictionary grown per emitted
+    code, CLEAR emitted when the table fills (4096) — a REAL compressor
+    (the dictionary actually grows), so decode exercises the full
+    dynamic-code-size path."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh_table() -> dict:
+        return {(i,): i for i in range(1 << mcs)}
+
+    code_size = mcs + 1
+    table = fresh_table()
+    next_code = eoi + 1
+    emit(clear, code_size)
+    seq: tuple = ()
+    for px in indices:
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], code_size)
+        table[cand] = next_code
+        next_code += 1
+        # the decoder mirrors this assignment one code later, so it bumps
+        # its read size at exactly this emitted-code boundary
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code >= 4096:
+            emit(clear, code_size)
+            table = fresh_table()
+            next_code = eoi + 1
+            code_size = mcs + 1
+        seq = (px,)
+    if seq:
+        emit(table[seq], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int, n_px: int) -> "list[int]":
+    """GIF-variant LZW decompression: LSB-first bit stream, dynamic code
+    size from ``mcs + 1`` to 12 bits, CLEAR resets, the KwKwK
+    (code == next_code) special case, stopping at EOI or after ``n_px``
+    pixels."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    code_size = mcs + 1
+    table: "list[tuple[int, ...]]" = [(i,) for i in range(1 << mcs)] + [(), ()]
+    out: "list[int]" = []
+    prev: "tuple[int, ...] | None" = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while len(out) < n_px:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [(i,) for i in range(1 << mcs)] + [(), ()]
+            code_size = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+            table.append(entry)
+        else:
+            raise ValueError("invalid GIF LZW code")
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        out.extend(entry)
+        prev = entry
+    return out[:n_px]
+
+
+def synthesize_gif_animated(
+    width: int,
+    height: int,
+    n_frames: int,
+    pixel_fn,
+    palette: "list[tuple[int, int, int]]",
+) -> bytes:
+    """A valid animated GIF89a with ``n_frames`` full-screen frames:
+    global color table from ``palette`` (padded to a power of two),
+    a Graphic Control Extension before every frame, and REAL LZW-
+    compressed pixel data (``pixel_fn(x, y, f) -> palette index``).
+    Encoder counterpart of :func:`decode_gif_frames`."""
+    if not palette or len(palette) > 256:
+        raise ValueError("palette must hold 1..256 entries")
+    gct_bits = max(1, (len(palette) - 1).bit_length())
+    n_slots = 1 << gct_bits
+    mcs = max(2, gct_bits)  # GIF LZW minimum code size is >= 2
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out.append(0x80 | (gct_bits - 1))  # GCT present, size = 2^(n+1)
+    out += b"\x00\x00"  # bg color, aspect
+    for j in range(n_slots):
+        r, g, bl = palette[j] if j < len(palette) else (0, 0, 0)
+        out += bytes((r & 0xFF, g & 0xFF, bl & 0xFF))
+    for f in range(n_frames):
+        # Graphic Control Extension (delay 4/100 s, no transparency)
+        out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        idx = [pixel_fn(x, y, f) for y in range(height) for x in range(width)]
+        if any(i >= len(palette) for i in idx):
+            raise ValueError("pixel index out of palette range")
+        lzw = _lzw_encode(idx, mcs)
+        out.append(mcs)
+        for off in range(0, len(lzw), 255):
+            blk = lzw[off : off + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif_frames(
+    b: bytes, every: int = 1
+) -> tuple[int, int, "list[tuple[int, bytes]]"]:
+    """Pure-stdlib animated-GIF reference decoder WITH FRAME SAMPLING —
+    the video-pipeline stage: walks the block stream (logical screen
+    descriptor, global/local color tables, extensions, image
+    descriptors), LZW-decompresses every ``every``-th frame
+    (:func:`_lzw_decode` — dynamic code sizes, CLEAR resets, KwKwK), and
+    expands indices through the active color table to RGB bytes.
+    Frames NOT sampled are skipped at the sub-block level — their
+    compressed data is never inflated, which is exactly the cheap-seek
+    posture frame sampling needs at scale. Returns
+    ``(width, height, [(frame_index, rgb_bytes), ...])``. Interlaced
+    frames and frames smaller than the logical screen raise
+    NotImplementedError (the ffmpeg slot); LZW decode itself is
+    complete."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    width, height = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = b[i : i + 3 * n]
+        i += 3 * n
+    frames: "list[tuple[int, bytes]]" = []
+    f_idx = 0
+    while i < len(b):
+        block = b[i]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, fw, fh = struct.unpack("<HHHH", b[i + 1 : i + 9])
+        fpacked = b[i + 9]
+        i += 10
+        lct = None
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            lct = b[i : i + 3 * n]
+            i += 3 * n
+        if fpacked & 0x40:
+            raise NotImplementedError("interlaced GIF frames are the external-codec slot")
+        if (left, top, fw, fh) != (0, 0, width, height):
+            raise NotImplementedError("partial-screen GIF frames are the external-codec slot")
+        mcs = b[i]
+        i += 1
+        take = f_idx % every == 0
+        lzw = bytearray()
+        while i < len(b) and b[i] != 0:
+            n = b[i]
+            if take:
+                lzw += b[i + 1 : i + 1 + n]
+            i += 1 + n
+        i += 1  # terminator
+        if take:
+            idx = _lzw_decode(bytes(lzw), mcs, fw * fh)
+            table = lct if lct is not None else gct
+            if table is None:
+                raise ValueError("GIF frame without a color table")
+            n_entries = len(table) // 3
+            rgb = bytearray(fw * fh * 3)
+            for j, ix in enumerate(idx):
+                if ix >= n_entries:
+                    raise ValueError("GIF color index out of range")
+                rgb[j * 3 : j * 3 + 3] = table[ix * 3 : ix * 3 + 3]
+            frames.append((f_idx, bytes(rgb)))
+        f_idx += 1
+    return width, height, frames
+
+
+def gif_frame_stats(df: DataFrame, id_col: str = "doc_id", every: int = 1) -> DataFrame:
+    """Arrow-batched per-sampled-frame statistics over a binary animated-
+    GIF payload column via the reference decoder — the video twin of
+    ``png_pixel_stats``: one row per SAMPLED frame (every ``every``-th),
+    unsampled frames never inflated. Payload bytes never leave the
+    executor; output is frames-sized, not pixels-sized."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                w, h, frames = decode_gif_frames(bytes(payload), every)
+                for f_idx, rgb in frames:
+                    rows.append(
+                        (int(doc_id), f_idx, w, h, len(rgb), sum(rgb), min(rgb), max(rgb))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame", "width", "height",
+                    "n_px", "px_sum", "px_min", "px_max",
+                ],
+            )
+
+    return df.mapInPandas(
+        stats,
+        "doc_id long, frame int, width int, height int, n_px long, "
+        "px_sum long, px_min int, px_max int",
+    )
+
+
 def synthesize_wav(n_samples: int, channels: int, sample_rate: int = 8000) -> bytes:
     """A minimal valid PCM-16 WAV with ``n_samples`` zero frames."""
     data = b"\x00" * (n_samples * channels * 2)
@@ -605,6 +857,57 @@ def wav_sample_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         stats,
         "doc_id long, channels int, bits int, n_samples long, "
         "sample_sum long, sample_min int, sample_max int, duration_us long",
+    )
+
+
+def wav_frame_features(
+    df: DataFrame, id_col: str = "doc_id", window: int = 25
+) -> DataFrame:
+    """Windowed audio features over decoded PCM — the feature-extraction
+    stage that follows the codec in an audio pipeline (energy / activity
+    detection shapes). Per non-overlapping ``window``-frame window of the
+    FIRST channel: sample count, absolute-amplitude sum (integer energy
+    proxy), peak |amplitude|, and strict zero crossings (consecutive
+    samples with opposite nonzero signs; windows do not see their
+    neighbour's last sample). All-integer outputs, so hash-exact. Same
+    executor posture as the codecs: Arrow batches in, per-clip Python,
+    feature rows out — the clip payload never leaves the worker and the
+    output is windows-sized, not samples-sized."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                ch, _rate, _bits, samples = decode_wav_samples(bytes(payload))
+                mono = samples[::ch]  # first channel
+                for w0 in range(0, len(mono), window):
+                    win = mono[w0 : w0 + window]
+                    crossings = sum(
+                        1
+                        for a, b2 in zip(win, win[1:])
+                        if (a < 0 < b2) or (b2 < 0 < a)
+                    )
+                    rows.append(
+                        (
+                            int(doc_id),
+                            w0 // window,
+                            len(win),
+                            sum(abs(s) for s in win),
+                            max(abs(s) for s in win),
+                            crossings,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "win_id", "n_samples", "abs_sum", "peak", "n_crossings",
+                ],
+            )
+
+    return df.mapInPandas(
+        feats,
+        "doc_id long, win_id int, n_samples long, abs_sum long, "
+        "peak int, n_crossings long",
     )
 
 

@@ -4991,3 +4991,145 @@ def k87_jpeg_gray_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = d.select("doc_id", synth("doc_id").alias("payload"))
     return jpeg_pixel_stats(media)
+
+
+# ---------------------------------------------------------------------------
+# k88 — windowed audio features over decoded PCM: the feature-extraction
+# stage after the codec (energy + zero-crossing activity per frame window)
+# ---------------------------------------------------------------------------
+
+K88_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 200 + doc_id % 101 AS frames
+  FROM documents WHERE doc_id < 300
+), s AS (
+  SELECT doc_id, f, f // 25 AS win_id,
+         ((doc_id*37 + f*13) % 4096) - 2048 AS v
+  FROM dims, LATERAL (SELECT unnest(range(0, frames)) AS f) t
+), feat AS (
+  SELECT doc_id, win_id, v,
+         lag(v) OVER (PARTITION BY doc_id, win_id ORDER BY f) AS pv
+  FROM s
+)
+SELECT doc_id, CAST(win_id AS INT) AS win_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+       CAST(max(abs(v)) AS INT) AS peak,
+       CAST(count(*) FILTER (WHERE pv IS NOT NULL
+            AND ((pv < 0 AND v > 0) OR (pv > 0 AND v < 0))) AS BIGINT) AS n_crossings
+FROM feat GROUP BY doc_id, win_id
+"""
+
+
+@register("k88_audio_frame_features", oracle=K88_ORACLE, group="K")
+def k88_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stage AFTER the codec in an audio pipeline: each clip decodes
+    through the k85 PCM reference decoder and emits per-25-frame-window
+    features — integer energy (sum |amplitude|), peak, and strict zero
+    crossings (opposite nonzero signs between consecutive samples,
+    windows independent) — the primitives under voice-activity detection
+    and silence trimming. Everything is integer arithmetic, so the
+    feature rows hash-match DuckDB evaluating the closed-form samples
+    with the same window grouping (lag-within-window for crossings).
+    Scale posture: decode + featurize happen in ONE mapInPandas pass
+    (payloads never re-read, never on the driver), and the output is
+    window-domain-sized — a 10^6x reduction from sample rows, which is
+    what makes downstream SQL over audio features tractable at 100 TB."""
+    from pyspark.sql.types import BinaryType
+
+    from marasa_spark.ops.multimodal import synthesize_wav_pcm, wav_frame_features
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+    @F.pandas_udf(BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in doc_ids:
+            i = int(doc_id)
+            frames = 200 + i % 101
+            samples = [((i * 37 + f * 13) % 4096) - 2048 for f in range(frames)]
+            out.append(synthesize_wav_pcm(samples, 1, 8000, 16))
+        return pd.Series(out)
+
+    media = d.select("doc_id", synth("doc_id").alias("payload"))
+    return wav_frame_features(media)
+
+
+# ---------------------------------------------------------------------------
+# k89 — animated-GIF decode with FRAME SAMPLING: real LZW decompression
+# (dynamic code sizes, CLEAR resets, KwKwK) plus the video-pipeline
+# posture of skipping unsampled frames at the container level
+# ---------------------------------------------------------------------------
+
+K89_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 3 + doc_id % 13 AS w, 2 + doc_id % 9 AS h,
+         2 + doc_id % 5 AS nf, 4 + doc_id % 13 AS ncol
+  FROM documents WHERE doc_id < 240
+), px AS (
+  SELECT doc_id, w, h, f,
+    CASE c
+      WHEN 0 THEN (7 * ((x + 3*y + 5*f + doc_id) % ncol) + doc_id) % 256
+      WHEN 1 THEN (11 * ((x + 3*y + 5*f + doc_id) % ncol) + 3) % 256
+      ELSE (13 * ((x + 3*y + 5*f + doc_id) % ncol) + 7) % 256
+    END AS v
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, nf)) AS f) t0,
+       LATERAL (SELECT unnest(range(0, h)) AS y) t1,
+       LATERAL (SELECT unnest(range(0, w)) AS x) t2,
+       LATERAL (SELECT unnest(range(0, 3)) AS c) t3
+  WHERE f % 2 = 0
+)
+SELECT doc_id, CAST(f AS INT) AS frame,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(count(*) AS BIGINT) AS n_px, CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(min(v) AS INT) AS px_min, CAST(max(v) AS INT) AS px_max
+FROM px GROUP BY doc_id, f, w, h
+"""
+
+
+@register("k89_gif_frame_sample", oracle=K89_ORACLE, group="K")
+def k89_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video stage of the multimodal pipeline, with a codec that
+    ACTUALLY RUNS: each doc synthesizes an animated GIF (real LZW
+    compression — the dictionary genuinely grows, CLEAR resets on table
+    fill) of 2-6 full-screen frames; the reference decoder
+    (ops/multimodal.py decode_gif_frames) walks the block stream and
+    decodes EVERY SECOND frame — unsampled frames are skipped at the
+    sub-block level without inflating their LZW data, which is the cheap-
+    seek posture frame sampling needs when a 100 TB corpus holds hours of
+    animation per row. Sampled frames expand through the global color
+    table and their per-frame RGB stats hash-match DuckDB evaluating the
+    closed form over (frame, x, y, channel) restricted to even frames.
+    LZW decode is complete (dynamic code sizes to 12 bits, KwKwK);
+    interlaced/partial-screen frames are the declared ffmpeg slot.
+    Scale posture unchanged: Arrow-batched per-row codec work, payloads
+    never on the driver, output frames-sized."""
+    from pyspark.sql.types import BinaryType
+
+    from marasa_spark.ops.multimodal import gif_frame_stats, synthesize_gif_animated
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+
+    @F.pandas_udf(BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in doc_ids:
+            i = int(doc_id)
+            w, h = 3 + i % 13, 2 + i % 9
+            nf, ncol = 2 + i % 5, 4 + i % 13
+            pal = [
+                ((7 * j + i) % 256, (11 * j + 3) % 256, (13 * j + 7) % 256)
+                for j in range(ncol)
+            ]
+            out.append(
+                synthesize_gif_animated(
+                    w, h, nf,
+                    lambda x, y, f, i=i, n=ncol: (x + 3 * y + 5 * f + i) % n,
+                    pal,
+                )
+            )
+        return pd.Series(out)
+
+    media = d.select("doc_id", synth("doc_id").alias("payload"))
+    return gif_frame_stats(media, every=2)

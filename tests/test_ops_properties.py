@@ -479,3 +479,102 @@ def test_jpeg_codec_rejects_the_declared_slot():
         decode_jpeg_gray(b"\x00\x01" + blob[2:])
     with _pytest.raises(ValueError):
         decode_jpeg_gray(blob[:40])  # truncated before any scan
+
+
+# ---------------------------------------------------------------------------
+# GIF reference codec: LZW + animated container + frame sampling
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=50, deadline=None)
+@given(
+    ncol=st.sampled_from([2, 4, 7, 16, 99, 128, 256]),
+    n=st.integers(1, 6000),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_lzw_roundtrip_identity(ncol, n, seed):
+    """The LZW layer alone: REAL compression (growing dictionary, dynamic
+    code sizes 3..12 bits, CLEAR emitted when the table fills at 4096)
+    and the decoder (KwKwK special case included) are exact inverses for
+    any index stream — runs included, which grow the table fastest."""
+    import random as _random
+
+    from marasa_spark.ops.multimodal import _lzw_decode, _lzw_encode
+
+    rng = _random.Random(seed)
+    mcs = max(2, (ncol - 1).bit_length())
+    idx: list = []
+    while len(idx) < n:
+        if rng.random() < 0.5:
+            idx.extend([rng.randrange(ncol)] * rng.randint(1, 40))
+        else:
+            idx.append(rng.randrange(ncol))
+    idx = idx[:n]
+    assert _lzw_decode(_lzw_encode(idx, mcs), mcs, n) == idx
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    width=st.integers(1, 24),
+    height=st.integers(1, 24),
+    n_frames=st.integers(1, 7),
+    ncol=st.sampled_from([3, 8, 17, 64]),
+    every=st.sampled_from([1, 2, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_animated_roundtrip_and_frame_sampling(width, height, n_frames, ncol, every, seed):
+    """k89's correctness core: the animated container round-trips through
+    real LZW per frame, and frame sampling returns exactly the every-th
+    frames with their true palette-expanded pixels (unsampled frames are
+    never inflated — verified indirectly: their content cannot leak into
+    the sampled output)."""
+    from marasa_spark.ops.multimodal import decode_gif_frames, synthesize_gif_animated
+
+    pal = [
+        ((7 * j + seed) % 256, (11 * j + 3) % 256, (13 * j + 7) % 256)
+        for j in range(ncol)
+    ]
+
+    def fn(x: int, y: int, f: int) -> int:
+        return (x + 3 * y + 5 * f + seed) % ncol
+
+    blob = synthesize_gif_animated(width, height, n_frames, fn, pal)
+    w, h, frames = decode_gif_frames(blob, every)
+    assert (w, h) == (width, height)
+    assert [fi for fi, _ in frames] == [f for f in range(n_frames) if f % every == 0]
+    for fi, rgb in frames:
+        want = bytes(
+            c for y in range(height) for x in range(width) for c in pal[fn(x, y, fi)]
+        )
+        assert rgb == want
+
+
+def test_wav_frame_features_reference():
+    """k88's feature definitions against a hand model: windows are
+    independent (no crossing counted over a window boundary), the last
+    window may be short, and stereo clips featurize channel 0 only."""
+    from marasa_spark.ops.multimodal import decode_wav_samples, synthesize_wav_pcm
+
+    # interleave channel0 = [5, -3, 0, 4, -1, 2, 7], channel1 = noise
+    c0 = [5, -3, 0, 4, -1, 2, 7]
+    c1 = [9, 9, 9, 9, 9, 9, 9]
+    flat = [v for pair in zip(c0, c1) for v in pair]
+    blob = synthesize_wav_pcm(flat, 2, 8000, 16)
+    ch, _r, _b, samples = decode_wav_samples(blob)
+    mono = samples[::ch]
+    assert mono == c0
+    # window=3 → [5,-3,0], [4,-1,2], [7]
+    # crossings: (5,-3) yes, (-3,0) no; (4,-1) yes, (-1,2) yes; none
+    # boundary pairs (0,4) and (2,7) must NOT count
+    win = 3
+    got = []
+    for w0 in range(0, len(mono), win):
+        wv = mono[w0 : w0 + win]
+        got.append(
+            (
+                len(wv),
+                sum(abs(s) for s in wv),
+                max(abs(s) for s in wv),
+                sum(1 for a, b in zip(wv, wv[1:]) if (a < 0 < b) or (b < 0 < a)),
+            )
+        )
+    assert got == [(3, 8, 5, 1), (3, 7, 4, 2), (1, 7, 7, 0)]
