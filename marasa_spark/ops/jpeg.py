@@ -86,6 +86,36 @@ AC_LUM_VALS = [
     0xF9, 0xFA,
 ]
 
+# ITU-T T.81 Annex K.3.3 — typical chrominance DC table
+DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHR_VALS = list(range(12))
+
+# ITU-T T.81 Annex K.3.3.2 — typical chrominance AC table
+AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
 # separable IDCT basis: _COS[u][x] = C(u) * cos((2x+1) u pi / 16) / 2
 _COS = [
     [
@@ -220,21 +250,35 @@ class _BitWriter:
             self.n = 0
 
 
-def _headers(width: int, height: int, quant: "list[int]") -> bytes:
-    """SOI + DQT + SOF0 + the two Annex K DHTs + SOS header for a
-    single-component (grayscale) baseline scan. ``quant`` is the table in
-    NATURAL (raster) order; it is written in zigzag order per B.2.4.1."""
+def _headers(width: int, height: int, quant: "list[int]", color: bool = False) -> bytes:
+    """SOI + DQT(s) + SOF0 + the Annex K DHTs + SOS header for a baseline
+    scan — single-component (grayscale), or 3-component 4:4:4 YCbCr when
+    ``color`` (quant table 1 and the Annex K chrominance Huffman pair are
+    emitted for Cb/Cr). ``quant`` is the table in NATURAL (raster) order;
+    it is written in zigzag order per B.2.4.1."""
     out = bytearray(b"\xff\xd8")  # SOI
     zz_quant = bytes(quant[ZIGZAG[k]] for k in range(64))
     out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + zz_quant
-    # SOF0: precision 8, 1 component id=1 sampling 1x1 quant table 0
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1)
-    out += bytes([1, 0x11, 0])
-    for cls, bits, vals in ((0, DC_LUM_BITS, DC_LUM_VALS), (1, AC_LUM_BITS, AC_LUM_VALS)):
-        body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+    if color:
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x01" + zz_quant
+    n_comp = 3 if color else 1
+    out += b"\xff\xc0" + struct.pack(
+        ">HBHHB", 8 + 3 * n_comp, 8, height, width, n_comp
+    )
+    for c in range(n_comp):
+        out += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    tables = [(0x00, DC_LUM_BITS, DC_LUM_VALS), (0x10, AC_LUM_BITS, AC_LUM_VALS)]
+    if color:
+        tables += [(0x01, DC_CHR_BITS, DC_CHR_VALS), (0x11, AC_CHR_BITS, AC_CHR_VALS)]
+    for tc, bits, vals in tables:
+        body = bytes([tc]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-    # SOS: 1 component, id=1, DC table 0 / AC table 0, Ss=0 Se=63 Ah/Al=0
-    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    # SOS: DC/AC table pair 0 for Y, pair 1 for Cb/Cr
+    sos = bytes([n_comp])
+    for c in range(n_comp):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     return bytes(out)
 
 
@@ -272,6 +316,48 @@ def synthesize_jpeg_gray(width: int, height: int, block_fn) -> bytes:
     w.flush()
     out += w.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def synthesize_jpeg_color(width: int, height: int, block_fn) -> bytes:
+    """A valid baseline 4:4:4 color JPEG whose 8x8 blocks each carry a
+    CONSTANT (Y, Cb, Cr): ``block_fn(bx, by) -> (y, cb, cr)`` with each
+    component 0..255. With all-ones quant tables every block holds only
+    its DC coefficient, so the per-plane decode is exact and the RGB
+    output is the deterministic integer YCbCr conversion of the block
+    constants — the fixture family behind the color-decode oracle (k90).
+    The interleaved scan carries one block per component per MCU, Y using
+    the Annex K luminance Huffman pair and Cb/Cr the chrominance pair,
+    with three independent DC predictors — the real multi-component
+    entropy layout, not a grayscale re-skin."""
+    out = bytearray(_headers(width, height, [1] * 64, color=True))
+    w = _BitWriter()
+    lum_dc = dict(zip(DC_LUM_VALS, _canonical_codes(DC_LUM_BITS)))
+    lum_ac = dict(zip(AC_LUM_VALS, _canonical_codes(AC_LUM_BITS)))
+    chr_dc = dict(zip(DC_CHR_VALS, _canonical_codes(DC_CHR_BITS)))
+    chr_ac = dict(zip(AC_CHR_VALS, _canonical_codes(AC_CHR_BITS)))
+    preds = [0, 0, 0]
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
+            comps = block_fn(bx, by)
+            if len(comps) != 3 or not all(0 <= v <= 255 for v in comps):
+                raise ValueError("block_fn must yield (y, cb, cr) in 0..255")
+            for ci, v in enumerate(comps):
+                dc_codes = lum_dc if ci == 0 else chr_dc
+                ac_codes = lum_ac if ci == 0 else chr_ac
+                dc = 8 * (v - 128)
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                size = _category(diff)
+                code, length = dc_codes[size]
+                w.write(code, length)
+                if size:
+                    w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+                code, length = ac_codes[0x00]  # EOB
+                w.write(code, length)
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -347,28 +433,47 @@ def synthesize_jpeg_from_coefficients(
     return bytes(out)
 
 
-def decode_jpeg_gray(b: bytes) -> tuple[int, int, "list[int]"]:
-    """Pure-stdlib baseline JPEG decoder for single-component (grayscale)
-    images: walks the marker stream (DQT in zigzag order, SOF0, DHT
-    canonical table reconstruction, optional DRI), then entropy-decodes
-    the scan — Huffman DC category + EXTEND with differential prediction,
-    AC run/size symbols with EOB and ZRL, 0xFF00 unstuffing, restart
-    markers resetting prediction and byte alignment — dequantizes,
-    de-zigzags, applies the separable 2-D IDCT, level-shifts by +128,
-    rounds half-up and clamps to 0..255, and crops the padded block grid
-    to the declared dimensions. Returns ``(width, height, pixels)`` in
-    raster order.
+def ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
+    """JFIF YCbCr -> RGB on integer component samples, round half-up and
+    clamp — the exact arithmetic the color oracle mirrors in SQL."""
 
-    Progressive (SOF2), arithmetic-coded, and multi-component (color)
-    JPEGs raise NotImplementedError — the declared slot where libjpeg/PIL
-    plug in (chroma upsampling and colorspace conversion)."""
+    def conv(v: float) -> int:
+        iv = int(math.floor(v + 0.5))
+        return 0 if iv < 0 else (255 if iv > 255 else iv)
+
+    return (
+        conv(y + 1.402 * (cr - 128)),
+        conv(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+        conv(y + 1.772 * (cb - 128)),
+    )
+
+
+def decode_jpeg(b: bytes) -> tuple[int, int, int, "list[int]"]:
+    """Pure-stdlib baseline JPEG decoder for grayscale AND 4:4:4 color:
+    walks the marker stream (DQT in zigzag order, SOF0, DHT canonical
+    table reconstruction — per-component quant/Huffman table ids,
+    optional DRI), then entropy-decodes the interleaved scan — per MCU
+    one 8x8 block per component, each with its own DC predictor, Huffman
+    DC category + EXTEND, AC run/size symbols with EOB and ZRL, 0xFF00
+    unstuffing, restart markers resetting ALL predictors and byte
+    alignment — dequantizes, de-zigzags, applies the separable 2-D IDCT,
+    level-shifts by +128, rounds half-up and clamps to 0..255 per
+    component plane, converts YCbCr -> RGB on the integer samples
+    (3-component case), and crops the padded block grid. Returns
+    ``(width, height, channels, samples)`` with samples interleaved in
+    raster order (1 or 3 per pixel).
+
+    Progressive (SOF2), arithmetic-coded, 12-bit, and chroma-SUBSAMPLED
+    JPEGs raise NotImplementedError — the declared slot where libjpeg/
+    PIL plug in (fractional-sampling MCU geometry + upsampling filters
+    are their real value-add)."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     quant_tables: dict[int, list[int]] = {}
     dc_tables: dict[int, _HuffTable] = {}
     ac_tables: dict[int, _HuffTable] = {}
     width = height = None
-    comp_quant = comp_dc = comp_ac = None
+    comp_quant: "list[int]" = []  # quant table id per component, SOF order
     restart_interval = 0
     i = 2
     while i + 4 <= len(b):
@@ -406,15 +511,17 @@ def decode_jpeg_gray(b: bytes) -> tuple[int, int, "list[int]"]:
             precision, height, width, n_comp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise NotImplementedError("12-bit sample precision")
-            if n_comp != 1:
-                raise NotImplementedError(
-                    "reference decoder handles single-component (grayscale) "
-                    "baseline JPEG; color (chroma upsampling + YCbCr) is the "
-                    "external-codec slot"
-                )
-            if body[7] != 0x11:
-                raise NotImplementedError("subsampled single component")
-            comp_quant = body[8]
+            if n_comp not in (1, 3):
+                raise NotImplementedError("CMYK/unknown component counts")
+            comp_quant = []
+            for c in range(n_comp):
+                samp, tq = body[7 + 3 * c], body[8 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG (sampling factors != 1x1) is "
+                        "the external-codec slot; 4:4:4 decodes here"
+                    )
+                comp_quant.append(tq)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "progressive/hierarchical/arithmetic JPEG is the "
@@ -425,24 +532,35 @@ def decode_jpeg_gray(b: bytes) -> tuple[int, int, "list[int]"]:
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if width is None:
                 raise ValueError("SOS before SOF")
-            n_comp = body[0]
-            if n_comp != 1:
-                raise NotImplementedError("multi-component scan")
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 15
+            n_scan = body[0]
+            if n_scan != len(comp_quant):
+                raise NotImplementedError("partial-component scans")
+            comps = []
+            for c in range(n_scan):
+                tsel = body[2 + 2 * c]
+                comps.append(
+                    (
+                        quant_tables[comp_quant[c]],
+                        dc_tables[tsel >> 4],
+                        ac_tables[tsel & 15],
+                    )
+                )
             scan_start = i + 2 + seg_len
             return _decode_scan(
-                b,
-                scan_start,
-                width,
-                height,
-                quant_tables[comp_quant],
-                dc_tables[comp_dc],
-                ac_tables[comp_ac],
-                restart_interval,
+                b, scan_start, width, height, comps, restart_interval
             )
         # APPn/COM and anything else: skip
         i += 2 + seg_len
     raise ValueError("JPEG without a scan")
+
+
+def decode_jpeg_gray(b: bytes) -> tuple[int, int, "list[int]"]:
+    """Single-component front door (k87): grayscale baseline decode via
+    :func:`decode_jpeg`; color images go through ``decode_jpeg`` itself."""
+    w, h, ch, px = decode_jpeg(b)
+    if ch != 1:
+        raise ValueError("decode_jpeg_gray on a color JPEG — use decode_jpeg")
+    return w, h, px
 
 
 def _decode_scan(
@@ -450,68 +568,81 @@ def _decode_scan(
     pos: int,
     width: int,
     height: int,
-    quant: "list[int]",
-    dc_tab: _HuffTable,
-    ac_tab: _HuffTable,
+    comps: "list[tuple[list[int], _HuffTable, _HuffTable]]",
     restart_interval: int,
-) -> tuple[int, int, "list[int]"]:
+) -> tuple[int, int, int, "list[int]"]:
     bw = (width + 7) // 8
     bh = (height + 7) // 8
-    pixels = [0] * (width * height)
+    n_comp = len(comps)
+    planes = [[0] * (width * height) for _ in range(n_comp)]
     reader = _BitReader(b, pos)
-    pred = 0
+    preds = [0] * n_comp
     rst = 0
     for bi in range(bw * bh):
         if restart_interval and bi and bi % restart_interval == 0:
             reader.align_restart(rst)
             rst += 1
-            pred = 0
-        # DC
-        size = dc_tab.decode(reader)
-        diff = _extend(reader.read_bits(size), size)
-        pred += diff
-        coeff = [0] * 64
-        coeff[0] = pred * quant[0]
-        # AC
-        k = 1
-        while k < 64:
-            sym = ac_tab.decode(reader)
-            if sym == 0x00:  # EOB
-                break
-            if sym == 0xF0:  # ZRL
-                k += 16
-                continue
-            run, size = sym >> 4, sym & 15
-            k += run
-            if k > 63:
-                raise ValueError("AC coefficient index out of range")
-            coeff[ZIGZAG[k]] = _extend(reader.read_bits(size), size) * quant[ZIGZAG[k]]
-            k += 1
-        # separable IDCT: rows then columns of the 8x8 coefficient block
-        tmp = [[0.0] * 8 for _ in range(8)]
-        for u in range(8):
-            row = coeff[u * 8 : u * 8 + 8]
-            for x in range(8):
-                tmp[u][x] = sum(row[v] * _COS[v][x] for v in range(8))
+            preds = [0] * n_comp
         by, bx = divmod(bi, bw)
-        for y in range(8):
-            py = by * 8 + y
-            if py >= height:
-                break
-            base = py * width + bx * 8
-            for x in range(8):
-                px = bx * 8 + x
-                if px >= width:
+        for ci, (quant, dc_tab, ac_tab) in enumerate(comps):
+            # DC
+            size = dc_tab.decode(reader)
+            diff = _extend(reader.read_bits(size), size)
+            preds[ci] += diff
+            coeff = [0] * 64
+            coeff[0] = preds[ci] * quant[0]
+            # AC
+            k = 1
+            while k < 64:
+                sym = ac_tab.decode(reader)
+                if sym == 0x00:  # EOB
                     break
-                s = sum(tmp[u][x] * _COS[u][y] for u in range(8))
-                val = int(math.floor(s + 128.5))  # round half-up + level shift
-                pixels[base + x] = 0 if val < 0 else (255 if val > 255 else val)
-    return width, height, pixels
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 15
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient index out of range")
+                coeff[ZIGZAG[k]] = (
+                    _extend(reader.read_bits(size), size) * quant[ZIGZAG[k]]
+                )
+                k += 1
+            # separable IDCT: rows then columns of the 8x8 coefficient block
+            tmp = [[0.0] * 8 for _ in range(8)]
+            for u in range(8):
+                row = coeff[u * 8 : u * 8 + 8]
+                for x in range(8):
+                    tmp[u][x] = sum(row[v] * _COS[v][x] for v in range(8))
+            plane = planes[ci]
+            for y in range(8):
+                py = by * 8 + y
+                if py >= height:
+                    break
+                base = py * width + bx * 8
+                for x in range(8):
+                    px = bx * 8 + x
+                    if px >= width:
+                        break
+                    s = sum(tmp[u][x] * _COS[u][y] for u in range(8))
+                    val = int(math.floor(s + 128.5))  # round half-up + shift
+                    plane[base + x] = 0 if val < 0 else (255 if val > 255 else val)
+    if n_comp == 1:
+        return width, height, 1, planes[0]
+    out = [0] * (width * height * 3)
+    py, pcb, pcr = planes
+    for j in range(width * height):
+        r, g, bl = ycbcr_to_rgb(py[j], pcb[j], pcr[j])
+        out[3 * j] = r
+        out[3 * j + 1] = g
+        out[3 * j + 2] = bl
+    return width, height, 3, out
 
 
 def jpeg_pixel_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched pixel statistics over a binary baseline-grayscale-JPEG
-    payload column via the reference decoder — same shape as
+    """Arrow-batched pixel statistics over a binary baseline-JPEG payload
+    column via the reference decoder (grayscale or 4:4:4 color — stats run
+    over the interleaved samples either way) — same shape as
     ``png_pixel_stats``: one Python worker per partition, payload bytes
     never leave the executor."""
 
@@ -519,7 +650,7 @@ def jpeg_pixel_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                w, h, px = decode_jpeg_gray(bytes(payload))
+                w, h, _ch, px = decode_jpeg(bytes(payload))
                 rows.append(
                     (int(doc_id), w, h, len(px), sum(px), min(px), max(px))
                 )

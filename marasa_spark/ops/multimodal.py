@@ -1017,9 +1017,9 @@ def decode_media(df: DataFrame, real_codec: bool = False) -> DataFrame:
                         w, h, _ch, _px = decode_png_pixels(b)
                         mt, frames = "image/png", 1
                     elif b[:3] == b"\xff\xd8\xff":
-                        from marasa_spark.ops.jpeg import decode_jpeg_gray
+                        from marasa_spark.ops.jpeg import decode_jpeg
 
-                        w, h, _px = decode_jpeg_gray(b)
+                        w, h, _ch, _px = decode_jpeg(b)
                         mt, frames = "image/jpeg", 1
                     elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                         ch, _rate, _bits, samples = decode_wav_samples(b)

@@ -5133,3 +5133,88 @@ def k89_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = d.select("doc_id", synth("doc_id").alias("payload"))
     return gif_frame_stats(media, every=2)
+
+
+# ---------------------------------------------------------------------------
+# k90 — baseline COLOR JPEG decode (4:4:4): multi-component interleaved
+# entropy decode + integer YCbCr->RGB, hash-checked via block-constant
+# fixtures whose per-plane decode is exact
+# ---------------------------------------------------------------------------
+
+K90_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         8*(1 + doc_id % 3) - doc_id % 5 AS w,
+         8*(1 + doc_id % 2) - doc_id % 7 AS h
+  FROM documents WHERE doc_id < 240
+), px AS (
+  SELECT doc_id, w, h,
+         (doc_id*41 + (y // 8)*23 + (x // 8)*11) % 256 AS cy,
+         (doc_id*29 + (y // 8)*13 + (x // 8)*7) % 256 AS cb,
+         (doc_id*17 + (y // 8)*19 + (x // 8)*5) % 256 AS cr
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, h)) AS y) t1,
+       LATERAL (SELECT unnest(range(0, w)) AS x) t2
+), rgb AS (
+  SELECT doc_id, w, h,
+    greatest(0, least(255, CAST(floor(CAST(cy AS DOUBLE)
+      + CAST(1.402 AS DOUBLE) * (cr - 128) + CAST(0.5 AS DOUBLE)) AS INT))) AS r,
+    greatest(0, least(255, CAST(floor(CAST(cy AS DOUBLE)
+      - CAST(0.344136 AS DOUBLE) * (cb - 128)
+      - CAST(0.714136 AS DOUBLE) * (cr - 128) + CAST(0.5 AS DOUBLE)) AS INT))) AS g,
+    greatest(0, least(255, CAST(floor(CAST(cy AS DOUBLE)
+      + CAST(1.772 AS DOUBLE) * (cb - 128) + CAST(0.5 AS DOUBLE)) AS INT))) AS b
+  FROM px
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(3 * count(*) AS BIGINT) AS n_px,
+       CAST(sum(r + g + b) AS BIGINT) AS px_sum,
+       CAST(min(least(r, g, b)) AS INT) AS px_min,
+       CAST(max(greatest(r, g, b)) AS INT) AS px_max
+FROM rgb GROUP BY doc_id, w, h
+"""
+
+
+@register("k90_jpeg_color_decode", oracle=K90_ORACLE, group="K")
+def k90_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline COLOR JPEG (4:4:4) decode — the multi-component half of
+    k87: the interleaved scan carries one 8x8 block per component per
+    MCU (Y via the Annex K luminance Huffman pair, Cb/Cr via the
+    chrominance pair, three independent DC predictors), per-plane
+    dequant + IDCT, then integer YCbCr->RGB (JFIF constants, round
+    half-up, clamp). Block-constant Y/Cb/Cr fixtures decode exactly, and
+    the SQL oracle mirrors the conversion with the SAME float64
+    expression shape (DOUBLE-cast literals per the house rule — DuckDB
+    would otherwise parse 1.402 as DECIMAL and change the arithmetic),
+    so the decoded RGB stats hash-match. What remains the external-codec
+    slot is exactly libjpeg's value-add: chroma-SUBSAMPLED MCU geometry
+    (fractional sampling + upsampling filters) and progressive scans.
+    Scale posture matches k81/k87: Arrow-batched per-row codec work,
+    payloads never on the driver, no extra shuffle."""
+    from pyspark.sql.types import BinaryType
+
+    from marasa_spark.ops.jpeg import jpeg_pixel_stats, synthesize_jpeg_color
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+
+    @F.pandas_udf(BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in doc_ids:
+            i = int(doc_id)
+            w = 8 * (1 + i % 3) - i % 5
+            h = 8 * (1 + i % 2) - i % 7
+            out.append(
+                synthesize_jpeg_color(
+                    w, h,
+                    lambda bx, by, i=i: (
+                        (i * 41 + by * 23 + bx * 11) % 256,
+                        (i * 29 + by * 13 + bx * 7) % 256,
+                        (i * 17 + by * 19 + bx * 5) % 256,
+                    ),
+                )
+            )
+        return pd.Series(out)
+
+    media = d.select("doc_id", synth("doc_id").alias("payload"))
+    return jpeg_pixel_stats(media)

@@ -578,3 +578,70 @@ def test_wav_frame_features_reference():
             )
         )
     assert got == [(3, 8, 5, 1), (3, 7, 4, 2), (1, 7, 7, 0)]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    bw=st.integers(1, 4),
+    bh=st.integers(1, 4),
+    crop_x=st.integers(0, 7),
+    crop_y=st.integers(0, 7),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_color_block_constant_roundtrip_exact(bw, bh, crop_x, crop_y, seed):
+    """k90's correctness core: block-constant (Y, Cb, Cr) color JPEGs
+    decode their planes exactly through the interleaved multi-component
+    scan (three DC predictors, luminance + chrominance Huffman pairs),
+    and the RGB output equals the integer YCbCr conversion of the block
+    constants — for any block grid and crop."""
+    from marasa_spark.ops.jpeg import (
+        decode_jpeg,
+        synthesize_jpeg_color,
+        ycbcr_to_rgb,
+    )
+
+    w = bw * 8 - crop_x
+    h = bh * 8 - crop_y
+    if w <= 0 or h <= 0:
+        return
+
+    def fn(bx: int, by: int):
+        return (
+            (seed + bx * 31 + by * 17) % 256,
+            (seed // 3 + bx * 7 + by * 13) % 256,
+            (seed // 7 + bx * 19 + by * 5) % 256,
+        )
+
+    blob = synthesize_jpeg_color(w, h, fn)
+    W, H, ch, px = decode_jpeg(blob)
+    assert (W, H, ch) == (w, h, 3)
+    for y in range(h):
+        for x in range(w):
+            assert tuple(px[3 * (y * w + x) : 3 * (y * w + x) + 3]) == ycbcr_to_rgb(
+                *fn(x // 8, y // 8)
+            )
+
+
+def test_jpeg_color_rejects_subsampling_and_gray_front_door():
+    """Chroma subsampling (sampling factors != 1x1) is the declared
+    external slot, and the grayscale front door refuses color payloads
+    rather than silently returning one plane."""
+    import pytest as _pytest
+
+    from marasa_spark.ops.jpeg import (
+        decode_jpeg_gray,
+        synthesize_jpeg_color,
+    )
+
+    blob = synthesize_jpeg_color(16, 16, lambda bx, by: (10, 20, 30))
+    # SOF0 layout: marker(2) len(2) precision(1) h(2) w(2) ncomp(1), then
+    # (id, sampling, quant) triples — Y's sampling byte is at offset 11
+    i = blob.index(b"\xff\xc0")
+    assert blob[i + 11] == 0x11
+    subsampled = blob[: i + 11] + b"\x22" + blob[i + 12 :]
+    with _pytest.raises(NotImplementedError):
+        from marasa_spark.ops.jpeg import decode_jpeg
+
+        decode_jpeg(subsampled)
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(blob)
