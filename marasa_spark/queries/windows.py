@@ -439,3 +439,134 @@ def e11_running_sum_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("local_cum")).cast("long").alias("run_value_u"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e12 — hot-key RANK FAMILY via value-sliced two-phase (extends e11's cut
+# to rank/dense_rank/percent_rank/ntile — SCALE.md break-first #1 narrows
+# to true sliding non-associative aggregates)
+# ---------------------------------------------------------------------------
+
+E12_ORACLE = """
+WITH r AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+  FROM events
+), w AS (
+  SELECT event_id, user_id,
+         CAST(rank() OVER (PARTITION BY user_id ORDER BY cents) AS BIGINT) AS rnk,
+         CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY cents) AS BIGINT) AS drnk,
+         CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY cents, event_id) AS BIGINT) AS tile,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+  FROM r
+)
+SELECT event_id, user_id, rnk, drnk,
+       CAST(CASE WHEN n = 1 THEN 0
+                 ELSE ((rnk - 1) * 1000000) // (n - 1) END AS BIGINT) AS pr_u,
+       tile
+FROM w
+"""
+
+
+@register("e12_rank_family_two_phase", oracle=E12_ORACLE, group="E")
+def e12_rank_family_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank / ntile per key WITHOUT the
+    hot-key ceiling — e11's two-phase cut extended from associative frame
+    sums to the rank family, which is NOT a frame aggregate but IS
+    offset-decomposable:
+
+    1. slice the SORT DOMAIN (not time) into B global value buckets —
+       bucket is a pure function of the sort key, so TIED rows always
+       land in the same bucket and every row in an earlier bucket sorts
+       strictly lower;
+    2. local rank / dense_rank / row_number within (user, bucket) — a hot
+       key's window partition is one value slice, 1/B of its rows;
+    3. per-(user, bucket) row and DISTINCT-value counts -> exclusive
+       running offsets over buckets (a users x B table; distinct counts
+       add across buckets exactly because a value never straddles one);
+    4. rank = row_offset + local_rank; dense_rank = distinct_offset +
+       local_dense; row_number = row_offset + local_row_number;
+       percent_rank and ntile are then CLOSED FORMS of (rank, row_number,
+       per-key total): pr = (rank-1)/(n-1) emitted as exact micro-units
+       via integer floor-division (both engines floor for non-negative
+       operands), ntile from the SQL-standard first-tiles-bigger split —
+       checked against DuckDB's built-in ntile(), so the closed form is
+       proven equivalent to engine semantics, not assumed.
+
+    The oracle is the plain single-window text; hash equality proves the
+    sliced plan computes the same four analytics. What still keeps the
+    one-task-per-key posture after this: sliding NON-associative frame
+    aggregates (e.g. median over a moving frame) — everything else in the
+    E group now has a registered two-phase escape."""
+    n_buckets = 8
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    lo, hi = ev.agg(F.min("cents"), F.max("cents")).first()
+    span = max(1, int(hi) - int(lo) + 1)
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        ((F.col("cents") - F.lit(int(lo))) * n_buckets / F.lit(span)).cast("long"),
+    ).alias("bucket")
+    bucketed = ev.select("*", bucket)
+
+    w_rank = W.partitionBy("user_id", "bucket").orderBy("cents")
+    w_rn = W.partitionBy("user_id", "bucket").orderBy("cents", "event_id")
+    local = bucketed.select(
+        "event_id",
+        "user_id",
+        "bucket",
+        F.rank().over(w_rank).alias("l_rank"),
+        F.dense_rank().over(w_rank).alias("l_dense"),
+        F.row_number().over(w_rn).alias("l_rn"),
+    )
+
+    totals = bucketed.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("cents").alias("n_dist"),
+    )
+    w_off = (
+        W.partitionBy("user_id").orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_all = (
+        W.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    offsets = totals.select(
+        "user_id",
+        "bucket",
+        F.coalesce(F.sum("n_rows").over(w_off), F.lit(0)).alias("row_off"),
+        F.coalesce(F.sum("n_dist").over(w_off), F.lit(0)).alias("dist_off"),
+        F.sum("n_rows").over(w_all).alias("n"),
+    )
+
+    joined = local.join(offsets, ["user_id", "bucket"]).select(
+        "event_id",
+        "user_id",
+        (F.col("row_off") + F.col("l_rank")).cast("long").alias("rnk"),
+        (F.col("dist_off") + F.col("l_dense")).cast("long").alias("drnk"),
+        (F.col("row_off") + F.col("l_rn")).cast("long").alias("rn"),
+        F.col("n").cast("long").alias("n"),
+    )
+    # percent_rank and ntile(4) as integer closed forms of (rnk, rn, n):
+    # floor division matches DuckDB // for the non-negative operands here;
+    # ntile's first (n % 4) tiles are one row bigger per the SQL standard
+    return joined.select(
+        "event_id",
+        "user_id",
+        "rnk",
+        "drnk",
+        F.expr(
+            "CAST(CASE WHEN n = 1 THEN 0 "
+            "ELSE ((rnk - 1) * 1000000) div (n - 1) END AS BIGINT)"
+        ).alias("pr_u"),
+        F.expr(
+            "CAST(CASE WHEN rn <= (n % 4) * (n div 4 + 1) "
+            "THEN (rn - 1) div (n div 4 + 1) + 1 "
+            "ELSE (n % 4) + (rn - (n % 4) * (n div 4 + 1) - 1) div (n div 4) + 1 "
+            "END AS BIGINT)"
+        ).alias("tile"),
+    )

@@ -196,6 +196,11 @@ EXCHANGE_BUDGET = {
     # supplier rollup (AQE double-print on both)
     "z48_sql_frontend_q34_shape": 4,
     "z49_sql_frontend_q93_shape": 6,
+    # e12: AQE double-print of {the (user,bucket) local-window shuffle,
+    # the totals partial-agg shuffle (~users x B rows), the offsets
+    # window's user shuffle, offsets join} — same decomposition as e11
+    # with rank-family locals
+    "e12_rank_family_two_phase": 10,
     # e11: AQE double-print of {window's (user,bucket) shuffle, the
     # partial-agged totals shuffle (~users x B rows), the offsets window's
     # user shuffle, offsets broadcast} — one data-sized movement total

@@ -299,3 +299,47 @@ def test_skew_two_phase_running_sum_matches_plain_window(spark, skew_sf_dir):
     # and the hot key really is hot
     hot = ev.filter(F.col("user_id") == HOT_USER).count()
     assert hot / ev.count() > 0.15
+
+
+def test_skew_two_phase_rank_family_matches_plain_window(spark, skew_sf_dir):
+    """e12 through its real front door on the hot-key soak corpus: the
+    value-sliced two-phase rank family must equal the plain one-task-
+    per-key windows EXACTLY — rank/dense_rank with ties (the cents snap
+    guarantees collisions), percent_rank in integer micro-units, and
+    the closed-form ntile against F.ntile — including on the user
+    holding 20% of ~1M rows whose values now span every slice."""
+    from pyspark.sql import Window as W
+
+    from marasa_spark.registry import REGISTRY, queries_map
+
+    queries_map()
+    got = REGISTRY["e12_rank_family_two_phase"].fn(spark, skew_sf_dir)
+
+    ev = load_table(spark, skew_sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w_rank = W.partitionBy("user_id").orderBy("cents")
+    w_rn = W.partitionBy("user_id").orderBy("cents", "event_id")
+    w_all = W.partitionBy("user_id")
+    plain = ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w_rank).cast("long").alias("rnk"),
+        F.dense_rank().over(w_rank).cast("long").alias("drnk"),
+        F.ntile(4).over(w_rn).cast("long").alias("tile"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    ).select(
+        "event_id",
+        "user_id",
+        "rnk",
+        "drnk",
+        F.expr(
+            "CAST(CASE WHEN n = 1 THEN 0 "
+            "ELSE ((rnk - 1) * 1000000) div (n - 1) END AS BIGINT)"
+        ).alias("pr_u"),
+        "tile",
+    )
+    assert got.exceptAll(plain).isEmpty()
+    assert plain.exceptAll(got).isEmpty()
