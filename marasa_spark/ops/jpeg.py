@@ -401,6 +401,10 @@ def synthesize_jpeg_from_coefficients(
         diff = blk[0] - pred
         pred = blk[0]
         size = _category(diff)
+        if size > 11:
+            raise ValueError(
+                f"DC coefficient diff {diff} exceeds baseline category 11"
+            )
         code, length = dc_codes[size]
         w.write(code, length)
         if size:
@@ -511,6 +515,10 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, "list[int]"]:
             precision, height, width, n_comp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise NotImplementedError("12-bit sample precision")
+            if height == 0 or width == 0:
+                raise NotImplementedError(
+                    "DNL-deferred frame dimensions (SOF height/width 0)"
+                )
             if n_comp not in (1, 3):
                 raise NotImplementedError("CMYK/unknown component counts")
             comp_quant = []

@@ -794,6 +794,8 @@ def decode_wav_samples(b: bytes) -> tuple[int, int, int, "list[int]"]:
         tag, size = b[i : i + 4], struct.unpack("<I", b[i + 4 : i + 8])[0]
         body = b[i + 8 : i + 8 + size]
         if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("WAV fmt chunk truncated")
             audio_format, channels, sample_rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if audio_format != 1 or bits not in (8, 16):

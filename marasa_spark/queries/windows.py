@@ -505,6 +505,8 @@ def e12_rank_family_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
     lo, hi = ev.agg(F.min("cents"), F.max("cents")).first()
+    if lo is None:  # empty events table: the plain-window oracle yields 0 rows
+        lo, hi = 0, 0
     span = max(1, int(hi) - int(lo) + 1)
     bucket = F.least(
         F.lit(n_buckets - 1),

@@ -364,6 +364,18 @@ def test_wav_codec_rejects_non_pcm_and_truncation():
         decode_wav_samples(b"RIFX" + good[4:])
     with _pytest.raises(ValueError):
         decode_wav_samples(good[:12])  # fmt/data chunks missing
+    # fmt chunk shorter than the 16-byte PCM descriptor: ValueError (the
+    # documented contract), not a struct.error escaping from the unpack
+    short_fmt = (
+        good[:4]
+        + struct.pack("<I", 12 + 8 + 8)
+        + good[8:12]
+        + b"fmt "
+        + struct.pack("<I", 8)
+        + good[20:28]
+    )
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav_samples(short_fmt)
 
 
 # ---------------------------------------------------------------------------
@@ -479,6 +491,38 @@ def test_jpeg_codec_rejects_the_declared_slot():
         decode_jpeg_gray(b"\x00\x01" + blob[2:])
     with _pytest.raises(ValueError):
         decode_jpeg_gray(blob[:40])  # truncated before any scan
+
+
+def test_jpeg_codec_rejects_dnl_deferred_dimensions():
+    """SOF0 with height 0 means 'height supplied later via DNL' (T.81
+    B.2.2/B.2.5) — a declared NotImplementedError slot, not an empty
+    image that downstream stats would crash on."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from marasa_spark.ops.jpeg import decode_jpeg_gray, synthesize_jpeg_gray
+
+    blob = synthesize_jpeg_gray(16, 16, lambda bx, by: 128)
+    i = blob.index(b"\xff\xc0")
+    # SOF0 body: len(2) precision(1) height(2) width(2) — zero the height
+    patched = blob[: i + 5] + _struct.pack(">H", 0) + blob[i + 7 :]
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_gray(patched)
+
+
+def test_jpeg_coefficient_synth_rejects_oversized_dc_diff():
+    """A DC diff outside baseline category 11 (|diff| > 2047) must raise a
+    descriptive ValueError, mirroring the AC magnitude check — not a bare
+    KeyError from the Huffman code table."""
+    import pytest as _pytest
+
+    from marasa_spark.ops.jpeg import synthesize_jpeg_from_coefficients
+
+    blk = [0] * 64
+    blk[0] = 5000  # category 13 > the baseline DC table's max of 11
+    with _pytest.raises(ValueError, match="category"):
+        synthesize_jpeg_from_coefficients(8, 8, [blk], [1] * 64)
 
 
 # ---------------------------------------------------------------------------

@@ -343,3 +343,27 @@ def test_skew_two_phase_rank_family_matches_plain_window(spark, skew_sf_dir):
     )
     assert got.exceptAll(plain).isEmpty()
     assert plain.exceptAll(got).isEmpty()
+
+
+def test_two_phase_rank_family_empty_events(spark):
+    """e12's driver-side min/max probe on an EMPTY events table returns
+    (None, None); the guard must short-circuit to zero rows with the
+    plain-window schema instead of raising TypeError on int(None)."""
+    from marasa_spark.queries._util import fresh_scratch
+    from marasa_spark.registry import REGISTRY, queries_map
+
+    queries_map()
+    d = fresh_scratch("e12_empty_sfdir", "/root/testdata/sf0.001", create=True)
+    load_table(spark, "/root/testdata/sf0.001", "events").limit(0).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/events.parquet")
+    got = REGISTRY["e12_rank_family_two_phase"].fn(spark, d)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == [
+        "event_id",
+        "user_id",
+        "rnk",
+        "drnk",
+        "pr_u",
+        "tile",
+    ]
