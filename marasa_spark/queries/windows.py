@@ -572,3 +572,129 @@ def e12_rank_family_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "END AS BIGINT)"
         ).alias("tile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# e13 — hot-key MOVING MEDIAN via two-phase row-number + bounded frame
+# fan-out (retires SCALE.md break-first #1's last resident: sliding
+# NON-associative frame aggregates)
+# ---------------------------------------------------------------------------
+
+E13_FRAME = 10  # ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+
+E13_ORACLE = """
+WITH r AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(2 * median(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS med2_cents
+FROM r
+"""
+
+
+@register("e13_moving_median_two_phase", oracle=E13_ORACLE, group="E")
+def e13_moving_median_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact moving median over a ROWS frame per key WITHOUT the hot-key
+    ceiling — the last resident of SCALE.md break-first #1. A moving
+    median is non-associative (no running offsets, no mergeable partials),
+    so neither e11's cumulate-and-offset nor e12's rank decomposition
+    applies. What DOES decompose is frame MEMBERSHIP:
+
+    1. global per-key row_number rn via e11's time-sliced two-phase cut
+       (local row_number within (user, time-bucket) + per-bucket exclusive
+       row-count offsets) — a hot key never serializes into one task;
+    2. a ROWS frame of size K is the set {rn-K+1 .. rn}, so each row
+       belongs to exactly the K frames {rn .. rn+K-1}: explode that
+       SEQUENCE — a bounded K-way fan-out, shuffle volume K x input,
+       linear in frame size and independent of key skew;
+    3. groupBy (user, frame_q): every group holds at most K rows no
+       matter how hot the key — sort_array(collect_list(cents)) and pick
+       the two middle elements driver-free. The frame's own anchor row is
+       the member with rn == frame_q; frames past the key's last row have
+       no anchor and are dropped by that predicate (no count join needed);
+    4. median is emitted in integer 2x units (lower+upper middle element),
+       matching DuckDB's interpolated even-frame median exactly without
+       a float in the hash (rule: no float aggregate outside r2).
+
+    Per-task memory is O(K) per group; the oracle is the plain one-window
+    text, so hash equality proves the fan-out plan IS the moving median.
+    Cost note (SCALE.md): shuffle volume scales with K — right for the
+    smoothing-window sizes moving medians are used at (K <= ~100); for
+    very large K the documented alternative is chunk-with-context grouped
+    map (chunks of C >= K rows + previous-chunk tail replicated once,
+    fan-out 2x instead of Kx)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    lo, hi = ev.agg(
+        F.min(F.col("ts").cast("long")), F.max(F.col("ts").cast("long"))
+    ).first()
+    if lo is None:  # empty events: the plain-window oracle yields 0 rows
+        lo, hi = 0, 0
+    n_buckets = 8
+    span = max(1, int(hi) - int(lo) + 1)
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        ((F.col("ts").cast("long") - F.lit(int(lo))) * n_buckets / F.lit(span))
+        .cast("long"),
+    ).alias("bucket")
+    bucketed = ev.select("*", bucket)
+
+    w_rn = W.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    local = bucketed.select(
+        "event_id", "user_id", "cents", "bucket", F.row_number().over(w_rn).alias("l_rn")
+    )
+    totals = bucketed.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w_off = (
+        W.partitionBy("user_id").orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "user_id",
+        "bucket",
+        F.coalesce(F.sum("n_rows").over(w_off), F.lit(0)).alias("row_off"),
+    )
+    numbered = local.join(offsets, ["user_id", "bucket"]).select(
+        "event_id",
+        "user_id",
+        "cents",
+        (F.col("row_off") + F.col("l_rn")).cast("long").alias("rn"),
+    )
+
+    fanned = numbered.select(
+        "event_id",
+        "user_id",
+        "cents",
+        "rn",
+        F.explode(
+            F.sequence(F.col("rn"), F.col("rn") + F.lit(E13_FRAME - 1))
+        ).alias("frame_q"),
+    )
+    grouped = (
+        fanned.groupBy("user_id", "frame_q")
+        .agg(
+            F.sort_array(F.collect_list("cents")).alias("vals"),
+            F.max(
+                F.when(F.col("rn") == F.col("frame_q"), F.col("event_id"))
+            ).alias("event_id"),
+        )
+        .filter(F.col("event_id").isNotNull())
+    )
+    sz = F.size("vals")
+    return grouped.select(
+        "event_id",
+        "user_id",
+        (
+            F.element_at("vals", ((sz + 1) / 2).cast("int"))
+            + F.element_at("vals", (sz / 2).cast("int") + F.lit(1))
+        )
+        .cast("long")
+        .alias("med2_cents"),
+    )

@@ -201,6 +201,11 @@ EXCHANGE_BUDGET = {
     # window's user shuffle, offsets join} — same decomposition as e11
     # with rank-family locals
     "e12_rank_family_two_phase": 10,
+    # e13: AQE double-print of {the (user,bucket) local-row_number shuffle,
+    # the totals partial-agg shuffle, the offsets window's user shuffle,
+    # the offsets join, the (user, frame_q) median groupBy} — the K-way
+    # fan-out happens inside the last exchange's map side, no extra hop
+    "e13_moving_median_two_phase": 10,
     # e11: AQE double-print of {window's (user,bucket) shuffle, the
     # partial-agged totals shuffle (~users x B rows), the offsets window's
     # user shuffle, offsets broadcast} — one data-sized movement total

@@ -367,3 +367,72 @@ def test_two_phase_rank_family_empty_events(spark):
         "pr_u",
         "tile",
     ]
+
+
+def test_skew_two_phase_moving_median_matches_plain_window(spark, skew_sf_dir):
+    """e13 on the hot-key soak corpus: the fan-out two-phase moving median
+    must equal the plain one-task-per-key frame median EXACTLY — including
+    on the user holding 20% of ~1M rows, whose frames now resolve via
+    bounded (user, frame_q) groups instead of one serialized history.
+    med2 (lower+upper middle) keeps the comparison integer-exact."""
+    from pyspark.sql import Window as W
+
+    from marasa_spark.queries.windows import E13_FRAME
+    from marasa_spark.registry import REGISTRY, queries_map
+
+    queries_map()
+    got = REGISTRY["e13_moving_median_two_phase"].fn(spark, skew_sf_dir)
+
+    ev = load_table(spark, skew_sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(E13_FRAME - 1), 0)
+    )
+    vals = F.sort_array(F.collect_list("cents").over(w))
+    sz = F.size(vals)
+    plain = ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.element_at(vals, ((sz + 1) / 2).cast("int"))
+            + F.element_at(vals, (sz / 2).cast("int") + F.lit(1))
+        )
+        .cast("long")
+        .alias("med2_cents"),
+    )
+    assert got.exceptAll(plain).isEmpty()
+    assert plain.exceptAll(got).isEmpty()
+
+
+def test_skew_moving_median_group_sizes_bounded(spark, skew_sf_dir):
+    """The structural claim behind e13: no (user, frame_q) group ever
+    exceeds the frame size, so per-task memory is O(K) regardless of how
+    hot the key is (20% of ~1M rows on HOT_USER here)."""
+    from marasa_spark.queries.windows import E13_FRAME
+
+    ev = load_table(spark, skew_sf_dir, "events").select("event_id", "user_id", "ts")
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    fanned = ev.select(
+        "user_id",
+        rn.alias("rn"),
+    ).select(
+        "user_id",
+        F.explode(F.sequence(F.col("rn"), F.col("rn") + F.lit(E13_FRAME - 1))).alias(
+            "frame_q"
+        ),
+    )
+    biggest = (
+        fanned.groupBy("user_id", "frame_q")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .first()["mx"]
+    )
+    assert biggest <= E13_FRAME
