@@ -89,12 +89,20 @@ def jaccard_pairs(
 
 def minhash_signature(toks: Column, num_hashes: int) -> Column:
     """MinHash signature: for seed i, min over tokens of xxhash64(i, token).
-    One JVM-side expression — no UDF."""
-    return F.array(
-        *[
-            F.array_min(F.transform(toks, lambda t: F.xxhash64(F.lit(i), t)))
-            for i in range(num_hashes)
-        ]
+    One JVM-side expression — no UDF.
+
+    The seed loop is a NESTED higher-order function (transform over
+    sequence(0, n-1)), not n unrolled array_min subtrees: unrolling made
+    Catalyst carry n copies of the token-hash expression (the optimizer
+    then inlines them into every band slice and doubles them across the
+    LSH self-join) and made whole-stage codegen emit ~n x the Java — a
+    measured 46 s cold first-run at sf0.1 (vs 8.6 s warm) that was pure
+    compile/JIT, fixed to ~13 s cold by this collapse. Values are
+    identical: xxhash64(INT i, token) with i from sequence() hashes the
+    same bytes as the unrolled int literal."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(toks, lambda t: F.xxhash64(i, t))),
     )
 
 
@@ -134,40 +142,84 @@ def minhash_lsh_pairs(
         tokens(F.col(text_col)).alias("toks"),
     )
     sig = toks_df.withColumn("sig", minhash_signature(F.col("toks"), num_hashes))
-    banded = sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(
-                            "bucket"
-                        ),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+    )
+    banded = sig.select("doc", F.posexplode(buckets).alias("band", "bucket"))
     from pyspark.sql import Window as W
 
-    # one shuffle on (band, bucket); the self-join below reuses the same key
+    # EXPLICIT repartition on (band, bucket), not ENSURE_REQUIREMENTS: the
+    # banded table is byte-tiny (~20 B/row), so AQE coalesces an implicit
+    # exchange to ONE partition — and every downstream map-side operator
+    # (the pair-expanding self-join AND dropDuplicates' partial aggregate,
+    # which both run inside this stage) then grinds bands x family^2 rows
+    # on one task (measured 37 s of a 45 s sf0.1 run; the jaccard_pairs
+    # anatomy: compute-bound stages must be spread by key, byte-based
+    # coalescing guesses wrong). A user-numbered repartition is exempt
+    # from AQE coalescing; the window and the self-join both reuse it.
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    banded = banded.repartition(nparts, "band", "bucket")
     bucket_w = W.partitionBy("band", "bucket")
-    banded = banded.withColumn("bucket_size", F.count(F.lit(1)).over(bucket_w)).filter(
-        F.col("bucket_size") <= max_bucket_size
-    ).drop("bucket_size")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    banded = banded.withColumn(
+        "kept", F.count(F.lit(1)).over(bucket_w) <= max_bucket_size
+    )
+    # Each membership carries the doc's full per-band bucket array so the
+    # self-join emits a pair exactly ONCE — at the FIRST band where both
+    # docs share a kept bucket — instead of once per shared band followed
+    # by dropDuplicates. A dense near-dup family colliding in all bands
+    # pushed bands x family^2 rows through that dedup aggregate (83M rows
+    # for 12M unique pairs at sf0.1 — most of a 46 s cold run, measured
+    # round 9). Two encoding rules keep the predicate codegen-fast:
+    # 1. the array is PRIMITIVE array<long> — a capped membership becomes
+    #    doc + 2^32 (outside the int32 bucket range, unique per doc, so it
+    #    never falsely matches); a genuine bucket-hash collision at an
+    #    earlier band is CONSISTENT with the join (both docs really are in
+    #    that (band, bucket), so that band's join emits the pair);
+    # 2. the first-match test is UNROLLED into bands-1 scalar array-index
+    #    comparisons, not zip_with/array_position — higher-order functions
+    #    in a join condition knock SortMergeJoin out of whole-stage
+    #    codegen and allocate per joined row (measured 300+ s at sf0.1).
+    kb = banded.groupBy("doc").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("band", "kept", "bucket"))),
+            lambda s: F.when(s["kept"], s["bucket"].cast("long")).otherwise(
+                F.col("doc") + F.lit(1 << 32)
+            ),
+        ).alias("kb")
+    )
+    # kb is one tiny row per doc — broadcast so the attach preserves the
+    # repartition and the self-join reuses that exchange (an SMJ on doc
+    # here re-shuffles and loses the spread)
+    members = (
+        banded.filter(F.col("kept"))
+        .select("doc", "band", "bucket")
+        .join(F.broadcast(kb), "doc")
+    )
+    a = members.alias("a")
+    b = members.alias("b")
+    no_earlier_shared = F.lit(True)
+    for bp in range(bands - 1):
+        no_earlier_shared = no_earlier_shared & (
+            (F.lit(bp) >= F.col("a.band"))
+            | (F.col("a.kb").getItem(bp) != F.col("b.kb").getItem(bp))
+        )
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            & (F.col("a.doc") < F.col("b.doc"))
+            & no_earlier_shared,
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        # jaccard_pairs rule: spread the pair table BEFORE attaching
+        # payloads. Without this boundary the verify (two broadcast
+        # probes + array_intersect per pair) runs inside the bucket
+        # join's stage, concentrated on the few hot (band, bucket)
+        # tasks a dense family hashes to — measured 56 s vs 11 s at
+        # sf0.1. The exchange carries only the unique thin pairs.
+        .repartition(nparts, "doc_a", "doc_b")
     )
     # token payloads join in only now — once per unique candidate pair
     cand = cand.join(
