@@ -250,12 +250,19 @@ class _BitWriter:
             self.n = 0
 
 
-def _headers(width: int, height: int, quant: "list[int]", color: bool = False) -> bytes:
+def _headers(
+    width: int,
+    height: int,
+    quant: "list[int]",
+    color: bool = False,
+    subsample: bool = False,
+) -> bytes:
     """SOI + DQT(s) + SOF0 + the Annex K DHTs + SOS header for a baseline
-    scan — single-component (grayscale), or 3-component 4:4:4 YCbCr when
+    scan — single-component (grayscale), or 3-component YCbCr when
     ``color`` (quant table 1 and the Annex K chrominance Huffman pair are
-    emitted for Cb/Cr). ``quant`` is the table in NATURAL (raster) order;
-    it is written in zigzag order per B.2.4.1."""
+    emitted for Cb/Cr): 4:4:4 by default, 4:2:0 (Y sampling 2x2, chroma
+    1x1) when ``subsample``. ``quant`` is the table in NATURAL (raster)
+    order; it is written in zigzag order per B.2.4.1."""
     out = bytearray(b"\xff\xd8")  # SOI
     zz_quant = bytes(quant[ZIGZAG[k]] for k in range(64))
     out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + zz_quant
@@ -266,7 +273,8 @@ def _headers(width: int, height: int, quant: "list[int]", color: bool = False) -
         ">HBHHB", 8 + 3 * n_comp, 8, height, width, n_comp
     )
     for c in range(n_comp):
-        out += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+        samp = 0x22 if (subsample and c == 0) else 0x11
+        out += bytes([c + 1, samp, 0 if c == 0 else 1])
     tables = [(0x00, DC_LUM_BITS, DC_LUM_VALS), (0x10, AC_LUM_BITS, AC_LUM_VALS)]
     if color:
         tables += [(0x01, DC_CHR_BITS, DC_CHR_VALS), (0x11, AC_CHR_BITS, AC_CHR_VALS)]
@@ -355,6 +363,50 @@ def synthesize_jpeg_color(width: int, height: int, block_fn) -> bytes:
                     w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
                 code, length = ac_codes[0x00]  # EOB
                 w.write(code, length)
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synthesize_jpeg_color_420(width: int, height: int, mcu_fn) -> bytes:
+    """A valid baseline 4:2:0 color JPEG whose 16x16 MCUs each carry a
+    CONSTANT (Y, Cb, Cr): ``mcu_fn(mx, my) -> (y, cb, cr)`` with each
+    component 0..255. The interleaved scan carries the real 4:2:0 MCU
+    layout — FOUR Y blocks (2x2, raster order within the MCU) then one Cb
+    and one Cr block — with three independent DC predictors; with
+    all-ones quant tables every block holds only its DC coefficient, so
+    the per-plane decode is exact and nearest-neighbor chroma upsampling
+    reproduces the MCU constant at every covered pixel (edge MCUs pad by
+    extension; cropping recovers the constants). The fixture family
+    behind k91's closed-form oracle."""
+    out = bytearray(_headers(width, height, [1] * 64, color=True, subsample=True))
+    w = _BitWriter()
+    lum_dc = dict(zip(DC_LUM_VALS, _canonical_codes(DC_LUM_BITS)))
+    lum_ac = dict(zip(AC_LUM_VALS, _canonical_codes(AC_LUM_BITS)))
+    chr_dc = dict(zip(DC_CHR_VALS, _canonical_codes(DC_CHR_BITS)))
+    chr_ac = dict(zip(AC_CHR_VALS, _canonical_codes(AC_CHR_BITS)))
+    preds = [0, 0, 0]
+    for my in range((height + 15) // 16):
+        for mx in range((width + 15) // 16):
+            comps = mcu_fn(mx, my)
+            if len(comps) != 3 or not all(0 <= v <= 255 for v in comps):
+                raise ValueError("mcu_fn must yield (y, cb, cr) in 0..255")
+            # 4 Y blocks, then Cb, then Cr — each DC-only at the constant
+            for ci, reps in ((0, 4), (1, 1), (2, 1)):
+                dc_codes = lum_dc if ci == 0 else chr_dc
+                ac_codes = lum_ac if ci == 0 else chr_ac
+                for _ in range(reps):
+                    dc = 8 * (comps[ci] - 128)
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                    size = _category(diff)
+                    code, length = dc_codes[size]
+                    w.write(code, length)
+                    if size:
+                        w.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+                    code, length = ac_codes[0x00]  # EOB
+                    w.write(code, length)
     w.flush()
     out += w.out
     out += b"\xff\xd9"
@@ -453,24 +505,26 @@ def ycbcr_to_rgb(y: int, cb: int, cr: int) -> tuple[int, int, int]:
 
 
 def decode_jpeg(b: bytes) -> tuple[int, int, int, "list[int]"]:
-    """Pure-stdlib baseline JPEG decoder for grayscale AND 4:4:4 color:
-    walks the marker stream (DQT in zigzag order, SOF0, DHT canonical
-    table reconstruction — per-component quant/Huffman table ids,
-    optional DRI), then entropy-decodes the interleaved scan — per MCU
-    one 8x8 block per component, each with its own DC predictor, Huffman
-    DC category + EXTEND, AC run/size symbols with EOB and ZRL, 0xFF00
-    unstuffing, restart markers resetting ALL predictors and byte
-    alignment — dequantizes, de-zigzags, applies the separable 2-D IDCT,
-    level-shifts by +128, rounds half-up and clamps to 0..255 per
-    component plane, converts YCbCr -> RGB on the integer samples
-    (3-component case), and crops the padded block grid. Returns
-    ``(width, height, channels, samples)`` with samples interleaved in
-    raster order (1 or 3 per pixel).
+    """Pure-stdlib baseline JPEG decoder for grayscale, 4:4:4 color, AND
+    4:2:0 chroma-subsampled color: walks the marker stream (DQT in zigzag
+    order, SOF0, DHT canonical table reconstruction — per-component
+    quant/Huffman table ids, optional DRI), then entropy-decodes the
+    interleaved scan — per MCU h_i x v_i 8x8 blocks per component (one
+    each at 4:4:4; four Y + Cb + Cr at 4:2:0), each component with its
+    own DC predictor, Huffman DC category + EXTEND, AC run/size symbols
+    with EOB and ZRL, 0xFF00 unstuffing, restart markers resetting ALL
+    predictors and byte alignment — dequantizes, de-zigzags, applies the
+    separable 2-D IDCT, level-shifts by +128, rounds half-up and clamps
+    to 0..255 per component plane, upsamples subsampled chroma by
+    nearest-neighbor index replication, converts YCbCr -> RGB on the
+    integer samples (3-component case), and crops the padded MCU grid.
+    Returns ``(width, height, channels, samples)`` with samples
+    interleaved in raster order (1 or 3 per pixel).
 
-    Progressive (SOF2), arithmetic-coded, 12-bit, and chroma-SUBSAMPLED
-    JPEGs raise NotImplementedError — the declared slot where libjpeg/
-    PIL plug in (fractional-sampling MCU geometry + upsampling filters
-    are their real value-add)."""
+    Progressive (SOF2), arithmetic-coded, 12-bit, other sampling-factor
+    combinations (4:2:2/4:1:1), and fractional/edge-FILTERED chroma
+    upsampling raise NotImplementedError — the declared slot where
+    libjpeg/PIL plug in."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     quant_tables: dict[int, list[int]] = {}
@@ -522,14 +576,20 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, "list[int]"]:
             if n_comp not in (1, 3):
                 raise NotImplementedError("CMYK/unknown component counts")
             comp_quant = []
+            comp_samp = []
             for c in range(n_comp):
                 samp, tq = body[7 + 3 * c], body[8 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "chroma-subsampled JPEG (sampling factors != 1x1) is "
-                        "the external-codec slot; 4:4:4 decodes here"
-                    )
+                comp_samp.append((samp >> 4, samp & 15))
                 comp_quant.append(tq)
+            if not (
+                all(s == (1, 1) for s in comp_samp)
+                or (n_comp == 3 and comp_samp == [(2, 2), (1, 1), (1, 1)])
+            ):
+                raise NotImplementedError(
+                    "only 4:4:4 (all 1x1) and 4:2:0 (Y 2x2, chroma 1x1) "
+                    "sampling decode here; other factor combinations (4:2:2/"
+                    "4:1:1 and friends) are the external-codec slot"
+                )
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "progressive/hierarchical/arithmetic JPEG is the "
@@ -555,7 +615,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, int, "list[int]"]:
                 )
             scan_start = i + 2 + seg_len
             return _decode_scan(
-                b, scan_start, width, height, comps, restart_interval
+                b, scan_start, width, height, comps, comp_samp, restart_interval
             )
         # APPn/COM and anything else: skip
         i += 2 + seg_len
@@ -577,73 +637,111 @@ def _decode_scan(
     width: int,
     height: int,
     comps: "list[tuple[list[int], _HuffTable, _HuffTable]]",
+    samps: "list[tuple[int, int]]",
     restart_interval: int,
 ) -> tuple[int, int, int, "list[int]"]:
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
+    """Interleaved baseline scan, generalized over sampling factors: each
+    MCU carries h_i x v_i blocks per component i in component order
+    (T.81 A.2.3); with all factors 1x1 this is exactly one block per
+    component in raster order (the 4:4:4/grayscale layout), with Y at
+    2x2 it is the 4:2:0 MCU geometry. Component planes are decoded at
+    their natural (possibly quarter) resolution into a padded MCU-grid
+    buffer, then sampled up by pure index arithmetic — nearest-neighbor
+    replication, x * h_i // h_max — which is exact for the block-constant
+    fixture family; fractional/edge-filtered upsampling stays libjpeg's
+    slot. The restart interval counts MCUs (for 1x1 that equals blocks,
+    so the grayscale DRI semantics are unchanged)."""
     n_comp = len(comps)
-    planes = [[0] * (width * height) for _ in range(n_comp)]
+    hmax = max(h for h, _ in samps)
+    vmax = max(v for _, v in samps)
+    mcu_w = (width + 8 * hmax - 1) // (8 * hmax)
+    mcu_h = (height + 8 * vmax - 1) // (8 * vmax)
+    # padded plane per component: the full MCU grid at that component's
+    # block resolution (cropping happens at upsample time)
+    pws = [mcu_w * 8 * h for h, _ in samps]
+    phs = [mcu_h * 8 * v for _, v in samps]
+    planes = [[0] * (pws[ci] * phs[ci]) for ci in range(n_comp)]
     reader = _BitReader(b, pos)
     preds = [0] * n_comp
     rst = 0
-    for bi in range(bw * bh):
-        if restart_interval and bi and bi % restart_interval == 0:
+    for mi in range(mcu_w * mcu_h):
+        if restart_interval and mi and mi % restart_interval == 0:
             reader.align_restart(rst)
             rst += 1
             preds = [0] * n_comp
-        by, bx = divmod(bi, bw)
+        my, mx = divmod(mi, mcu_w)
         for ci, (quant, dc_tab, ac_tab) in enumerate(comps):
-            # DC
-            size = dc_tab.decode(reader)
-            diff = _extend(reader.read_bits(size), size)
-            preds[ci] += diff
-            coeff = [0] * 64
-            coeff[0] = preds[ci] * quant[0]
-            # AC
-            k = 1
-            while k < 64:
-                sym = ac_tab.decode(reader)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 15
-                k += run
-                if k > 63:
-                    raise ValueError("AC coefficient index out of range")
-                coeff[ZIGZAG[k]] = (
-                    _extend(reader.read_bits(size), size) * quant[ZIGZAG[k]]
-                )
-                k += 1
-            # separable IDCT: rows then columns of the 8x8 coefficient block
-            tmp = [[0.0] * 8 for _ in range(8)]
-            for u in range(8):
-                row = coeff[u * 8 : u * 8 + 8]
-                for x in range(8):
-                    tmp[u][x] = sum(row[v] * _COS[v][x] for v in range(8))
-            plane = planes[ci]
-            for y in range(8):
-                py = by * 8 + y
-                if py >= height:
-                    break
-                base = py * width + bx * 8
-                for x in range(8):
-                    px = bx * 8 + x
-                    if px >= width:
+            ch, cv = samps[ci]
+            for blk in range(ch * cv):
+                by2, bx2 = divmod(blk, ch)
+                # DC
+                size = dc_tab.decode(reader)
+                diff = _extend(reader.read_bits(size), size)
+                preds[ci] += diff
+                coeff = [0] * 64
+                coeff[0] = preds[ci] * quant[0]
+                # AC
+                k = 1
+                while k < 64:
+                    sym = ac_tab.decode(reader)
+                    if sym == 0x00:  # EOB
                         break
-                    s = sum(tmp[u][x] * _COS[u][y] for u in range(8))
-                    val = int(math.floor(s + 128.5))  # round half-up + shift
-                    plane[base + x] = 0 if val < 0 else (255 if val > 255 else val)
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 15
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC coefficient index out of range")
+                    coeff[ZIGZAG[k]] = (
+                        _extend(reader.read_bits(size), size) * quant[ZIGZAG[k]]
+                    )
+                    k += 1
+                # separable IDCT: rows then columns of the 8x8 block
+                tmp = [[0.0] * 8 for _ in range(8)]
+                for u in range(8):
+                    row = coeff[u * 8 : u * 8 + 8]
+                    for x in range(8):
+                        tmp[u][x] = sum(row[v] * _COS[v][x] for v in range(8))
+                plane = planes[ci]
+                pw = pws[ci]
+                x0 = (mx * ch + bx2) * 8
+                y0 = (my * cv + by2) * 8
+                for y in range(8):
+                    base = (y0 + y) * pw + x0
+                    for x in range(8):
+                        s = sum(tmp[u][x] * _COS[u][y] for u in range(8))
+                        val = int(math.floor(s + 128.5))  # round half-up + shift
+                        plane[base + x] = (
+                            0 if val < 0 else (255 if val > 255 else val)
+                        )
+
+    def sample(ci: int, x: int, y: int) -> int:
+        ch, cv = samps[ci]
+        return planes[ci][(y * cv // vmax) * pws[ci] + (x * ch // hmax)]
+
     if n_comp == 1:
-        return width, height, 1, planes[0]
+        return (
+            width,
+            height,
+            1,
+            [
+                planes[0][y * pws[0] + x]
+                for y in range(height)
+                for x in range(width)
+            ],
+        )
     out = [0] * (width * height * 3)
-    py, pcb, pcr = planes
-    for j in range(width * height):
-        r, g, bl = ycbcr_to_rgb(py[j], pcb[j], pcr[j])
-        out[3 * j] = r
-        out[3 * j + 1] = g
-        out[3 * j + 2] = bl
+    j = 0
+    for y in range(height):
+        for x in range(width):
+            r, g, bl = ycbcr_to_rgb(
+                sample(0, x, y), sample(1, x, y), sample(2, x, y)
+            )
+            out[3 * j] = r
+            out[3 * j + 1] = g
+            out[3 * j + 2] = bl
+            j += 1
     return width, height, 3, out
 
 

@@ -5218,3 +5218,89 @@ def k90_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = d.select("doc_id", synth("doc_id").alias("payload"))
     return jpeg_pixel_stats(media)
+
+
+# ---------------------------------------------------------------------------
+# k91 — baseline COLOR JPEG decode at 4:2:0 chroma subsampling: the real
+# 2x2 MCU geometry (four Y blocks + Cb + Cr per MCU) with nearest-neighbor
+# chroma upsampling, hash-checked via MCU-constant fixtures whose decode
+# is exact (round 8 verdict #4 — the jpeg slot narrows to progressive/
+# arithmetic/filtered-upsample)
+# ---------------------------------------------------------------------------
+
+K91_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         16*(1 + doc_id % 2) - doc_id % 5 AS w,
+         16*(1 + doc_id % 3) - doc_id % 7 AS h
+  FROM documents WHERE doc_id < 240
+), px AS (
+  SELECT doc_id, w, h,
+         (doc_id*41 + (y // 16)*23 + (x // 16)*11) % 256 AS cy,
+         (doc_id*29 + (y // 16)*13 + (x // 16)*7) % 256 AS cb,
+         (doc_id*17 + (y // 16)*19 + (x // 16)*5) % 256 AS cr
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, h)) AS y) t1,
+       LATERAL (SELECT unnest(range(0, w)) AS x) t2
+), rgb AS (
+  SELECT doc_id, w, h,
+    greatest(0, least(255, CAST(floor(CAST(cy AS DOUBLE)
+      + CAST(1.402 AS DOUBLE) * (cr - 128) + CAST(0.5 AS DOUBLE)) AS INT))) AS r,
+    greatest(0, least(255, CAST(floor(CAST(cy AS DOUBLE)
+      - CAST(0.344136 AS DOUBLE) * (cb - 128)
+      - CAST(0.714136 AS DOUBLE) * (cr - 128) + CAST(0.5 AS DOUBLE)) AS INT))) AS g,
+    greatest(0, least(255, CAST(floor(CAST(cy AS DOUBLE)
+      + CAST(1.772 AS DOUBLE) * (cb - 128) + CAST(0.5 AS DOUBLE)) AS INT))) AS b
+  FROM px
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(3 * count(*) AS BIGINT) AS n_px,
+       CAST(sum(r + g + b) AS BIGINT) AS px_sum,
+       CAST(min(least(r, g, b)) AS INT) AS px_min,
+       CAST(max(greatest(r, g, b)) AS INT) AS px_max
+FROM rgb GROUP BY doc_id, w, h
+"""
+
+
+@register("k91_jpeg_420_decode", oracle=K91_ORACLE, group="K")
+def k91_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline 4:2:0 chroma-subsampled COLOR JPEG decode — the MCU
+    geometry half of the jpeg external-codec slot brought in-engine: each
+    MCU interleaves FOUR Y blocks (2x2) then Cb then Cr, the chroma
+    planes decode at quarter resolution, and upsampling is
+    nearest-neighbor index replication (exact on MCU-constant fixtures;
+    fractional/edge-filtered upsampling remains libjpeg's slot along
+    with progressive and arithmetic coding). Fixture dims straddle
+    non-multiple-of-16 sizes so the padded-MCU crop path is exercised;
+    the SQL oracle mirrors the integer YCbCr->RGB conversion with the
+    same float64 expression shape as k90's.
+    Scale posture matches k87/k90: Arrow-batched per-row codec work in
+    jpeg_pixel_stats' mapInPandas, payloads never on the driver, no
+    extra shuffle."""
+    from pyspark.sql.types import BinaryType
+
+    from marasa_spark.ops.jpeg import jpeg_pixel_stats, synthesize_jpeg_color_420
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+
+    @F.pandas_udf(BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in doc_ids:
+            i = int(doc_id)
+            w = 16 * (1 + i % 2) - i % 5
+            h = 16 * (1 + i % 3) - i % 7
+            out.append(
+                synthesize_jpeg_color_420(
+                    w, h,
+                    lambda mx, my, i=i: (
+                        (i * 41 + my * 23 + mx * 11) % 256,
+                        (i * 29 + my * 13 + mx * 7) % 256,
+                        (i * 17 + my * 19 + mx * 5) % 256,
+                    ),
+                )
+            )
+        return pd.Series(out)
+
+    media = d.select("doc_id", synth("doc_id").alias("payload"))
+    return jpeg_pixel_stats(media)

@@ -667,9 +667,10 @@ def test_jpeg_color_block_constant_roundtrip_exact(bw, bh, crop_x, crop_y, seed)
 
 
 def test_jpeg_color_rejects_subsampling_and_gray_front_door():
-    """Chroma subsampling (sampling factors != 1x1) is the declared
-    external slot, and the grayscale front door refuses color payloads
-    rather than silently returning one plane."""
+    """Sampling-factor combinations OTHER than 4:4:4 and 4:2:0 (here
+    4:2:2, Y at 2x1) are the declared external slot, and the grayscale
+    front door refuses color payloads rather than silently returning one
+    plane."""
     import pytest as _pytest
 
     from marasa_spark.ops.jpeg import (
@@ -682,10 +683,73 @@ def test_jpeg_color_rejects_subsampling_and_gray_front_door():
     # (id, sampling, quant) triples — Y's sampling byte is at offset 11
     i = blob.index(b"\xff\xc0")
     assert blob[i + 11] == 0x11
-    subsampled = blob[: i + 11] + b"\x22" + blob[i + 12 :]
+    subsampled = blob[: i + 11] + b"\x21" + blob[i + 12 :]
     with _pytest.raises(NotImplementedError):
         from marasa_spark.ops.jpeg import decode_jpeg
 
         decode_jpeg(subsampled)
     with _pytest.raises(ValueError):
         decode_jpeg_gray(blob)
+
+
+# ---------------------------------------------------------------------------
+# JPEG reference codec: 4:2:0 chroma-subsampled color decode
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=25, deadline=None)
+@given(
+    mw=st.integers(1, 3),
+    mh=st.integers(1, 3),
+    crop_x=st.integers(0, 15),
+    crop_y=st.integers(0, 15),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_420_mcu_constant_roundtrip_exact(mw, mh, crop_x, crop_y, seed):
+    """k91's correctness core: an MCU-constant 4:2:0 image (four Y blocks
+    + Cb + Cr per 16x16 MCU, all-ones quant) holds only DC coefficients,
+    so encode -> interleaved entropy decode -> IDCT -> nearest-neighbor
+    chroma upsample is EXACT for any MCU grid and any non-multiple-of-16
+    crop."""
+    import random as _random
+
+    from marasa_spark.ops.jpeg import (
+        decode_jpeg,
+        synthesize_jpeg_color_420,
+        ycbcr_to_rgb,
+    )
+
+    w = mw * 16 - crop_x
+    h = mh * 16 - crop_y
+    if w < 1 or h < 1:
+        return
+    rng = _random.Random(seed)
+    colors = {
+        (mx, my): (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for mx in range(mw)
+        for my in range(mh)
+    }
+    blob = synthesize_jpeg_color_420(w, h, lambda mx, my: colors[(mx, my)])
+    W, H, ch, px = decode_jpeg(blob)
+    assert (W, H, ch) == (w, h, 3)
+    for y in range(h):
+        for x in range(w):
+            exp = ycbcr_to_rgb(*colors[(x // 16, y // 16)])
+            assert tuple(px[3 * (y * w + x) : 3 * (y * w + x) + 3]) == exp
+
+
+def test_jpeg_codec_rejects_non_420_subsampling():
+    """4:2:2 (Y 2x1) and other factor combinations stay the declared
+    NotImplementedError slot — only 4:4:4 and 4:2:0 decode here."""
+    import pytest as _pytest
+
+    from marasa_spark.ops.jpeg import decode_jpeg, synthesize_jpeg_color_420
+
+    blob = synthesize_jpeg_color_420(16, 16, lambda mx, my: (100, 110, 120))
+    i = blob.index(b"\xff\xc0")
+    # SOF0 component spec: len(2) prec(1) h(2) w(2) ncomp(1), then
+    # (id, samp, tq) triples — Y's samp byte sits at body offset 7
+    samp_off = i + 4 + 7
+    assert blob[samp_off] == 0x22
+    patched = blob[:samp_off] + bytes([0x21]) + blob[samp_off + 1 :]
+    with _pytest.raises(NotImplementedError, match="4:2:2|external-codec"):
+        decode_jpeg(patched)
