@@ -1900,3 +1900,117 @@ def z49_sql_frontend_q93_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(Z49_SQL)
+
+
+Z50_SQL = """
+SELECT l_returnflag AS channel, o.o_orderpriority AS priority,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_channel,
+       CAST(grouping(o.o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+GROUP BY GROUPING SETS ((l_returnflag, o.o_orderpriority), (l_returnflag), ())
+"""
+
+
+@register("z50_sql_frontend_q18_shape", oracle=Z50_SQL, group="B")
+def z50_sql_frontend_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q18/Q22 shape through the SQL front end: a fact-dimension
+    join rolled up over GROUPING SETS at three granularities — (channel,
+    priority), (channel), grand total — with grouping() markers
+    distinguishing a real NULL group from a rolled-up one (the published
+    queries' i_item_id/NULL rollup idiom). Both engines expand grouping
+    sets below a SINGLE aggregate exchange (Spark's Expand; DuckDB's
+    grouping sets node), so the rollup costs one fact pass + one shuffle
+    regardless of how many granularities are requested; the quantity sum
+    is integer (BIGINT-cast per the d14 hazard) so all three levels
+    hash-exact."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem", "orders")
+    return spark.sql(Z50_SQL)
+
+
+Z51_SQL = """
+WITH cust_ret AS (
+  SELECT o.o_custkey AS ck,
+         CAST(floor(sum(li.l_extendedprice) * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ret_cents
+  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+  WHERE li.l_returnflag = 'R'
+  GROUP BY o.o_custkey
+), natl AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(sum(r.ret_cents) AS BIGINT) AS nation_cents,
+         CAST(count(*) AS BIGINT) AS n_cust
+  FROM cust_ret r JOIN customer c ON r.ck = c.c_custkey
+  GROUP BY c.c_nationkey
+)
+SELECT c.c_custkey AS custkey, c.c_nationkey AS nationkey, r.ret_cents AS ret_cents
+FROM cust_ret r
+JOIN customer c ON r.ck = c.c_custkey
+JOIN natl n ON c.c_nationkey = n.nk
+WHERE r.ret_cents * n.n_cust * 10 > n.nation_cents * 12
+"""
+
+
+@register("z51_sql_frontend_q1_shape", oracle=Z51_SQL, group="B")
+def z51_sql_frontend_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q1 shape through the SQL front end: customers whose total
+    returns exceed 1.2x the AVERAGE returns of their nation — the
+    published query's correlated subquery against sr_store, decorrelated
+    here (as every planner rewrites it) into a per-nation aggregate CTE
+    joined back. The dialect-safe spelling of 'ret > 1.2 * avg' is
+    integer cross-multiplication on snapped cents:
+    ret_cents * n_cust * 10 > nation_cents * 12 — exactly equivalent for
+    positive returns and immune to float-division boundary mismatches.
+    The fact table aggregates to customer-domain size FIRST; the nation
+    aggregate runs over that key-domain relation, so the 'average of the
+    group' costs nothing fact-sized, and the final join is key-domain x
+    25-row broadcast."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem", "orders", "customer")
+    return spark.sql(Z51_SQL)
+
+
+Z52_SQL = """
+WITH ch_a AS (
+  SELECT l_partkey AS pk, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_a
+  FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_partkey
+), ch_n AS (
+  SELECT l_partkey AS pk, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_n
+  FROM lineitem WHERE l_returnflag = 'N' GROUP BY l_partkey
+), ch_r AS (
+  SELECT l_partkey AS pk, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_r
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey
+)
+SELECT COALESCE(a.pk, n.pk, r.pk) AS partkey,
+       CAST(COALESCE(a.qty_a, 0) AS BIGINT) AS qty_ack,
+       CAST(COALESCE(n.qty_n, 0) AS BIGINT) AS qty_none,
+       CAST(COALESCE(r.qty_r, 0) AS BIGINT) AS qty_ret,
+       CAST(COALESCE(a.qty_a, 0) - COALESCE(r.qty_r, 0) AS BIGINT) AS ack_minus_ret
+FROM ch_a a
+FULL OUTER JOIN ch_n n ON a.pk = n.pk
+FULL OUTER JOIN ch_r r ON COALESCE(a.pk, n.pk) = r.pk
+WHERE COALESCE(a.qty_a, 0) + COALESCE(n.qty_n, 0) + COALESCE(r.qty_r, 0) >= 120
+"""
+
+
+@register("z52_sql_frontend_q78_shape", oracle=Z52_SQL, group="B")
+def z52_sql_frontend_q78_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q78 shape through the SQL front end: the same key
+    aggregated in THREE disjoint channels (returnflag slices standing in
+    for store/web/catalog), reconciled with a FULL OUTER join chain whose
+    keys COALESCE left-to-right — a key present in any channel survives
+    with zeros filled in for the channels that never saw it — then
+    band-filtered on combined volume. The three channel aggs shuffle on
+    the SAME key, so under AQE the outer joins are co-partitioned
+    (exchange-free beyond the three aggs); quantities are integer sums
+    (BIGINT-cast per the d14 hazard) so the reconciliation columns and
+    the derived ack-minus-returned delta hash-exact. The published Q78
+    ratio filter becomes an additive volume band to keep the one-text SQL
+    division-free."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(Z52_SQL)

@@ -201,6 +201,14 @@ EXCHANGE_BUDGET = {
     # window's user shuffle, offsets join} — same decomposition as e11
     # with rank-family locals
     "e12_rank_family_two_phase": 10,
+    # z50: grouping-sets Expand below ONE agg exchange + the fact join's
+    # broadcast (AQE double-print); z51: the decorrelated chain — fact
+    # pre-agg, customer attach, nation agg, key-domain joins (all at or
+    # below key-domain size, AQE double-print); z52: three channel aggs
+    # on the SAME key + the co-partitioned full-outer chain (double-print)
+    "z50_sql_frontend_q18_shape": 4,
+    "z51_sql_frontend_q1_shape": 16,
+    "z52_sql_frontend_q78_shape": 8,
     # e13: AQE double-print of {the (user,bucket) local-row_number shuffle,
     # the totals partial-agg shuffle, the offsets window's user shuffle,
     # the offsets join, the (user, frame_q) median groupBy} — the K-way
