@@ -78,18 +78,31 @@ PROBE_TOLERANCE = 1.20
 PROBE_GATE_ATTEMPTS = 3
 
 
-def _measure_headline(spark, sf_dir: str, qmap) -> dict[str, float]:
+def _measure_headline(
+    spark, sf_dir: str, qmap
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Returns (warm best-of-N per label, BUILD time per label). Build =
+    plan construction + FIRST collect (analysis, parquet footers, codegen/
+    JIT, any index side-effects) — the bench_full protocol's build_s,
+    recorded here too so the driver's BENCH_r{N}.json witnesses
+    plan-construction and first-run cost, not just warm latency (round-8
+    verdict #8: a 45 s first run hid behind a 9 s warm number)."""
     results: dict[str, float] = {}
+    builds: dict[str, float] = {}
     for label, qids in HEADLINE.items():
         if not all(qid in qmap for qid in qids):
             continue
         total_t = 0.0
+        build_t = 0.0
         for qid in qids:
             fn = qmap[qid]
+            t0 = time.perf_counter()
             fn(spark, sf_dir).collect()  # warm (plan + parquet footer + JIT)
+            build_t += time.perf_counter() - t0
             total_t += bench_one(spark, fn, sf_dir)
         results[label] = round(total_t, 4)
-    return results
+        builds[label] = round(build_t, 4)
+    return results, builds
 
 
 def main() -> None:
@@ -105,7 +118,7 @@ def main() -> None:
 
     for attempt in range(1, PROBE_GATE_ATTEMPTS + 1):
         calib_start = calibration_probe(spark, sf_dir)
-        results = _measure_headline(spark, sf_dir, qmap)
+        results, builds = _measure_headline(spark, sf_dir, qmap)
         calib_end = calibration_probe(spark, sf_dir)
         d0 = calib_start["duckdb_lineitem_agg_sec"]
         d1 = calib_end["duckdb_lineitem_agg_sec"]
@@ -136,6 +149,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                # per-query BUILD cost (construction + first collect):
+                # cold-start witness alongside the warm numbers; only the
+                # warm metric is normalized/compared across rounds
+                "build": builds,
                 "sf": sf,
                 "calibration": {
                     **calib,
