@@ -55,8 +55,10 @@ WAIVERS: dict[str, str] = {
     "oracled vs unbounded all-pairs since r8): the corpus's densest "
     "near-dup family is ~3.2k docs at sf0.1, so the within-family "
     "candidate join and the ~1M-true-pair output are inherent to the "
-    "data, not a plan defect; the shuffle still carries only (doc, band, "
-    "bucket) and the collect protocol pays the 1M-row py4j bill",
+    "data, not a plan defect; since r9 the join emits each pair once "
+    "(first-kept-shared-band predicate — no dedup aggregate) and the "
+    "band shuffle carries (doc, band, bucket) plus the bands-long "
+    "bucket array; the collect protocol pays the 1M-row py4j bill",
     "k80_incremental_near_dup": "the measured window INCLUDES the one-time "
     "corpus index build (tokenize + 32-hash minhash + two parquet "
     "persists) that the op exists to amortize across daily batches — a "
