@@ -682,6 +682,7 @@ def _decode_scan(
                 coeff[0] = preds[ci] * quant[0]
                 # AC
                 k = 1
+                has_ac = False
                 while k < 64:
                     sym = ac_tab.decode(reader)
                     if sym == 0x00:  # EOB
@@ -696,17 +697,33 @@ def _decode_scan(
                     coeff[ZIGZAG[k]] = (
                         _extend(reader.read_bits(size), size) * quant[ZIGZAG[k]]
                     )
+                    has_ac = has_ac or coeff[ZIGZAG[k]] != 0
                     k += 1
+                plane = planes[ci]
+                pw = pws[ci]
+                x0 = (mx * ch + bx2) * 8
+                y0 = (my * cv + by2) * 8
+                if not has_ac:
+                    # flat-block fast path: a DC-only block's IDCT is the
+                    # constant (dc * _COS[0][x]) * _COS[0][y] — the SAME
+                    # float operations the general path performs for its
+                    # single nonzero term, so the fast path is bit-exact
+                    # with it (and ~500x fewer multiplies; block-constant
+                    # content is also what real flat regions decode to)
+                    c0 = _COS[0][0]
+                    s = (coeff[0] * c0) * c0
+                    val = int(math.floor(s + 128.5))
+                    val = 0 if val < 0 else (255 if val > 255 else val)
+                    for y in range(8):
+                        base = (y0 + y) * pw + x0
+                        plane[base : base + 8] = [val] * 8
+                    continue
                 # separable IDCT: rows then columns of the 8x8 block
                 tmp = [[0.0] * 8 for _ in range(8)]
                 for u in range(8):
                     row = coeff[u * 8 : u * 8 + 8]
                     for x in range(8):
                         tmp[u][x] = sum(row[v] * _COS[v][x] for v in range(8))
-                plane = planes[ci]
-                pw = pws[ci]
-                x0 = (mx * ch + bx2) * 8
-                y0 = (my * cv + by2) * 8
                 for y in range(8):
                     base = (y0 + y) * pw + x0
                     for x in range(8):
@@ -715,10 +732,6 @@ def _decode_scan(
                         plane[base + x] = (
                             0 if val < 0 else (255 if val > 255 else val)
                         )
-
-    def sample(ci: int, x: int, y: int) -> int:
-        ch, cv = samps[ci]
-        return planes[ci][(y * cv // vmax) * pws[ci] + (x * ch // hmax)]
 
     if n_comp == 1:
         return (
@@ -732,16 +745,27 @@ def _decode_scan(
             ],
         )
     out = [0] * (width * height * 3)
+    (h0, v0), (h1, v1), (h2, v2) = samps
+    p0, p1, p2 = planes
+    pw0, pw1, pw2 = pws
     j = 0
     for y in range(height):
+        # hoist the per-row chroma/luma row bases; the inner loop is pure
+        # index arithmetic (a per-pixel closure call tripled the decode
+        # cost on subsampled fixtures — measured in bench_full round 9)
+        r0 = (y * v0 // vmax) * pw0
+        r1 = (y * v1 // vmax) * pw1
+        r2 = (y * v2 // vmax) * pw2
         for x in range(width):
             r, g, bl = ycbcr_to_rgb(
-                sample(0, x, y), sample(1, x, y), sample(2, x, y)
+                p0[r0 + x * h0 // hmax],
+                p1[r1 + x * h1 // hmax],
+                p2[r2 + x * h2 // hmax],
             )
-            out[3 * j] = r
-            out[3 * j + 1] = g
-            out[3 * j + 2] = bl
-            j += 1
+            out[j] = r
+            out[j + 1] = g
+            out[j + 2] = bl
+            j += 3
     return width, height, 3, out
 
 

@@ -5276,7 +5276,10 @@ def k91_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     same float64 expression shape as k90's.
     Scale posture matches k87/k90: Arrow-batched per-row codec work in
     jpeg_pixel_stats' mapInPandas, payloads never on the driver, no
-    extra shuffle."""
+    extra shuffle (parallelism follows the id partitioning; a repartition
+    was tried and REJECTED — on 240 tiny rows the worker round-trips cost
+    more than the decode, which rides the decoder's flat-block fast path
+    here)."""
     from pyspark.sql.types import BinaryType
 
     from marasa_spark.ops.jpeg import jpeg_pixel_stats, synthesize_jpeg_color_420
