@@ -11,12 +11,16 @@ Two layers:
 * **Pixel/sample decoding**: PNG is decoded FOR REAL, pure stdlib
   (:func:`decode_png_pixels`: the full RFC 2083 matrix — all five color
   types at every legal bit depth 1/2/4/8/16, sequential or Adam7), and
-  so is WAV integer PCM (:func:`decode_wav_samples`: RIFF chunk walk +
-  8/16-bit sample unpack — uncompressed, so no codec lib needed). What
-  genuinely needs external codec libs (JPEG entropy decode, compressed
-  or float audio) stays a clearly-marked ``NotImplementedError`` slot
-  (``real_codec=True``), with deterministic fake features for unknown
-  payloads so batch shape and schema stay exercised.
+  so is WAV audio (:func:`decode_wav_samples`: RIFF chunk walk +
+  8/16-bit integer PCM unpack, plus G.711 mu-law/A-law expansion via the
+  CCITT integer arithmetic — round 9), and the ISO-BMFF (MP4) container
+  box tree (:func:`parse_mp4_boxes`: video METADATA — brand, movie
+  timing, track layout, sample counts — without touching codec payload).
+  What genuinely needs external codec libs (progressive/arithmetic JPEG,
+  MP3/AAC/FLAC and IEEE-float audio, mdat frame decode) stays a
+  clearly-marked ``NotImplementedError`` slot (``real_codec=True``),
+  with deterministic fake features for unknown payloads so batch shape
+  and schema stay exercised.
 
 Spark-side shape in both layers:
 
@@ -775,19 +779,86 @@ def synthesize_wav_pcm(
     )
 
 
+def g711_ulaw_to_linear(code: int) -> int:
+    """ITU-T G.711 mu-law expansion (the CCITT reference arithmetic —
+    matches the standard decode table / audioop.ulaw2lin exactly): one
+    companded byte -> 16-bit linear sample in [-32124, 32124]."""
+    u = ~code & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def g711_alaw_to_linear(code: int) -> int:
+    """ITU-T G.711 A-law expansion (CCITT reference arithmetic — matches
+    audioop.alaw2lin): one companded byte -> 16-bit linear sample in
+    [-32256, 32256]."""
+    a = code ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def synthesize_wav_g711(
+    codes: "list[int]", channels: int, sample_rate: int = 8000, law: str = "ulaw"
+) -> bytes:
+    """A valid RIFF/WAVE container carrying G.711-companded audio:
+    ``codes`` is the flat interleaved companded byte sequence (one byte per
+    sample), written under WAVE format tag 7 (mu-law) or 6 (A-law) with
+    the 8-bit sample width those formats mandate. Encoder counterpart of
+    the G.711 branch of :func:`decode_wav_samples` — fixtures carry the
+    companded bytes directly, the decoder expands them."""
+    if law not in ("ulaw", "alaw"):
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    if len(codes) % channels:
+        raise ValueError("sample count must be a multiple of channels")
+    data = bytes(c & 0xFF for c in codes)
+    block_align = channels  # 1 byte per companded sample
+    fmt = struct.pack(
+        "<HHIIHH",
+        7 if law == "ulaw" else 6,
+        channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        8,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def decode_wav_samples(b: bytes) -> tuple[int, int, int, "list[int]"]:
-    """Pure-stdlib reference WAV/PCM decoder: walks the RIFF chunk list,
-    reads the ``fmt `` descriptor, and unpacks the ``data`` payload into
+    """Pure-stdlib reference WAV decoder: walks the RIFF chunk list, reads
+    the ``fmt `` descriptor, and unpacks the ``data`` payload into
     per-sample integers — signed little-endian at 16 bits, the raw unsigned
     0..255 stored domain at 8 bits (WAV stores 8-bit PCM unsigned; values
-    are returned as stored, not recentered). Returns
+    are returned as stored, not recentered). G.711 companded audio
+    (format 6 A-law / format 7 mu-law, round 9) EXPANDS to 16-bit linear
+    via the CCITT integer arithmetic — logarithmic telephony audio needs
+    no external library either. Returns
     ``(channels, sample_rate, bits, samples)`` with samples interleaved
-    frame-major. WAV PCM is uncompressed, so unlike JPEG entropy decode this
-    codec needs no external library; compressed audio (MP3/AAC/FLAC and
-    non-PCM WAV ``audio_format != 1``) stays the NotImplementedError slot."""
+    frame-major (bits is the STORED width: 8 for G.711 codes, samples
+    already linear-expanded). Compressed audio (MP3/AAC/FLAC) and IEEE
+    float WAV stay the NotImplementedError slot."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     channels = sample_rate = bits = None
+    audio_format = 1
     data = None
     i = 12
     while i + 8 <= len(b):
@@ -798,18 +869,26 @@ def decode_wav_samples(b: bytes) -> tuple[int, int, int, "list[int]"]:
                 raise ValueError("WAV fmt chunk truncated")
             audio_format, channels, sample_rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
-            if audio_format != 1 or bits not in (8, 16):
+            if not (
+                (audio_format == 1 and bits in (8, 16))
+                or (audio_format in (6, 7) and bits == 8)
+            ):
                 raise NotImplementedError(
                     "reference decoder handles integer PCM (format 1, "
-                    "8/16-bit); compressed/float audio is the external-codec "
-                    "slot"
+                    "8/16-bit) and G.711 A-law/mu-law (formats 6/7); "
+                    "compressed (MP3/AAC/FLAC) and IEEE-float audio are "
+                    "the external-codec slot"
                 )
         elif tag == b"data":
             data = body
         i += 8 + size + (size % 2)  # chunks are word-aligned
     if channels is None or data is None:
         raise ValueError("WAV without fmt/data chunks")
-    if bits == 8:
+    if audio_format == 7:
+        samples = [g711_ulaw_to_linear(c) for c in data]
+    elif audio_format == 6:
+        samples = [g711_alaw_to_linear(c) for c in data]
+    elif bits == 8:
         samples = list(data)
     else:
         if len(data) % 2:
@@ -1069,3 +1148,135 @@ def decode_media(df: DataFrame, real_codec: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(decode, DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# ISO-BMFF (MP4) container walk — video METADATA without frame decode
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def synthesize_mp4(
+    brand: bytes,
+    timescale: int,
+    duration: int,
+    tracks: "list[tuple[bytes, int, int, int]]",
+) -> bytes:
+    """A minimal valid ISO-BMFF container: ftyp + moov(mvhd + one trak per
+    entry). Each track is (handler_type[4], track_id, media_timescale,
+    n_samples) and carries tkhd + mdia(mdhd + hdlr + minf(stbl(stsz))) —
+    the box skeleton every real MP4 shares. No mdat/codec payload: the
+    fixture exists to drive the container WALK; sample DATA decode is the
+    declared external slot. Encoder counterpart of :func:`mp4_box_stats`."""
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0, flags 0
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + b"\x00" * 80,  # rate/volume/matrix/predefines/next_track_id
+    )
+    traks = b""
+    for handler, track_id, media_ts, n_samples in tracks:
+        tkhd = box(
+            b"tkhd",
+            struct.pack(">B3x", 0)
+            + struct.pack(">IIII", 0, 0, track_id, 0)
+            + b"\x00" * 64,
+        )
+        mdhd = box(
+            b"mdhd",
+            struct.pack(">B3x", 0)
+            + struct.pack(">IIII", 0, 0, media_ts, duration)
+            + b"\x00" * 4,
+        )
+        hdlr = box(
+            b"hdlr", struct.pack(">B3x", 0) + b"\x00" * 4 + handler + b"\x00" * 13
+        )
+        # stsz with sample_size=0 and per-sample entries (all zero-length —
+        # the COUNT is the metadata; the bytes live in mdat, absent here)
+        stsz = box(
+            b"stsz",
+            struct.pack(">B3x", 0)
+            + struct.pack(">II", 0, n_samples)
+            + b"\x00" * (4 * n_samples),
+        )
+        stbl = box(b"stbl", stsz)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        traks += box(b"trak", tkhd + mdia)
+    return ftyp + box(b"moov", mvhd + traks)
+
+
+def parse_mp4_boxes(b: bytes) -> dict:
+    """Pure-stdlib ISO-BMFF box walk: iterates [size][type][payload] boxes
+    (64-bit largesize supported), recursing into the standard container
+    boxes, and collects the movie-level metadata a 100 TB media pipeline
+    filters on BEFORE paying for any frame decode — brand, movie
+    timescale/duration, and per-track (handler, track_id, media timescale,
+    sample count from stsz/stz2's entry count). Codec payload (mdat) is
+    never touched; actual frame decode stays the external-codec slot.
+    Raises ValueError on malformed/truncated box structure."""
+    if len(b) < 8:
+        raise ValueError("not an ISO-BMFF payload (too short)")
+
+    out: dict = {"brand": None, "timescale": None, "duration": None, "tracks": []}
+
+    def walk(data: bytes, lo: int, hi: int, depth: int = 0) -> None:
+        i = lo
+        while i < hi:
+            if i + 8 > hi:
+                raise ValueError("ISO-BMFF box header truncated")
+            size = struct.unpack(">I", data[i : i + 4])[0]
+            typ = data[i + 4 : i + 8]
+            body_at = i + 8
+            if size == 1:
+                if i + 16 > hi:
+                    raise ValueError("ISO-BMFF largesize truncated")
+                size = struct.unpack(">Q", data[i + 8 : i + 16])[0]
+                body_at = i + 16
+            if size < 8 or i + size > hi:
+                raise ValueError("ISO-BMFF box size out of bounds")
+            body = data[body_at : i + size]
+            if typ == b"ftyp":
+                out["brand"] = body[:4].decode("latin-1")
+            elif typ == b"mvhd":
+                version = body[0]
+                if version == 0:
+                    ts, dur = struct.unpack(">II", body[12:20])
+                else:  # version 1: 64-bit times
+                    ts = struct.unpack(">I", body[20:24])[0]
+                    dur = struct.unpack(">Q", body[24:32])[0]
+                out["timescale"], out["duration"] = ts, dur
+            elif typ == b"trak":
+                out["tracks"].append(
+                    {"handler": None, "track_id": None, "media_timescale": None,
+                     "n_samples": 0}
+                )
+                walk(data, body_at, i + size, depth + 1)
+            elif typ == b"tkhd" and out["tracks"]:
+                out["tracks"][-1]["track_id"] = struct.unpack(
+                    ">I", body[12:16]
+                )[0]
+            elif typ == b"mdhd" and out["tracks"]:
+                out["tracks"][-1]["media_timescale"] = struct.unpack(
+                    ">I", body[12:16]
+                )[0]
+            elif typ == b"hdlr" and out["tracks"]:
+                out["tracks"][-1]["handler"] = body[8:12].decode("latin-1")
+            elif typ in (b"stsz", b"stz2") and out["tracks"]:
+                out["tracks"][-1]["n_samples"] = struct.unpack(
+                    ">I", body[8:12]
+                )[0]
+            elif typ in _MP4_CONTAINERS:
+                walk(data, body_at, i + size, depth + 1)
+            i += size
+
+    walk(b, 0, len(b))
+    if out["brand"] is None or out["timescale"] is None:
+        raise ValueError("ISO-BMFF without ftyp/mvhd")
+    return out

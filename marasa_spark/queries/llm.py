@@ -5307,3 +5307,268 @@ def k91_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = d.select("doc_id", synth("doc_id").alias("payload"))
     return jpeg_pixel_stats(media)
+
+
+# ---------------------------------------------------------------------------
+# k92 — G.711 mu-law/A-law audio decode: logarithmic telephony companding
+# expands with pure CCITT integer arithmetic (no codec library), so the
+# audio external-codec slot narrows to genuinely-compressed (MP3/AAC/FLAC)
+# and IEEE-float formats. The oracle re-derives the expansion per byte in
+# SQL (power-of-two CASE ladders instead of shifts; XOR 0x55 spelled as
+# arithmetic bit flips), so decoded linear samples hash-match end to end.
+# ---------------------------------------------------------------------------
+
+_K92_T_U = """
+CASE seg_u WHEN 0 THEN m_u WHEN 1 THEN m_u*2 WHEN 2 THEN m_u*4
+           WHEN 3 THEN m_u*8 WHEN 4 THEN m_u*16 WHEN 5 THEN m_u*32
+           WHEN 6 THEN m_u*64 ELSE m_u*128 END
+"""
+
+_K92_T_A = """
+CASE seg_a WHEN 0 THEN m_a*16 + 8 WHEN 1 THEN m_a*16 + 264
+           ELSE (m_a*16 + 264) * (CASE seg_a WHEN 2 THEN 2 WHEN 3 THEN 4
+                 WHEN 4 THEN 8 WHEN 5 THEN 16 WHEN 6 THEN 32 ELSE 64 END)
+END
+"""
+
+K92_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 2 AS ch, 60 + doc_id % 83 AS frames,
+         doc_id % 2 AS is_alaw
+  FROM documents WHERE doc_id < 400
+), codes AS (
+  SELECT doc_id, ch, frames, is_alaw,
+         (doc_id*31 + f*7 + c*3) % 256 AS b
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, frames)) AS f) t1,
+       LATERAL (SELECT unnest(range(0, ch)) AS c) t2
+), bits AS (
+  SELECT *,
+         (255 - b) % 16 * 8 + 132 AS m_u,
+         ((255 - b) // 16) % 8 AS seg_u,
+         255 - b AS u,
+         b + (1 - 2*((b // 1) % 2))*1 + (1 - 2*((b // 4) % 2))*4
+           + (1 - 2*((b // 16) % 2))*16 + (1 - 2*((b // 64) % 2))*64 AS a
+  FROM codes
+), seg2 AS (
+  SELECT *, a % 16 AS m_a, (a // 16) % 8 AS seg_a FROM bits
+), expanded AS (
+  SELECT doc_id, ch, frames, is_alaw,
+    CASE WHEN is_alaw = 0
+         THEN CASE WHEN u >= 128 THEN 132 - ({_K92_T_U})
+                   ELSE ({_K92_T_U}) - 132 END
+         ELSE CASE WHEN a >= 128 THEN ({_K92_T_A})
+                   ELSE -({_K92_T_A}) END
+    END AS v
+  FROM seg2
+)
+SELECT doc_id, CAST(ch AS INT) AS channels,
+       CAST(CASE WHEN is_alaw = 1 THEN 6 ELSE 7 END AS INT) AS fmt,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(v) AS BIGINT) AS sample_sum,
+       CAST(min(v) AS INT) AS sample_min, CAST(max(v) AS INT) AS sample_max,
+       CAST((frames * 1000000) // 8000 AS BIGINT) AS duration_us
+FROM expanded GROUP BY doc_id, ch, frames, is_alaw
+"""
+
+
+@register("k92_wav_g711_stats", oracle=K92_ORACLE, group="K")
+def k92_wav_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 companded-audio decode end-to-end — the telephony half of the
+    audio slot brought in-engine (k85 covers linear PCM): each doc
+    synthesizes a RIFF/WAVE container under format tag 7 (mu-law, even
+    ids) or 6 (A-law, odd ids) whose companded bytes follow a closed form
+    in (doc_id, frame, channel); the reference decoder expands them to
+    16-bit linear with the CCITT integer arithmetic (verified byte-for-
+    byte against audioop on all 256 codes in tests), and the per-clip
+    stats hash-match DuckDB re-deriving the expansion formula directly —
+    including the XOR-0x55 A-law toggle spelled as arithmetic bit flips.
+    Scale posture matches k85: Arrow-batched per-row codec work, payloads
+    never on the driver, no extra shuffle."""
+    from pyspark.sql.types import BinaryType, IntegerType, LongType, StructField, StructType
+
+    from marasa_spark.ops.multimodal import decode_wav_samples, synthesize_wav_g711
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+
+    @F.pandas_udf(BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in doc_ids:
+            i = int(doc_id)
+            ch = 1 + i % 2
+            frames = 60 + i % 83
+            codes = [
+                (i * 31 + f * 7 + c * 3) % 256
+                for f in range(frames)
+                for c in range(ch)
+            ]
+            out.append(
+                synthesize_wav_g711(codes, ch, 8000, "alaw" if i % 2 else "ulaw")
+            )
+        return pd.Series(out)
+
+    media = d.select("doc_id", synth("doc_id").alias("payload"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("channels", IntegerType()),
+            StructField("fmt", IntegerType()),
+            StructField("n_samples", LongType()),
+            StructField("sample_sum", LongType()),
+            StructField("sample_min", IntegerType()),
+            StructField("sample_max", IntegerType()),
+            StructField("duration_us", LongType()),
+        ]
+    )
+
+    def stats(batches):
+        import struct as _struct
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(payload)
+                ch, rate, bits, samples = decode_wav_samples(blob)
+                # format tag from the container (fmt chunk starts at 20 in
+                # these fixtures: RIFF(12) + 'fmt '(4) + size(4))
+                fmt_tag = _struct.unpack("<H", blob[20:22])[0]
+                frames = len(samples) // ch
+                rows.append(
+                    (
+                        int(doc_id),
+                        ch,
+                        fmt_tag,
+                        len(samples),
+                        sum(samples),
+                        min(samples),
+                        max(samples),
+                        frames * 1_000_000 // rate,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "channels", "fmt", "n_samples",
+                    "sample_sum", "sample_min", "sample_max", "duration_us",
+                ],
+            )
+
+    return media.mapInPandas(stats, schema)
+
+
+# ---------------------------------------------------------------------------
+# k93 — ISO-BMFF (MP4) container walk: the video-metadata half of the
+# multimodal slot brought in-engine. A 100 TB media pipeline filters on
+# duration/track layout/sample counts BEFORE paying for any frame decode;
+# the box skeleton (ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/stbl/stsz) is
+# pure struct arithmetic — only codec payload decode (H.26x/AAC in mdat)
+# genuinely needs external libraries and stays the declared slot.
+# ---------------------------------------------------------------------------
+
+K93_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+         1000 * (1 + doc_id % 3) AS timescale,
+         900 * (doc_id % 50 + 10) AS duration,
+         1 + doc_id % 3 AS n_tracks
+  FROM documents WHERE doc_id < 300
+), tracks AS (
+  SELECT doc_id, brand, timescale, duration, n_tracks, t,
+         CASE WHEN t = 0 THEN 1 ELSE 0 END AS is_video,
+         100 + (doc_id*7 + t*13) % 200 AS n_samples
+  FROM dims, LATERAL (SELECT unnest(range(0, n_tracks)) AS t) tt
+)
+SELECT doc_id, brand,
+       CAST((duration * 1000) // timescale AS BIGINT) AS duration_ms,
+       CAST(n_tracks AS INT) AS n_tracks,
+       CAST(sum(is_video) AS INT) AS n_video,
+       CAST(count(*) - sum(is_video) AS INT) AS n_audio,
+       CAST(sum(n_samples) AS BIGINT) AS total_samples
+FROM tracks GROUP BY doc_id, brand, duration, timescale, n_tracks
+"""
+
+
+@register("k93_mp4_box_stats", oracle=K93_ORACLE, group="K")
+def k93_mp4_box_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF container metadata extraction end-to-end: each doc
+    synthesizes a minimal valid box tree (ftyp + moov with mvhd and 1-3
+    trak subtrees, video first then audio, per-track stsz sample counts
+    following a closed form in (doc_id, track)); the payload travels as a
+    binary column; the reference walker (ops/multimodal.parse_mp4_boxes —
+    size/type iteration with 64-bit largesize support, recursion into the
+    standard containers) recovers brand, movie duration, track layout and
+    sample counts inside Arrow-batched mapInPandas, and the per-file
+    summary hash-matches DuckDB evaluating the closed form. duration_ms
+    is exact integer arithmetic (duration * 1000 // timescale). Frame
+    DECODE (mdat codec payload) is the declared external slot — this op
+    is the filter a media pipeline runs before paying for it.
+    Scale posture matches k41/k85: per-row header work, payloads never on
+    the driver, no extra shuffle."""
+    from pyspark.sql.types import BinaryType, IntegerType, LongType, StringType, StructField, StructType
+
+    from marasa_spark.ops.multimodal import parse_mp4_boxes, synthesize_mp4
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+    @F.pandas_udf(BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in doc_ids:
+            i = int(doc_id)
+            brand = b"isom" if i % 2 == 0 else b"mp42"
+            timescale = 1000 * (1 + i % 3)
+            duration = 900 * (i % 50 + 10)
+            n_tracks = 1 + i % 3
+            tracks = [
+                (
+                    b"vide" if t == 0 else b"soun",
+                    t + 1,
+                    30000 if t == 0 else 48000,
+                    100 + (i * 7 + t * 13) % 200,
+                )
+                for t in range(n_tracks)
+            ]
+            out.append(synthesize_mp4(brand, timescale, duration, tracks))
+        return pd.Series(out)
+
+    media = d.select("doc_id", synth("doc_id").alias("payload"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("brand", StringType()),
+            StructField("duration_ms", LongType()),
+            StructField("n_tracks", IntegerType()),
+            StructField("n_video", IntegerType()),
+            StructField("n_audio", IntegerType()),
+            StructField("total_samples", LongType()),
+        ]
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = parse_mp4_boxes(bytes(payload))
+                vids = sum(1 for t in m["tracks"] if t["handler"] == "vide")
+                rows.append(
+                    (
+                        int(doc_id),
+                        m["brand"],
+                        m["duration"] * 1000 // m["timescale"],
+                        len(m["tracks"]),
+                        vids,
+                        len(m["tracks"]) - vids,
+                        sum(t["n_samples"] for t in m["tracks"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "brand", "duration_ms", "n_tracks",
+                    "n_video", "n_audio", "total_samples",
+                ],
+            )
+
+    return media.mapInPandas(stats, schema)

@@ -753,3 +753,147 @@ def test_jpeg_codec_rejects_non_420_subsampling():
     patched = blob[:samp_off] + bytes([0x21]) + blob[samp_off + 1 :]
     with _pytest.raises(NotImplementedError, match="4:2:2|external-codec"):
         decode_jpeg(patched)
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law expansion: exhaustive equality with the independent
+# CPython audioop implementation, container round-trip, slot boundaries
+# ---------------------------------------------------------------------------
+
+def test_g711_expansion_matches_audioop_on_all_codes():
+    """Both CCITT expansions agree with audioop (an independent C
+    implementation of the same standard tables) on every one of the 256
+    companded byte values — the correctness core under k92."""
+    import struct
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    from marasa_spark.ops.multimodal import (
+        g711_alaw_to_linear,
+        g711_ulaw_to_linear,
+    )
+
+    for b in range(256):
+        assert (
+            g711_ulaw_to_linear(b)
+            == struct.unpack("<h", audioop.ulaw2lin(bytes([b]), 2))[0]
+        )
+        assert (
+            g711_alaw_to_linear(b)
+            == struct.unpack("<h", audioop.alaw2lin(bytes([b]), 2))[0]
+        )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 60),
+    ch=st.integers(1, 2),
+    law=st.sampled_from(["ulaw", "alaw"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_g711_container_roundtrip(n, ch, law, seed):
+    """synthesize_wav_g711 -> decode_wav_samples expands exactly the
+    companded byte sequence, frame-major, for both laws."""
+    from marasa_spark.ops.multimodal import (
+        decode_wav_samples,
+        g711_alaw_to_linear,
+        g711_ulaw_to_linear,
+        synthesize_wav_g711,
+    )
+
+    codes = [(seed + 17 * i) % 256 for i in range(n * ch)]
+    got_ch, rate, bits, samples = decode_wav_samples(
+        synthesize_wav_g711(codes, ch, 8000, law)
+    )
+    fn = g711_ulaw_to_linear if law == "ulaw" else g711_alaw_to_linear
+    assert (got_ch, rate, bits) == (ch, 8000, 8)
+    assert samples == [fn(c) for c in codes]
+
+
+def test_wav_decoder_slot_boundaries_after_g711():
+    """IEEE-float (format 3) and 16-bit-G.711 stay NotImplementedError;
+    the slot message now names only genuinely-external formats."""
+    import struct
+
+    import pytest as _pytest
+
+    from marasa_spark.ops.multimodal import decode_wav_samples, synthesize_wav_g711
+
+    good = synthesize_wav_g711([1, 2, 3, 4], 2, 8000, "ulaw")
+    ieee_float = good[:20] + struct.pack("<H", 3) + good[22:]
+    with _pytest.raises(NotImplementedError):
+        decode_wav_samples(ieee_float)
+    # G.711 with a nonsensical 16-bit sample width: rejected, not misread
+    wide = good[:34] + struct.pack("<H", 16) + good[36:]
+    with _pytest.raises(NotImplementedError):
+        decode_wav_samples(wide)
+
+
+# ---------------------------------------------------------------------------
+# ISO-BMFF (MP4) container walk: round-trip, largesize, malformed payloads
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=25, deadline=None)
+@given(
+    ts=st.integers(1, 100000),
+    dur=st.integers(0, 10**7),
+    n_tracks=st.integers(0, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_mp4_box_walk_roundtrip(ts, dur, n_tracks, seed):
+    """synthesize_mp4 -> parse_mp4_boxes recovers brand, movie timing and
+    the full track table for arbitrary track layouts (the correctness
+    core under k93)."""
+    from marasa_spark.ops.multimodal import parse_mp4_boxes, synthesize_mp4
+
+    tracks = [
+        (
+            b"vide" if (seed + t) % 2 == 0 else b"soun",
+            t + 1,
+            1 + (seed * 7 + t * 31) % 90000,
+            (seed * 13 + t * 17) % 500,
+        )
+        for t in range(n_tracks)
+    ]
+    m = parse_mp4_boxes(synthesize_mp4(b"mp42", ts, dur, tracks))
+    assert (m["brand"], m["timescale"], m["duration"]) == ("mp42", ts, dur)
+    got = [
+        (t["handler"].encode(), t["track_id"], t["media_timescale"], t["n_samples"])
+        for t in m["tracks"]
+    ]
+    assert got == tracks
+
+
+def test_mp4_box_walk_largesize_and_malformed():
+    """The 64-bit largesize header parses (size==1 escape), and truncated
+    or out-of-bounds box structures raise ValueError rather than
+    mis-walking."""
+    import struct
+
+    import pytest as _pytest
+
+    from marasa_spark.ops.multimodal import parse_mp4_boxes, synthesize_mp4
+
+    blob = synthesize_mp4(b"isom", 1000, 5000, [(b"vide", 1, 30000, 7)])
+    # re-wrap the moov box with a largesize header: size=1 + 64-bit size
+    ftyp_size = struct.unpack(">I", blob[:4])[0]
+    moov = blob[ftyp_size:]
+    large = (
+        struct.pack(">I", 1)
+        + b"moov"
+        + struct.pack(">Q", len(moov) + 8)
+        + moov[8:]
+    )
+    m = parse_mp4_boxes(blob[:ftyp_size] + large)
+    assert m["duration"] == 5000 and m["tracks"][0]["n_samples"] == 7
+    with _pytest.raises(ValueError):
+        parse_mp4_boxes(blob[:10])  # truncated mid-header
+    # box claiming to extend past the payload
+    bad = struct.pack(">I", 10**6) + b"moov" + b"\x00" * 16
+    with _pytest.raises(ValueError):
+        parse_mp4_boxes(blob[:ftyp_size] + bad)
+    with _pytest.raises(ValueError):
+        parse_mp4_boxes(b"\x00" * 24)  # no ftyp/mvhd anywhere
