@@ -2014,3 +2014,119 @@ def z52_sql_frontend_q78_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(Z52_SQL)
+
+
+_Z53_G_N = "CAST(floor(CAST(s.cents AS DOUBLE) * 1000 / s.prev_cents) AS BIGINT)"
+_Z53_G_T = "CAST(floor(CAST(t.tot_cents AS DOUBLE) * 1000 / t.prev_tot) AS BIGINT)"
+
+Z53_SQL = f"""
+WITH rev AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(year(o.o_orderdate) AS BIGINT) * 4
+           + CAST(floor((month(o.o_orderdate) - 1) / 3) AS BIGINT) AS q,
+         CAST(floor(sum(li.l_extendedprice) * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+                   JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey,
+           CAST(year(o.o_orderdate) AS BIGINT) * 4
+             + CAST(floor((month(o.o_orderdate) - 1) / 3) AS BIGINT)
+), seq AS (
+  SELECT nk, q, cents, lag(cents) OVER (PARTITION BY nk ORDER BY q) AS prev_cents
+  FROM rev
+), tot AS (
+  SELECT q, CAST(sum(cents) AS BIGINT) AS tot_cents,
+         lag(CAST(sum(cents) AS BIGINT)) OVER (ORDER BY q) AS prev_tot
+  FROM rev GROUP BY q
+)
+SELECT s.nk AS nationkey, s.q AS quarter,
+       {_Z53_G_N} AS growth_milli,
+       {_Z53_G_T} AS global_milli
+FROM seq s JOIN tot t ON s.q = t.q
+WHERE s.prev_cents IS NOT NULL AND t.prev_tot IS NOT NULL
+  AND {_Z53_G_N} > {_Z53_G_T}
+"""
+
+
+@register("z53_sql_frontend_q31_shape", oracle=Z53_SQL, group="B")
+def z53_sql_frontend_q31_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q31 shape through the SQL front end: quarter-over-quarter
+    growth per nation, kept where it BEATS the all-nations growth of the
+    same quarter — two lag() windows over the same pre-aggregated series
+    (per-nation and global), joined on the period key. Growth compares as
+    integer MILLI-ratios (floor(cents * 1000 / prev) — double arithmetic
+    is exact for cents < 2^53 / 1000, i.e. well past sf1000, and floor is
+    IEEE-identical on both engines), not as raw cross-multiplication,
+    which overflows BIGINT at data scale (cents x total_cents ~ 1e19 at
+    sf0.01 already — measured round 9). The fact table aggregates to
+    (nation x quarter) size before any window; both window partitions are
+    tiny key-domain relations."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem", "orders", "customer")
+    return spark.sql(Z53_SQL)
+
+
+Z54_SQL = """
+WITH freq AS (
+  SELECT l_partkey AS pk FROM lineitem
+  GROUP BY l_partkey HAVING count(*) >= 35
+)
+SELECT o.o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(li.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem li
+JOIN orders o ON li.l_orderkey = o.o_orderkey
+WHERE li.l_partkey IN (SELECT pk FROM freq)
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("z54_sql_frontend_q23_shape", oracle=Z54_SQL, group="B")
+def z54_sql_frontend_q23_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q23 shape through the SQL front end: a 'frequent items'
+    set derived by a HAVING count threshold over the fact table, consumed
+    as an IN semi-join back into the same fact table before the final
+    rollup — the self-derived-dimension idiom. Both engines lower the IN
+    to a semi join against the key-domain-sized freq set (no fact x fact
+    movement); the quantity sum is BIGINT-cast per the d14 hazard."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem", "orders")
+    return spark.sql(Z54_SQL)
+
+
+Z55_SQL = """
+WITH a AS (
+  SELECT DISTINCT o.o_custkey AS ck
+  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+  WHERE li.l_returnflag = 'A'
+), n AS (
+  SELECT DISTINCT o.o_custkey AS ck
+  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+  WHERE li.l_returnflag = 'N'
+), r AS (
+  SELECT DISTINCT o.o_custkey AS ck
+  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+  WHERE li.l_returnflag = 'R'
+), common AS (
+  SELECT ck FROM a INTERSECT SELECT ck FROM n INTERSECT SELECT ck FROM r
+)
+SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_cust
+FROM common JOIN customer c ON common.ck = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("z55_sql_frontend_q38_shape", oracle=Z55_SQL, group="B")
+def z55_sql_frontend_q38_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q38/Q87 shape through the SQL front end: customers present
+    in ALL THREE channels (returnflag slices standing in for
+    store/web/catalog), via a chained INTERSECT of per-channel DISTINCT
+    key sets, then segmented counts off a dimension join. Both engines
+    run the INTERSECT at key-domain size (the channels DISTINCT before
+    the set operation, so the fact table never enters it) — z45's Q14
+    posture applied to the customer domain with a two-step chain."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem", "orders", "customer")
+    return spark.sql(Z55_SQL)

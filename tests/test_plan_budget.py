@@ -209,6 +209,14 @@ EXCHANGE_BUDGET = {
     "z50_sql_frontend_q18_shape": 4,
     "z51_sql_frontend_q1_shape": 16,
     "z52_sql_frontend_q78_shape": 8,
+    # z53: the fact pre-agg + two window shuffles (nation series + global
+    # series) + the period join, AQE double-print; z54: freq HAVING agg,
+    # its semi join back into the fact scan, the priority rollup; z55:
+    # three channel DISTINCTs + the two INTERSECT key-domain joins + the
+    # segment join/agg (all at or below key-domain size, double-print)
+    "z53_sql_frontend_q31_shape": 19,
+    "z54_sql_frontend_q23_shape": 8,
+    "z55_sql_frontend_q38_shape": 22,
     # e13: AQE double-print of {the (user,bucket) local-row_number shuffle,
     # the totals partial-agg shuffle, the offsets window's user shuffle,
     # the offsets join, the (user, frame_q) median groupBy} — the K-way
