@@ -274,9 +274,14 @@ def main() -> None:
         and o["sec_norm"] > 1.5 * prior_norm[qid]
     }
     # build-time outliers (lineage bugs like an uncached iterative input
-    # re-executing its parent per round) hide from the collect metric
+    # re-executing its parent per round) hide from the collect metric.
+    # The threshold is BOX-NORMALIZED like every other gate in this file
+    # (round 9: an absolute 30 s tripped on a 1.37x-slow box for an op
+    # whose box-neutral build is ~22 s and whose code hadn't changed —
+    # the gate should fire on lineage bugs, not on probe-measured box
+    # speed).
     build_flagged = sorted(
-        qid for qid, o in ops.items() if o.get("build_s", 0.0) > 30.0
+        qid for qid, o in ops.items() if o.get("build_s", 0.0) / ratio > 30.0
     )
     errored = sorted(qid for qid, o in ops.items() if "error" in o)
 
