@@ -136,6 +136,17 @@ def minhash_lsh_pairs(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
             "trailing signature hashes would be silently ignored"
         )
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # The capped-bucket sentinel below is doc + 2^32; with a string id
+        # the addition coerces to double and yields NULL, which would make
+        # the first-shared-band predicate NULL and silently DROP pairs.
+        # Fail fast instead (ADVICE r9): map string ids to a surrogate
+        # long (e.g. xxhash64 + a collision-checked dictionary) upstream.
+        raise ValueError(
+            f"minhash_lsh_pairs requires an integral id column; {id_col} is "
+            f"{id_type}"
+        )
     rows_per_band = num_hashes // bands
     toks_df = df.select(
         F.col(id_col).alias("doc"),
@@ -221,19 +232,58 @@ def minhash_lsh_pairs(
         # sf0.1. The exchange carries only the unique thin pairs.
         .repartition(nparts, "doc_a", "doc_b")
     )
-    # token payloads join in only now — once per unique candidate pair
+    # token payloads join in only now — once per unique candidate pair.
+    # The verify intersects HASHED token arrays (array<long>), not the
+    # string arrays: ArrayIntersect on a primitive type uses the
+    # specialized long hash set, and the per-pair payload copy is 8 B per
+    # token instead of a full UTF8String — measured 6.7x on the verify
+    # stage at sf0.1 (16.1 s -> 2.4 s cold over 12.0M candidates, output
+    # byte-identical). Union size comes from the STRING-distinct counts
+    # (|A|+|B|-|A∩B|), so the jaccard double is the exact same IEEE
+    # expression as before. Exactness: the intersect count can only differ
+    # from the string intersect if xxhash64 collides between two distinct
+    # tokens of one compared pair; a vocabulary of V distinct tokens has
+    # collision probability ~V^2/2^65 TOTAL (~7e-11 at V=50k — five
+    # orders of magnitude below the 3e-6 banding miss mass this op
+    # already carries), and tests assert countDistinct(token) ==
+    # countDistinct(xxhash64(token)) on the shipped corpora, which makes
+    # the equality exact, not probabilistic, on every oracle-checked run.
+    toks_h = toks_df.select(
+        "doc",
+        F.size("toks").alias("n_toks"),
+        F.transform("toks", lambda t: F.xxhash64(t)).alias("th"),
+    )
     cand = cand.join(
-        toks_df.select(F.col("doc").alias("doc_a"), F.col("toks").alias("toks_a")),
+        toks_h.select(
+            F.col("doc").alias("doc_a"),
+            F.col("th").alias("th_a"),
+            F.col("n_toks").alias("n_a"),
+        ),
         "doc_a",
     ).join(
-        toks_df.select(F.col("doc").alias("doc_b"), F.col("toks").alias("toks_b")),
+        toks_h.select(
+            F.col("doc").alias("doc_b"),
+            F.col("th").alias("th_b"),
+            F.col("n_toks").alias("n_b"),
+        ),
         "doc_b",
     )
-    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-    union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
+    inter = F.size(F.array_intersect("th_a", "th_b")).cast("double")
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
+    jac = inter / union
+    # PUSHDOWN BARRIER: left alone, PushPredicateThroughJoin moves the
+    # threshold predicate INTO the broadcast attach join as a join
+    # condition, where array_intersect is evaluated per joined row on the
+    # join's slow path and then AGAIN in the project — measured 831 CPU-s
+    # for the verify stage vs 72 CPU-s with the predicate kept above the
+    # join (sf0.1, 12.0M candidates). Wrapping the compared value in a
+    # nondeterministic-flagged expression blocks the rewrite;
+    # spark_partition_id() >= 0 is vacuously true and costs one int read,
+    # so the filter's VALUE is exactly `jaccard >= threshold`.
+    gate = F.when(F.spark_partition_id() >= 0, jac).otherwise(F.lit(0.0))
     return (
-        cand.withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= threshold)
+        cand.withColumn("jaccard", jac)
+        .filter(gate >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
 

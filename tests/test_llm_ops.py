@@ -35,6 +35,41 @@ def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
     assert lsh == exact, f"LSH missed {len(exact - lsh)} of {len(exact)} true pairs"
 
 
+def test_minhash_verify_token_hash_is_collision_free(spark, sf_dir):
+    """minhash_lsh_pairs verifies candidates by intersecting xxhash64-hashed
+    token arrays (primitive fast path) instead of the string arrays. The
+    intersect COUNT equals the string-set intersect count iff no two
+    distinct tokens of the corpus share an xxhash64 value — asserted here
+    on the shipped vocabulary, which turns the ~V²/2⁶⁵ collision argument
+    in the docstring into an exact statement for every oracle-checked run."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .agg(
+            F.countDistinct("tok").alias("n_tok"),
+            F.countDistinct(F.xxhash64("tok")).alias("n_hash"),
+        )
+        .collect()[0]
+    )
+    assert vocab["n_tok"] == vocab["n_hash"], (
+        f"xxhash64 collision in token vocabulary: {vocab['n_tok']} tokens -> "
+        f"{vocab['n_hash']} hashes; the hashed-array verify would miscount"
+    )
+
+
+def test_minhash_rejects_non_integral_id(spark):
+    """The capped-bucket sentinel (doc + 2^32) needs an integral id; a
+    string id would coerce to NULL and silently drop pairs (ADVICE r9) —
+    the op must refuse instead."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z")], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        D.minhash_lsh_pairs(df, "doc_id", "text")
+
+
 def test_simhash_invariants(spark):
     df = spark.createDataFrame(
         [
