@@ -148,18 +148,42 @@ def minhash_lsh_pairs(
             f"{id_type}"
         )
     rows_per_band = num_hashes // bands
-    toks_df = df.select(
+    from pyspark.sql import Window as W
+
+    all_toks = df.select(
         F.col(id_col).alias("doc"),
         tokens(F.col(text_col)).alias("toks"),
+    )
+    # EXACT-DUPLICATE COLLAPSE before LSH: Jaccard, the minhash signature,
+    # and therefore every band bucket depend only on the token SET, so
+    # docs with identical sets are interchangeable — run the whole
+    # LSH+verify machinery once per distinct set (representative = min
+    # doc id) and expand rep-level pairs back to doc pairs at the end.
+    # This is the standard production layering (exact dedup feeds
+    # near-dedup): on web-scale corpora 20-50% of documents are exact
+    # dups, and here it removes their ENTIRE quadratic band-bucket mass.
+    # Output equivalence is exact, not probabilistic: members share the
+    # rep's signature, buckets, and kept flags, a cross-group doc pair is
+    # emitted iff its rep pair is (same first-shared-band logic on
+    # identical kb arrays), and a same-group pair's jaccard is n/n = 1.0,
+    # the identical IEEE double the verify expression produces. The
+    # bucket cap counts DOCS (sum of group sizes), exactly as uncollapsed.
+    grp_w = W.partitionBy("tset")
+    keyed = (
+        all_toks.withColumn("tset", F.array_sort("toks"))
+        .withColumn("gid", F.min("doc").over(grp_w))
+        .withColumn("gn", F.count(F.lit(1)).over(grp_w))
+    )
+    mapping = keyed.select("doc", "gid")
+    toks_df = keyed.filter(F.col("doc") == F.col("gid")).select(
+        F.col("gid").alias("doc"), "toks", "gn"
     )
     sig = toks_df.withColumn("sig", minhash_signature(F.col("toks"), num_hashes))
     buckets = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
     )
-    banded = sig.select("doc", F.posexplode(buckets).alias("band", "bucket"))
-    from pyspark.sql import Window as W
-
+    banded = sig.select("doc", "gn", F.posexplode(buckets).alias("band", "bucket"))
     # EXPLICIT repartition on (band, bucket), not ENSURE_REQUIREMENTS: the
     # banded table is byte-tiny (~20 B/row), so AQE coalesces an implicit
     # exchange to ONE partition — and every downstream map-side operator
@@ -172,8 +196,10 @@ def minhash_lsh_pairs(
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     banded = banded.repartition(nparts, "band", "bucket")
     bucket_w = W.partitionBy("band", "bucket")
+    # Cap on the DOC count (sum of collapsed group sizes), byte-identical
+    # to the uncollapsed per-doc count(*).
     banded = banded.withColumn(
-        "kept", F.count(F.lit(1)).over(bucket_w) <= max_bucket_size
+        "kept", F.sum("gn").over(bucket_w) <= max_bucket_size
     )
     # Each membership carries the doc's full per-band bucket array so the
     # self-join emits a pair exactly ONCE — at the FIRST band where both
@@ -199,9 +225,14 @@ def minhash_lsh_pairs(
             ),
         ).alias("kb")
     )
-    # kb is one tiny row per doc — broadcast so the attach preserves the
-    # repartition and the self-join reuses that exchange (an SMJ on doc
-    # here re-shuffles and loses the spread)
+    # kb is one short row per distinct set — broadcast so the attach
+    # preserves the repartition and the self-join reuses that exchange
+    # (an SMJ on doc here re-shuffles and loses the spread). CEILING
+    # (ADVICE r9): kb is ~(8*bands + 8) B per distinct set, so this
+    # broadcast stops fitting around ~5e9 sets at 16 bands (~8 GB); past
+    # that, drop F.broadcast and let this attach run as a co-partitioned
+    # shuffled join on doc — the membership side is already spread by the
+    # explicit repartition, and nothing else in the shape changes.
     members = (
         banded.filter(F.col("kept"))
         .select("doc", "band", "bucket")
@@ -268,24 +299,79 @@ def minhash_lsh_pairs(
         ),
         "doc_b",
     )
-    inter = F.size(F.array_intersect("th_a", "th_b")).cast("double")
-    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
-    jac = inter / union
-    # PUSHDOWN BARRIER: left alone, PushPredicateThroughJoin moves the
-    # threshold predicate INTO the broadcast attach join as a join
-    # condition, where array_intersect is evaluated per joined row on the
-    # join's slow path and then AGAIN in the project — measured 831 CPU-s
-    # for the verify stage vs 72 CPU-s with the predicate kept above the
-    # join (sf0.1, 12.0M candidates). Wrapping the compared value in a
-    # nondeterministic-flagged expression blocks the rewrite;
-    # spark_partition_id() >= 0 is vacuously true and costs one int read,
-    # so the filter's VALUE is exactly `jaccard >= threshold`.
-    gate = F.when(F.spark_partition_id() >= 0, jac).otherwise(F.lit(0.0))
-    return (
-        cand.withColumn("jaccard", jac)
-        .filter(gate >= threshold)
+    # `inter` is projected as its OWN column, wrapped in a
+    # nondeterministic-flagged no-op (spark_partition_id() >= 0 is
+    # vacuously true): predicates cannot be pushed through a
+    # nondeterministic projection, so the threshold filter below stays
+    # ABOVE this project and compares plain columns, and array_intersect
+    # is evaluated exactly ONCE per candidate pair. Without the pin the
+    # optimizer substitutes the intersect into the filter (and, one
+    # rewrite further, into the attach join's condition), evaluating it
+    # 2-3x per row on the join/filter slow path — measured 831 CPU-s
+    # (join condition) and 1,059 CPU-s (substituted filter) vs ~60 CPU-s
+    # pinned, at sf0.1 over 7.3M candidates.
+    cand = cand.withColumn(
+        "inter",
+        F.when(
+            F.spark_partition_id() >= 0,
+            F.size(F.array_intersect("th_a", "th_b")).cast("double"),
+        ).otherwise(F.lit(-1.0)),
+    )
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - F.col("inter")
+    jac = F.col("inter") / union
+    rep_pairs = (
+        cand.filter(jac >= threshold)
+        .withColumn("jaccard", jac)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # Expand rep-level pairs back to doc pairs. mapping is (doc, gid) —
+    # corpus-sized, so at scale these are plain shuffled joins on gid
+    # (output-sized left side); at test SFs Spark auto-broadcasts it.
+    # A hot gid (one giant duplicate family) expands to output-sized rows,
+    # which is inherent: those pairs ARE the answer.
+    cross = (
+        rep_pairs.join(
+            mapping.select(F.col("gid").alias("doc_a"), F.col("doc").alias("da")),
+            "doc_a",
+        )
+        .join(
+            mapping.select(F.col("gid").alias("doc_b"), F.col("doc").alias("db")),
+            "doc_b",
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    # Same-set pairs: jaccard is exactly 1.0; emitted iff the group has at
+    # least one KEPT band bucket — the uncollapsed pipeline's condition
+    # (all members share the rep's kept flags), preserving the cap's
+    # degenerate-family guard.
+    kept_reps = (
+        banded.groupBy("doc")
+        .agg(F.max("kept").alias("any_kept"))
+        .filter(F.col("any_kept"))
+        .select(F.col("doc").alias("gid"))
+    )
+    if threshold <= 1.0:
+        same = (
+            mapping.join(kept_reps, "gid")
+            .select("gid", F.col("doc").alias("da"))
+            .alias("ma")
+            .join(
+                mapping.select("gid", F.col("doc").alias("db")).alias("mb"),
+                "gid",
+            )
+            .filter(F.col("da") < F.col("db"))
+            .select(
+                F.col("da").alias("doc_a"),
+                F.col("db").alias("doc_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        return cross.unionAll(same)
+    return cross
 
 
 def connected_components(
