@@ -122,7 +122,22 @@ def main() -> None:
         "its per-op stderr lines ('qid  X.XXXXs  (build Y.YYYs)'); only ops "
         "absent from it are re-measured",
     )
+    ap.add_argument(
+        "--allow-dirty",
+        action="store_true",
+        help="sweep a dirty tree anyway (artifact records dirty=true)",
+    )
     args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _gitstate import refuse_if_dirty
+
+    # --only / --merge-from runs are interim diagnostics, not the shipped
+    # artifact (they don't overwrite BENCHFULL.json as the round record);
+    # still record provenance, but only full clean sweeps refuse dirt.
+    git = refuse_if_dirty(
+        REPO, args.allow_dirty or bool(args.only) or bool(args.merge_from)
+    )
 
     merged: dict[str, dict] = {}
     if args.merge_from:
@@ -323,6 +338,8 @@ def main() -> None:
         "sf": sf,
         "runs": args.runs,
         "label": time.strftime("%Y-%m-%d %H:%M"),
+        "sha": git["sha"],
+        "dirty": git["dirty"],
         "protocol": "warm_best_of_N_collect_on_built_plan",
         "calibration": {
             "start": calib,
@@ -357,6 +374,8 @@ def main() -> None:
                 k: out[k]
                 for k in (
                     "sf",
+                    "sha",
+                    "dirty",
                     "n_ops",
                     "total_sec",
                     "total_sec_norm",

@@ -55,13 +55,25 @@ def run_one(sf_dir: str) -> dict:
 
 
 def main() -> None:
-    sfs = sys.argv[1:] or DEFAULT_SFS
+    args = [a for a in sys.argv[1:] if a != "--allow-dirty"]
+    allow_dirty = "--allow-dirty" in sys.argv[1:]
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _gitstate import refuse_if_dirty
+
+    git = refuse_if_dirty(REPO, allow_dirty)
+    sfs = args or DEFAULT_SFS
     results = {}
     for sf in sfs:
         print(f"== sweeping {sf} ==", file=sys.stderr, flush=True)
         results[os.path.basename(sf.rstrip("/"))] = run_one(sf)
     ok = all(r["exit"] == 0 and r["passed"] == r["total"] > 0 for r in results.values())
-    out = {"green": ok, "label": time.strftime("%Y-%m-%d %H:%M"), "sweeps": results}
+    out = {
+        "green": ok,
+        "label": time.strftime("%Y-%m-%d %H:%M"),
+        "sha": git["sha"],
+        "dirty": git["dirty"],
+        "sweeps": results,
+    }
     path = os.path.join(REPO, "PARITY_SWEEP.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
