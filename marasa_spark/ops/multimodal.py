@@ -12,12 +12,13 @@ Two layers:
   (:func:`decode_png_pixels`: the full RFC 2083 matrix — all five color
   types at every legal bit depth 1/2/4/8/16, sequential or Adam7), and
   so is WAV audio (:func:`decode_wav_samples`: RIFF chunk walk +
-  8/16-bit integer PCM unpack, plus G.711 mu-law/A-law expansion via the
-  CCITT integer arithmetic — round 9), and the ISO-BMFF (MP4) container
+  8/16/24-bit integer PCM and 32/64-bit IEEE-float unpack, plus G.711
+  mu-law/A-law expansion via the CCITT integer arithmetic — rounds
+  9-10), and the ISO-BMFF (MP4) container
   box tree (:func:`parse_mp4_boxes`: video METADATA — brand, movie
   timing, track layout, sample counts — without touching codec payload).
   What genuinely needs external codec libs (progressive/arithmetic JPEG,
-  MP3/AAC/FLAC and IEEE-float audio, mdat frame decode) stays a
+  MP3/AAC/FLAC compressed audio, mdat frame decode) stays a
   clearly-marked ``NotImplementedError`` slot (``real_codec=True``),
   with deterministic fake features for unknown payloads so batch shape
   and schema stay exercised.
@@ -745,21 +746,62 @@ def synthesize_wav_pcm(
     """A valid RIFF/WAVE container carrying REAL PCM sample data: ``samples``
     is the flat interleaved sequence (frame-major, channel-minor; length must
     be a multiple of ``channels``) — signed 16-bit little-endian at
-    ``bits=16``, unsigned bytes at ``bits=8`` (the two integer PCM widths the
-    WAV spec stores natively). Encoder counterpart of
-    :func:`decode_wav_samples`."""
-    if bits not in (8, 16):
-        raise ValueError("PCM synthesis supports 8- and 16-bit samples")
+    ``bits=16``, unsigned bytes at ``bits=8``, signed 3-byte little-endian
+    at ``bits=24`` (the integer PCM widths the WAV spec stores natively).
+    Encoder counterpart of :func:`decode_wav_samples`."""
+    if bits not in (8, 16, 24):
+        raise ValueError("PCM synthesis supports 8-, 16- and 24-bit samples")
     if len(samples) % channels:
         raise ValueError("sample count must be a multiple of channels")
     if bits == 8:
         data = bytes(s & 0xFF for s in samples)
+    elif bits == 24:
+        data = b"".join(
+            (s & 0xFFFFFF).to_bytes(3, "little") for s in samples
+        )
     else:
         data = struct.pack(f"<{len(samples)}h", *samples)
     block_align = channels * bits // 8
     fmt = struct.pack(
         "<HHIIHH",
         1,  # audio_format = PCM
+        channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def synthesize_wav_float(
+    samples: "list[float]", channels: int, sample_rate: int = 8000, bits: int = 32
+) -> bytes:
+    """A valid RIFF/WAVE container carrying IEEE-float samples (WAVE format
+    tag 3): ``samples`` is the flat interleaved float sequence, stored as
+    little-endian binary32 (``bits=32``) or binary64 (``bits=64``).
+    Encoder counterpart of the format-3 branch of
+    :func:`decode_wav_samples`."""
+    if bits not in (32, 64):
+        raise ValueError("IEEE-float WAV stores binary32 or binary64")
+    if len(samples) % channels:
+        raise ValueError("sample count must be a multiple of channels")
+    kind = "f" if bits == 32 else "d"
+    data = struct.pack(f"<{len(samples)}{kind}", *samples)
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH",
+        3,  # audio_format = IEEE float
         channels,
         sample_rate,
         sample_rate * block_align,
@@ -853,8 +895,12 @@ def decode_wav_samples(b: bytes) -> tuple[int, int, int, "list[int]"]:
     no external library either. Returns
     ``(channels, sample_rate, bits, samples)`` with samples interleaved
     frame-major (bits is the STORED width: 8 for G.711 codes, samples
-    already linear-expanded). Compressed audio (MP3/AAC/FLAC) and IEEE
-    float WAV stay the NotImplementedError slot."""
+    already linear-expanded). 24-bit PCM unpacks as signed 3-byte
+    little-endian ints; IEEE-float WAV (format 3, round 10) unpacks
+    binary32/binary64 to Python floats — a binary32 value converts to
+    float64 EXACTLY, so downstream arithmetic on dyadic fixtures stays
+    hash-stable. Only compressed audio (MP3/AAC/FLAC) remains the
+    NotImplementedError slot."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     channels = sample_rate = bits = None
@@ -870,14 +916,15 @@ def decode_wav_samples(b: bytes) -> tuple[int, int, int, "list[int]"]:
             audio_format, channels, sample_rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if not (
-                (audio_format == 1 and bits in (8, 16))
+                (audio_format == 1 and bits in (8, 16, 24))
+                or (audio_format == 3 and bits in (32, 64))
                 or (audio_format in (6, 7) and bits == 8)
             ):
                 raise NotImplementedError(
                     "reference decoder handles integer PCM (format 1, "
-                    "8/16-bit) and G.711 A-law/mu-law (formats 6/7); "
-                    "compressed (MP3/AAC/FLAC) and IEEE-float audio are "
-                    "the external-codec slot"
+                    "8/16/24-bit), IEEE float (format 3, 32/64-bit) and "
+                    "G.711 A-law/mu-law (formats 6/7); compressed audio "
+                    "(MP3/AAC/FLAC) is the external-codec slot"
                 )
         elif tag == b"data":
             data = body
@@ -888,8 +935,21 @@ def decode_wav_samples(b: bytes) -> tuple[int, int, int, "list[int]"]:
         samples = [g711_ulaw_to_linear(c) for c in data]
     elif audio_format == 6:
         samples = [g711_alaw_to_linear(c) for c in data]
+    elif audio_format == 3:
+        width = bits // 8
+        if len(data) % width:
+            raise ValueError("IEEE-float data chunk length not sample-aligned")
+        kind = "f" if bits == 32 else "d"
+        samples = list(struct.unpack(f"<{len(data) // width}{kind}", data))
     elif bits == 8:
         samples = list(data)
+    elif bits == 24:
+        if len(data) % 3:
+            raise ValueError("24-bit PCM data chunk length not sample-aligned")
+        samples = [
+            int.from_bytes(data[j : j + 3], "little", signed=True)
+            for j in range(0, len(data), 3)
+        ]
     else:
         if len(data) % 2:
             raise ValueError("16-bit PCM data chunk has odd length")
@@ -1239,6 +1299,10 @@ def parse_mp4_boxes(b: bytes) -> dict:
                     raise ValueError("ISO-BMFF largesize truncated")
                 size = struct.unpack(">Q", data[i + 8 : i + 16])[0]
                 body_at = i + 16
+            elif size == 0:
+                # box extends to the end of the enclosing scope (legal for
+                # the last top-level box) — ADVICE r9
+                size = hi - i
             if size < 8 or i + size > hi:
                 raise ValueError("ISO-BMFF box size out of bounds")
             body = data[body_at : i + size]
@@ -1259,12 +1323,18 @@ def parse_mp4_boxes(b: bytes) -> dict:
                 )
                 walk(data, body_at, i + size, depth + 1)
             elif typ == b"tkhd" and out["tracks"]:
+                # version 1 stores 64-bit create/modify times before the
+                # track id (offset 20), version 0 stores 32-bit (offset
+                # 12) — reading v1 at v0 offsets silently yields a wrong
+                # id (ADVICE r9)
+                at = 20 if body[0] == 1 else 12
                 out["tracks"][-1]["track_id"] = struct.unpack(
-                    ">I", body[12:16]
+                    ">I", body[at : at + 4]
                 )[0]
             elif typ == b"mdhd" and out["tracks"]:
+                at = 20 if body[0] == 1 else 12
                 out["tracks"][-1]["media_timescale"] = struct.unpack(
-                    ">I", body[12:16]
+                    ">I", body[at : at + 4]
                 )[0]
             elif typ == b"hdlr" and out["tracks"]:
                 out["tracks"][-1]["handler"] = body[8:12].decode("latin-1")

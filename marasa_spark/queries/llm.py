@@ -5572,3 +5572,153 @@ def k93_mp4_box_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(stats, schema)
+
+
+# ---------------------------------------------------------------------------
+# k94 — 24-bit PCM + IEEE-float WAV decode: the last stdlib-decodable audio
+# widths (format 1 at 24 bits, format 3 at 32/64 bits), closing the audio
+# external-codec slot down to genuinely-compressed formats (MP3/AAC/FLAC).
+# Hash stability without float hazards: fixture samples are the dyadic
+# rationals v/256 (binary32-exact for |v| <= 32768), every decoded value
+# and every partial sum is exactly representable, and the op emits stats
+# in integer quarter-*256* units (q8 = 256·v) so the oracle is pure
+# integer arithmetic — the k53 micro-unit discipline applied to audio.
+# ---------------------------------------------------------------------------
+
+K94_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         1 + doc_id % 2 AS ch,
+         40 + doc_id % 83 AS frames,
+         CASE doc_id % 3 WHEN 0 THEN 1 ELSE 3 END AS fmt,
+         CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 32 ELSE 64 END AS bits,
+         8000 * (1 + doc_id % 3) AS rate
+  FROM documents WHERE doc_id < 360
+), s AS (
+  SELECT doc_id, ch, frames, fmt, bits, rate,
+         ((doc_id*37 + f*13 + c*5) % 65536) - 32768 AS v
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, frames)) AS f) t1,
+       LATERAL (SELECT unnest(range(0, ch)) AS c) t2
+)
+SELECT doc_id, CAST(ch AS INT) AS channels, CAST(fmt AS INT) AS fmt,
+       CAST(bits AS INT) AS bits,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(CAST(v AS BIGINT) * 256) AS BIGINT) AS sum_q8,
+       CAST(min(v) * 256 AS BIGINT) AS min_q8,
+       CAST(max(v) * 256 AS BIGINT) AS max_q8,
+       CAST((frames * 1000000) // rate AS BIGINT) AS duration_us
+FROM s GROUP BY doc_id, ch, frames, fmt, bits, rate
+"""
+
+
+@register("k94_wav_float24_stats", oracle=K94_ORACLE, group="K")
+def k94_wav_float24_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-bit PCM and IEEE-float WAV decode end-to-end — the round-10
+    narrowing of the audio codec slot (VERDICT r9 #4): both widths are
+    pure ``struct`` unpacking, no codec library. Each doc synthesizes a
+    RIFF/WAVE container as 24-bit integer PCM (ids % 3 == 0, storing
+    256·v), binary32 float (ids % 3 == 1, storing v/256) or binary64
+    float (ids % 3 == 2, storing v/256), with v a closed form in
+    (doc_id, frame, channel) over [-32768, 32767]. v/256 is a dyadic
+    rational with <= 16 significant bits, so the binary32 encode, the
+    float64 widening on decode, and every sequential partial sum are all
+    EXACT — multiplying back by 65536 (or reading the 24-bit int
+    directly) yields the integer 256·v with zero rounding anywhere, and
+    the emitted stats are plain BIGINTs the oracle derives with integer
+    arithmetic only. Scale posture matches k85/k92: Arrow-batched per-row
+    codec work inside mapInPandas, payload bytes never on the driver, no
+    extra shuffle."""
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from marasa_spark.ops.multimodal import (
+        decode_wav_samples,
+        synthesize_wav_float,
+        synthesize_wav_pcm,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 360)
+
+    @F.pandas_udf(BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in doc_ids:
+            i = int(doc_id)
+            ch = 1 + i % 2
+            frames = 40 + i % 83
+            rate = 8000 * (1 + i % 3)
+            vs = [
+                ((i * 37 + f * 13 + c * 5) % 65536) - 32768
+                for f in range(frames)
+                for c in range(ch)
+            ]
+            mode = i % 3
+            if mode == 0:
+                out.append(synthesize_wav_pcm([v * 256 for v in vs], ch, rate, 24))
+            else:
+                out.append(
+                    synthesize_wav_float(
+                        [v / 256.0 for v in vs], ch, rate, 32 if mode == 1 else 64
+                    )
+                )
+        return pd.Series(out)
+
+    media = d.select("doc_id", synth("doc_id").alias("payload"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("channels", IntegerType()),
+            StructField("fmt", IntegerType()),
+            StructField("bits", IntegerType()),
+            StructField("n_samples", LongType()),
+            StructField("sum_q8", LongType()),
+            StructField("min_q8", LongType()),
+            StructField("max_q8", LongType()),
+            StructField("duration_us", LongType()),
+        ]
+    )
+
+    def stats(batches):
+        import struct as _struct
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(payload)
+                ch, rate, bits, samples = decode_wav_samples(blob)
+                fmt_tag = _struct.unpack("<H", blob[20:22])[0]
+                if fmt_tag == 3:
+                    # exact: each s is v/256 with v integral, so s*65536
+                    # is the integer 256*v represented exactly in float64
+                    q8 = [int(s * 65536) for s in samples]
+                else:
+                    q8 = list(samples)  # stored 24-bit value IS 256*v
+                frames = len(samples) // ch
+                rows.append(
+                    (
+                        int(doc_id),
+                        ch,
+                        fmt_tag,
+                        bits,
+                        len(q8),
+                        sum(q8),
+                        min(q8),
+                        max(q8),
+                        frames * 1_000_000 // rate,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "channels", "fmt", "bits", "n_samples",
+                    "sum_q8", "min_q8", "max_q8", "duration_us",
+                ],
+            )
+
+    return media.mapInPandas(stats, schema)

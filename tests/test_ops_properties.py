@@ -321,7 +321,7 @@ def test_png_codec_roundtrip_full_matrix(width, height, seed, color_depth, inter
 @given(
     frames=st.integers(1, 200),
     channels=st.integers(1, 4),
-    bits=st.sampled_from([8, 16]),
+    bits=st.sampled_from([8, 16, 24]),
     rate=st.sampled_from([8000, 16000, 44100]),
     seed=st.integers(0, 2**31 - 1),
 )
@@ -330,18 +330,47 @@ def test_wav_codec_roundtrip_identity(frames, channels, bits, rate, seed):
     core, no Spark in the loop): for ANY frame count, channel count, PCM
     width, and sample content, the RIFF/WAVE encoder and the reference
     decoder are exact inverses — including odd-length 8-bit data chunks
-    (RIFF word alignment) and stereo interleaving."""
+    (RIFF word alignment), 3-byte signed 24-bit packing (round 10), and
+    stereo interleaving."""
     from marasa_spark.ops.multimodal import decode_wav_samples, synthesize_wav_pcm
 
     n = frames * channels
     if bits == 8:
         samples = [(seed + 7 * j) % 256 for j in range(n)]
+    elif bits == 24:
+        samples = [((seed + 7919 * j) % (1 << 24)) - (1 << 23) for j in range(n)]
     else:
         samples = [((seed + 7 * j) % 65536) - 32768 for j in range(n)]
     blob = synthesize_wav_pcm(samples, channels, rate, bits)
     ch, got_rate, got_bits, got = decode_wav_samples(blob)
     assert (ch, got_rate, got_bits) == (channels, rate, bits)
     assert got == samples
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    frames=st.integers(1, 120),
+    channels=st.integers(1, 3),
+    bits=st.sampled_from([32, 64]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_float_roundtrip_exact_on_binary32_values(frames, channels, bits, seed):
+    """IEEE-float WAV (format 3, round 10): the encoder and decoder are
+    exact inverses for any value already representable at the stored
+    width. Fixtures are dyadic rationals v/256 with |v| <= 32768 —
+    binary32-exact — so the binary64 widening on decode reproduces them
+    bit-for-bit at both widths, the exactness k94's integer-unit oracle
+    rests on."""
+    from marasa_spark.ops.multimodal import decode_wav_samples, synthesize_wav_float
+
+    n = frames * channels
+    vs = [((seed + 104729 * j) % 65537) - 32768 for j in range(n)]
+    samples = [v / 256.0 for v in vs]
+    blob = synthesize_wav_float(samples, channels, 8000, bits)
+    ch, rate, got_bits, got = decode_wav_samples(blob)
+    assert (ch, rate, got_bits) == (channels, 8000, bits)
+    assert got == samples
+    assert [int(s * 65536) for s in got] == [256 * v for v in vs]
 
 
 def test_wav_codec_rejects_non_pcm_and_truncation():
@@ -356,10 +385,15 @@ def test_wav_codec_rejects_non_pcm_and_truncation():
 
     good = synthesize_wav_pcm([1, -2, 3, -4], 2, 8000, 16)
     # patch audio_format (first 2 bytes of the fmt body at offset 20) to
-    # 3 = IEEE float — the decoder must refuse, not misread
-    non_pcm = good[:20] + struct.pack("<H", 3) + good[22:]
+    # 2 = MS-ADPCM (compressed) — the decoder must refuse, not misread.
+    # Format 3 IEEE float became a REAL decode path in round 10, but only
+    # at its legal widths: format 3 at bits=16 must still refuse.
+    non_pcm = good[:20] + struct.pack("<H", 2) + good[22:]
     with _pytest.raises(NotImplementedError):
         decode_wav_samples(non_pcm)
+    float16 = good[:20] + struct.pack("<H", 3) + good[22:]
+    with _pytest.raises(NotImplementedError):
+        decode_wav_samples(float16)
     with _pytest.raises(ValueError):
         decode_wav_samples(b"RIFX" + good[4:])
     with _pytest.raises(ValueError):
@@ -767,9 +801,14 @@ def test_g711_expansion_matches_audioop_on_all_codes():
     import struct
     import warnings
 
+    import pytest
+
+    # audioop left the stdlib in Python 3.13 — skip, don't error, on
+    # newer interpreters (ADVICE r9); the 256-code table equality is
+    # still pinned by the closed-form assertions in the k92 oracle.
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", DeprecationWarning)
-        import audioop
+        audioop = pytest.importorskip("audioop")
 
     from marasa_spark.ops.multimodal import (
         g711_alaw_to_linear,
@@ -897,3 +936,54 @@ def test_mp4_box_walk_largesize_and_malformed():
         parse_mp4_boxes(blob[:ftyp_size] + bad)
     with _pytest.raises(ValueError):
         parse_mp4_boxes(b"\x00" * 24)  # no ftyp/mvhd anywhere
+
+
+def test_mp4_box_walk_version1_and_size_to_eof():
+    """Version-1 tkhd/mdhd (64-bit create/modify times) store track_id /
+    media timescale at offset 20, not the version-0 offset 12 — reading
+    them at v0 offsets silently yields wrong values (ADVICE r9); and a
+    size==0 final box legally extends to the end of the payload."""
+    import struct
+
+    from marasa_spark.ops.multimodal import parse_mp4_boxes
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 1)
+        + struct.pack(">QQ", 0, 0)  # 64-bit ctime/mtime
+        + struct.pack(">I", 600)  # timescale
+        + struct.pack(">Q", 7200),  # 64-bit duration
+    )
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">B3x", 1) + struct.pack(">QQ", 0, 0) + struct.pack(">I", 42),
+    )
+    mdhd = box(
+        b"mdhd",
+        struct.pack(">B3x", 1)
+        + struct.pack(">QQ", 0, 0)
+        + struct.pack(">I", 90000)
+        + struct.pack(">Q", 0),
+    )
+    hdlr = box(b"hdlr", struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 12)
+    stsz = box(b"stsz", struct.pack(">III", 0, 0, 11))
+    stbl = box(b"stbl", stsz)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov_payload = mvhd + trak
+    # moov as a size==0 box: extends to end of payload
+    moov_to_eof = struct.pack(">I", 0) + b"moov" + moov_payload
+    m = parse_mp4_boxes(ftyp + moov_to_eof)
+    assert (m["timescale"], m["duration"]) == (600, 7200)
+    t = m["tracks"][0]
+    assert (t["track_id"], t["media_timescale"], t["handler"], t["n_samples"]) == (
+        42,
+        90000,
+        "vide",
+        11,
+    )
