@@ -40,3 +40,79 @@ def test_driver_first_50_ids_are_frozen():
         "CHANGES.md; otherwise rename the new op to sort after "
         "d17_group_concat."
     )
+
+
+# ---------------------------------------------------------------------------
+# Signed-sum rounding lint (round-9 verdict #5 / SCALE.md break-first #9):
+# a rounded double sum whose ROW terms can be negative is an accumulation-
+# order time bomb — cancellation makes the relative error unbounded, and
+# the order jitter WILL eventually straddle the rounding grain (z32's Q9
+# profit split by one cent at sf0.1 only). The k53/z32 discipline: round
+# each row to integer micro-units, sum as BIGINT, divide for display.
+# This lint finds every oracle that rounds a sum over an expression
+# containing a minus and requires it to be on the audited allowlist of
+# provably NONNEGATIVE row shapes. A new profit/net/diff-shaped oracle
+# fails here until it is rewritten to integer units.
+# ---------------------------------------------------------------------------
+
+# Audited: every id below rounds sums whose row terms cannot be negative —
+# revenue * (1 - discount) with 0 <= discount <= 1 (and optional
+# * (1 + tax)), CASE ... ELSE 0 over such terms, squared differences, or
+# greatest(x, 0). Nonnegative sums keep relative FP error ~n*eps, far
+# inside the rounding grain; only MIXED-SIGN sums cancel.
+ROUNDED_SIGNED_SUM_ALLOWLIST = {
+    "c2_join_multiway",
+    "c9_join_range",
+    "d1_agg_hash",
+    "k58_pq_encode",  # sum of squared coordinate differences
+    "l8_cogrouped_map",
+    "m20_partition_backfill",  # CASE over positive o_totalprice multiples
+    "z10_sql_frontend_q5",
+    "z11_sql_frontend_q10",
+    "z16_sql_frontend_q7",
+    "z28_sql_frontend_q19_disjunctive",
+    "z34_sql_frontend_q14",
+    "z49_sql_frontend_q93_shape",  # greatest(qty - returned, 0)
+    "z7_sql_frontend_q3",
+    "z9_sql_frontend_q1",
+}
+
+
+def _balanced_span_end(s: str, open_paren_at: int) -> int:
+    depth = 0
+    for i in range(open_paren_at, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    return len(s)
+
+
+def test_no_unaudited_rounded_signed_double_sums():
+    import re
+
+    from marasa_spark.registry import oracle_sql_map
+
+    flagged = {}
+    for qid, sql in oracle_sql_map().items():
+        s = re.sub(r"\s+", " ", sql.lower())
+        for m in re.finditer(r"floor\s*\(", s):
+            span = s[m.start() : _balanced_span_end(s, m.end() - 1)]
+            for ms in re.finditer(r"sum\s*\(", span):
+                arg = span[ms.end() : _balanced_span_end(span, ms.end() - 1) - 1]
+                if re.search(r"[\w\)\s]\-\s*[\w\(]", arg):
+                    flagged.setdefault(qid, arg[:80])
+    unaudited = sorted(set(flagged) - ROUNDED_SIGNED_SUM_ALLOWLIST)
+    assert not unaudited, (
+        f"oracle(s) {unaudited} round a double sum over a signed expression "
+        f"(first: {flagged[unaudited[0]]!r}). If the row terms can be "
+        "negative, rewrite to the k53/z32 integer-unit recipe (round each "
+        "row to integer micro-units, CAST the sum to BIGINT); if they are "
+        "provably nonnegative, add the id to ROUNDED_SIGNED_SUM_ALLOWLIST "
+        "with a comment stating why."
+    )
+    # the allowlist must not rot: every entry still triggers the pattern
+    stale = sorted(ROUNDED_SIGNED_SUM_ALLOWLIST - set(flagged))
+    assert not stale, f"allowlist entries no longer match any oracle: {stale}"

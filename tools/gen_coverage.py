@@ -83,6 +83,25 @@ either ship with an oracle or add its paragraph here):
   (same float-iteration blocker as k22); recall@10 ≥ 0.7 pinned at
   0.90 measured.
 
+## Oracle hygiene lints
+
+Registry-wide invariants enforced by tests (not convention):
+
+- **No unaudited rounded signed double sums** (round-10; SCALE.md
+  break-first #9): tests/test_driver_contract.py scans every oracle for
+  an IEEE-round (`floor(... * 10^n + 0.5)`) wrapped around a `sum()`
+  whose row expression contains a minus. Mixed-sign sums cancel, making
+  accumulation-order error unbounded relative to the total — the z32 Q9
+  profit bug (one-cent split visible only at sf0.1). Every current match
+  is on an audited allowlist of provably NONNEGATIVE row shapes
+  (revenue × (1−discount), squared differences, greatest(x, 0),
+  CASE…ELSE 0); a new profit/net/diff-shaped oracle fails the lint until
+  rewritten to the k53/z32 integer-micro-unit recipe (round per row,
+  sum as BIGINT, divide for display).
+- **Type-strict oracle casts** (d14/k63 hazard): DuckDB surfaces integer
+  sums as HUGEINT/decimal128; the parity mirror loads
+  driver_sim.type_hazards and fails fast on any uncast integer sum.
+
 ## Id-numbering gaps (dense-id audit)
 
 The id space is not dense; every hole is listed here so a reader can tell
