@@ -2130,3 +2130,87 @@ def z55_sql_frontend_q38_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "lineitem", "orders", "customer")
     return spark.sql(Z55_SQL)
+
+
+Z56_SQL = """
+WITH rev AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o.o_orderdate) AS BIGINT) AS mo,
+         CAST(floor(sum(li.l_extendedprice) * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey
+                   JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, year(o.o_orderdate), month(o.o_orderdate)
+), w AS (
+  SELECT nk, yr, mo, cents,
+         CAST(sum(cents) OVER (PARTITION BY nk, yr) AS BIGINT) AS yr_cents,
+         CAST(count(*) OVER (PARTITION BY nk, yr) AS BIGINT) AS yr_months,
+         lag(cents)  OVER (PARTITION BY nk ORDER BY yr, mo) AS prev_cents,
+         lead(cents) OVER (PARTITION BY nk ORDER BY yr, mo) AS next_cents
+  FROM rev
+)
+SELECT nk AS nationkey, yr, mo, cents, prev_cents, next_cents
+FROM w
+WHERE yr_months = 12
+  AND abs(cents * yr_months - yr_cents) * 10 > yr_cents
+"""
+
+
+@register("z56_sql_frontend_q57_shape", oracle=Z56_SQL, group="B")
+def z56_sql_frontend_q57_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q57 shape through the SQL front end: per-nation monthly
+    revenue series, kept where a month deviates more than 10% from its
+    year's average, carrying the lag/lead neighbor months — Q57's
+    outlier-month-with-context window stack (a framed aggregate over the
+    (key, year) partition plus two offset windows over the ordered
+    series) on the shared dialect. All arithmetic is integer: monthly
+    revenue rounds once to cents (nonnegative sum — the signed-sum lint
+    allows it), the yearly average comparison cross-multiplies instead
+    of dividing (|cents·n − tot| · 10 > tot·n with n fixed at 12;
+    magnitudes stay < 2^50 past sf1000), and the published
+    avg_monthly_sales > 0 guard is subsumed by requiring a complete
+    12-month year. The fact aggregates to (nation × month) size before
+    any window; both window partitions are key-domain relations, and the
+    (yr, mo) order key is unique per nation so lag/lead are
+    tie-deterministic without an extra tiebreaker."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "lineitem", "orders", "customer")
+    return spark.sql(Z56_SQL)
+
+
+Z57_SQL = """
+WITH priced AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         CAST(floor(o_totalprice * 100 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cents
+  FROM orders WHERE o_custkey % 10 = 0
+)
+SELECT o_custkey, o_orderdate, o_orderkey, cents,
+       CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                             RANGE BETWEEN INTERVAL 29 DAYS PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cents_30d,
+       CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                           RANGE BETWEEN INTERVAL 29 DAYS PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS n_30d
+FROM priced
+"""
+
+
+@register("z57_sql_frontend_rolling_30d_sum", oracle=Z57_SQL, group="B")
+def z57_sql_frontend_rolling_30d_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day MONETARY sum per customer over an interval RANGE
+    frame, on the shared dialect — the rolling-revenue window z18 could
+    not carry (its interval-RANGE row pins count/max, which are
+    order-insensitive; a rolling double SUM would be an
+    accumulation-order hash hazard inside the frame). The k53/z32 recipe
+    makes the sum exact instead: each order rounds ONCE to integer
+    cents, the frame sums BIGINTs, so any accumulation order yields the
+    identical total. RANGE frames are tie-deterministic by construction
+    (rows sharing an order date share a frame), and o_orderkey rides
+    along as the row identity. One window shuffle on the 10%-sampled
+    customer key; at 100 TB the frame is bounded by a customer's 30-day
+    order count, never the partition."""
+    from marasa_spark.catalog import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(Z57_SQL)

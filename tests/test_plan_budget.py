@@ -217,6 +217,12 @@ EXCHANGE_BUDGET = {
     "z53_sql_frontend_q31_shape": 19,
     "z54_sql_frontend_q23_shape": 8,
     "z55_sql_frontend_q38_shape": 22,
+    # z56: fact pre-agg to (nation x month) + the (nk, yr) framed-agg
+    # window shuffle + the (nk) ordered lag/lead window shuffle, with the
+    # dim broadcasts, AQE double-print; z57: the one (custkey) window
+    # shuffle, double-printed — the RANGE frame adds no movement
+    "z56_sql_frontend_q57_shape": 8,
+    "z57_sql_frontend_rolling_30d_sum": 2,
     # e13: AQE double-print of {the (user,bucket) local-row_number shuffle,
     # the totals partial-agg shuffle, the offsets window's user shuffle,
     # the offsets join, the (user, frame_q) median groupBy} — the K-way
