@@ -1350,3 +1350,118 @@ def parse_mp4_boxes(b: bytes) -> dict:
     if out["brand"] is None or out["timescale"] is None:
         raise ValueError("ISO-BMFF without ftyp/mvhd")
     return out
+
+
+def synthesize_bmp(
+    width: int,
+    height: int,
+    pixels: "list[tuple[int, int, int]]",
+    bpp: int = 24,
+    palette: "list[tuple[int, int, int]] | None" = None,
+    indices: "list[int] | None" = None,
+    top_down: bool = False,
+) -> bytes:
+    """A valid Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB):
+    24-bit direct color from ``pixels`` (row-major top-to-bottom (r, g, b)
+    tuples) or 8-bit paletted from ``palette`` + ``indices``. Rows are
+    stored bottom-up unless ``top_down`` (negative biHeight — both
+    orientations exist in the wild). Encoder counterpart of
+    :func:`decode_bmp_pixels`."""
+    if bpp == 24:
+        row_bytes = width * 3
+        pal = b""
+    elif bpp == 8:
+        if palette is None or indices is None:
+            raise ValueError("8-bit BMP needs palette + indices")
+        row_bytes = width
+        pal = b"".join(bytes((b_, g, r, 0)) for (r, g, b_) in palette)
+    else:
+        raise ValueError("BMP synthesis supports 24-bit and 8-bit BI_RGB")
+    pad = (-row_bytes) % 4
+    rows = []
+    for y in range(height):
+        if bpp == 24:
+            row = b"".join(
+                bytes((b_, g, r))  # stored blue-green-red
+                for (r, g, b_) in pixels[y * width : (y + 1) * width]
+            )
+        else:
+            row = bytes(indices[y * width : (y + 1) * width])
+        rows.append(row + b"\x00" * pad)
+    if not top_down:
+        rows.reverse()  # positive biHeight = bottom-up storage
+    data = b"".join(rows)
+    offset = 14 + 40 + len(pal)
+    file_header = b"BM" + struct.pack("<IHHI", offset + len(data), 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        width,
+        -height if top_down else height,
+        1,  # planes
+        bpp,
+        0,  # BI_RGB
+        len(data),
+        2835,
+        2835,
+        (len(pal) // 4) if pal else 0,
+        0,
+    )
+    return file_header + info + pal + data
+
+
+def decode_bmp_pixels(b: bytes) -> tuple[int, int, "list[tuple[int, int, int]]"]:
+    """Pure-stdlib BMP decoder: BITMAPFILEHEADER + BITMAPINFOHEADER,
+    uncompressed BI_RGB at 24 bpp (direct BGR) or 8 bpp (palette lookup),
+    either row order (positive biHeight = bottom-up, negative =
+    top-down). Returns ``(width, height, pixels)`` with pixels row-major
+    top-to-bottom as (r, g, b) tuples. RLE-compressed and 16/32-bit
+    bitfield BMPs raise NotImplementedError (the same declared boundary
+    the other codecs use); malformed headers raise ValueError."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(b) < 54:
+        raise ValueError("BMP header truncated")
+    offset = struct.unpack("<I", b[10:14])[0]
+    hdr_size = struct.unpack("<I", b[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER (OS/2) not supported")
+    width, raw_h = struct.unpack("<ii", b[18:26])
+    planes, bpp = struct.unpack("<HH", b[26:30])
+    compression = struct.unpack("<I", b[30:34])[0]
+    if compression != 0 or bpp not in (8, 24):
+        raise NotImplementedError(
+            "reference decoder handles uncompressed BI_RGB at 8/24 bpp; "
+            "RLE and bitfield BMPs are the external-codec slot"
+        )
+    if width <= 0 or raw_h == 0 or planes != 1:
+        raise ValueError("BMP dimensions out of range")
+    top_down = raw_h < 0
+    height = -raw_h if top_down else raw_h
+    palette: "list[tuple[int, int, int]]" = []
+    if bpp == 8:
+        n_colors = struct.unpack("<I", b[46:50])[0] or 256
+        pal_at = 14 + hdr_size
+        for i in range(n_colors):
+            b_, g, r = b[pal_at + 4 * i : pal_at + 4 * i + 3]
+            palette.append((r, g, b_))
+    row_bytes = width * (3 if bpp == 24 else 1)
+    stride = row_bytes + ((-row_bytes) % 4)
+    if offset + stride * height > len(b):
+        raise ValueError("BMP pixel data truncated")
+    pixels: "list[tuple[int, int, int]]" = []
+    for y in range(height):
+        src_y = y if top_down else height - 1 - y
+        at = offset + src_y * stride
+        row = b[at : at + row_bytes]
+        if bpp == 24:
+            for x in range(width):
+                b_, g, r = row[3 * x : 3 * x + 3]
+                pixels.append((r, g, b_))
+        else:
+            for x in range(width):
+                idx = row[x]
+                if idx >= len(palette):
+                    raise ValueError("BMP palette index out of range")
+                pixels.append(palette[idx])
+    return width, height, pixels

@@ -5722,3 +5722,141 @@ def k94_wav_float24_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(stats, schema)
+
+
+# ---------------------------------------------------------------------------
+# k95 — BMP decode (24-bit direct + 8-bit paletted, both row orders): the
+# one common uncompressed raster format the PNG/JPEG/GIF matrix didn't
+# cover; pure struct arithmetic, so it joins the REAL-decode set and the
+# external slot stays RLE/bitfield BMPs only.
+# ---------------------------------------------------------------------------
+
+K95_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         3 + doc_id % 17 AS w, 2 + doc_id % 11 AS h,
+         CAST(doc_id % 3 AS INT) AS mode
+  FROM documents WHERE doc_id < 300
+), px AS (
+  SELECT doc_id, w, h, mode,
+    CASE WHEN mode < 2 THEN (doc_id*31 + y*17 + x*7) % 256
+         ELSE (7 * ((x + 3*y + doc_id) % 16) + doc_id) % 256 END AS r,
+    CASE WHEN mode < 2 THEN (doc_id*13 + y*5 + x*11) % 256
+         ELSE (11 * ((x + 3*y + doc_id) % 16) + 3) % 256 END AS g,
+    CASE WHEN mode < 2 THEN (doc_id*7 + y*3 + x*13) % 256
+         ELSE (13 * ((x + 3*y + doc_id) % 16) + 7) % 256 END AS b
+  FROM dims,
+       LATERAL (SELECT unnest(range(0, h)) AS y) t1,
+       LATERAL (SELECT unnest(range(0, w)) AS x) t2
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, mode,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(r) AS BIGINT) AS sum_r,
+       CAST(sum(g) AS BIGINT) AS sum_g,
+       CAST(sum(b) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h, mode
+"""
+
+
+@register("k95_bmp_pixel_stats", oracle=K95_ORACLE, group="K")
+def k95_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP decode end-to-end — the last common uncompressed raster format
+    brought into the REAL-decode set (PNG k81/k83/k84/k86, JPEG
+    k87/k90/k91, GIF k89). Each doc synthesizes a BITMAPINFOHEADER BMP as
+    24-bit direct color stored bottom-up (mode 0), 24-bit top-down via
+    negative biHeight (mode 1 — same pixels, opposite row order, so the
+    orientation branch is actually exercised against one closed form), or
+    8-bit paletted (mode 2, BGRX palette lookup); pixels follow closed
+    forms in (doc_id, x, y); per-image channel sums hash-match DuckDB
+    evaluating the forms directly. Row padding to 4-byte boundaries and
+    the BGR byte order are the decode hazards the fixture widths
+    deliberately sweep (w % 4 covers every pad). Scale posture matches
+    k81: Arrow-batched per-row codec work inside mapInPandas, payloads
+    never on the driver, no extra shuffle."""
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from marasa_spark.ops.multimodal import decode_bmp_pixels, synthesize_bmp
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+    @F.pandas_udf(BinaryType())
+    def synth(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for doc_id in doc_ids:
+            i = int(doc_id)
+            w, h, mode = 3 + i % 17, 2 + i % 11, i % 3
+            if mode < 2:
+                pixels = [
+                    (
+                        (i * 31 + y * 17 + x * 7) % 256,
+                        (i * 13 + y * 5 + x * 11) % 256,
+                        (i * 7 + y * 3 + x * 13) % 256,
+                    )
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                out.append(
+                    synthesize_bmp(w, h, pixels, bpp=24, top_down=(mode == 1))
+                )
+            else:
+                palette = [
+                    ((7 * p + i) % 256, (11 * p + 3) % 256, (13 * p + 7) % 256)
+                    for p in range(16)
+                ]
+                indices = [
+                    (x + 3 * y + i) % 16 for y in range(h) for x in range(w)
+                ]
+                out.append(
+                    synthesize_bmp(
+                        w, h, [], bpp=8, palette=palette, indices=indices
+                    )
+                )
+        return pd.Series(out)
+
+    media = d.select("doc_id", synth("doc_id").alias("payload"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("mode", IntegerType()),
+            StructField("n_px", LongType()),
+            StructField("sum_r", LongType()),
+            StructField("sum_g", LongType()),
+            StructField("sum_b", LongType()),
+        ]
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                i = int(doc_id)
+                w, h, pixels = decode_bmp_pixels(bytes(payload))
+                rows.append(
+                    (
+                        i,
+                        w,
+                        h,
+                        i % 3,
+                        len(pixels),
+                        sum(p[0] for p in pixels),
+                        sum(p[1] for p in pixels),
+                        sum(p[2] for p in pixels),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "mode",
+                    "n_px", "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    return media.mapInPandas(stats, schema)

@@ -987,3 +987,57 @@ def test_mp4_box_walk_version1_and_size_to_eof():
         "vide",
         11,
     )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 12),
+    mode=st.sampled_from(["24", "24td", "8"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_codec_roundtrip_identity(w, h, mode, seed):
+    """BMP encoder and decoder are exact inverses (k95's correctness
+    core): every row-padding residue (w % 4), both row orders (positive
+    biHeight bottom-up, negative top-down), direct 24-bit BGR and 8-bit
+    palette lookup."""
+    from marasa_spark.ops.multimodal import decode_bmp_pixels, synthesize_bmp
+
+    if mode == "8":
+        palette = [
+            ((seed + 7 * p) % 256, (3 * p + 1) % 256, (5 * p + 2) % 256)
+            for p in range(16)
+        ]
+        indices = [(seed + 11 * j) % 16 for j in range(w * h)]
+        blob = synthesize_bmp(w, h, [], bpp=8, palette=palette, indices=indices)
+        want = [palette[i] for i in indices]
+    else:
+        want = [
+            ((seed + j) % 256, (seed + 3 * j) % 256, (seed + 7 * j) % 256)
+            for j in range(w * h)
+        ]
+        blob = synthesize_bmp(w, h, want, bpp=24, top_down=(mode == "24td"))
+    got_w, got_h, got = decode_bmp_pixels(blob)
+    assert (got_w, got_h) == (w, h)
+    assert got == want
+
+
+def test_bmp_codec_rejects_compressed_and_malformed():
+    """The declared BMP boundary: RLE/bitfield compression raises
+    NotImplementedError; malformed headers raise ValueError."""
+    import struct
+
+    import pytest as _pytest
+
+    from marasa_spark.ops.multimodal import decode_bmp_pixels, synthesize_bmp
+
+    good = synthesize_bmp(3, 2, [(x, x, x) for x in range(6)], bpp=24)
+    rle = good[:30] + struct.pack("<I", 1) + good[34:]  # BI_RLE8
+    with _pytest.raises(NotImplementedError):
+        decode_bmp_pixels(rle)
+    with _pytest.raises(ValueError):
+        decode_bmp_pixels(b"PNG" + good[3:])
+    with _pytest.raises(ValueError):
+        decode_bmp_pixels(good[:40])  # truncated header
+    with _pytest.raises(ValueError):
+        decode_bmp_pixels(good[:-3])  # truncated pixel rows
