@@ -5860,3 +5860,77 @@ def k95_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(stats, schema)
+
+
+# ---------------------------------------------------------------------------
+# k96 — overlapping token-window chunking: the RAG / context-window
+# preprocessing shape (split every document into fixed-size token chunks
+# with overlap so no boundary-spanning context is lost). Pure JVM array
+# expressions — sequence/slice/array_join under one explode, no Python.
+# ---------------------------------------------------------------------------
+
+_K96_SIZE, _K96_STRIDE = 8, 6  # chunk_size, stride = size - overlap(2);
+# sized to the corpus (docs average ~23 tokens -> ~4 chunks); production
+# values (512/384 etc.) change only these constants, not the plan shape.
+
+K96_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(0, (len(toks) - 1) // {_K96_STRIDE} + 1)) AS chunk_id
+  FROM t
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(least({_K96_SIZE}, n - chunk_id * {_K96_STRIDE}) AS BIGINT) AS n_tokens,
+       array_to_string(
+         list_slice(toks, chunk_id * {_K96_STRIDE} + 1,
+                    chunk_id * {_K96_STRIDE} + {_K96_SIZE}), ' ') AS chunk_text
+FROM c
+"""
+
+
+@register("k96_chunk_overlap", oracle=K96_ORACLE, group="K")
+def k96_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunks per document — the
+    context-window preprocessing step every RAG index and long-document
+    training pipeline runs first. Chunk starts are multiples of the
+    stride (size − overlap) below the token count, so consecutive chunks
+    share `overlap` tokens and a short tail keeps its partial window; the
+    chunk text itself is hash-checked (exact string equality across
+    engines, not just counts). Entirely JVM-side: split → one transform
+    over sequence(0, n_chunks−1) building (chunk_id, n_tokens, text via
+    slice+array_join) → one explode; no UDF, no shuffle at all — the op
+    is embarrassingly row-parallel, so at 100 TB it rides the scan
+    partitioning and the only cost is the output's size amplification
+    (size/stride ≈ 1.33x here)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_chunks = F.floor((n - F.lit(1)) / F.lit(_K96_STRIDE)) + F.lit(1)
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), (n_chunks - 1).cast("long")),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_id"),
+                F.least(
+                    F.lit(_K96_SIZE).cast("long"),
+                    (n - i.cast("int") * F.lit(_K96_STRIDE)).cast("long"),
+                ).alias("n_tokens"),
+                F.array_join(
+                    F.slice(
+                        toks,
+                        i.cast("int") * F.lit(_K96_STRIDE) + F.lit(1),
+                        F.lit(_K96_SIZE),
+                    ),
+                    " ",
+                ).alias("chunk_text"),
+            ),
+        )
+    ).alias("c")
+    return d.select("doc_id", chunk).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

@@ -223,6 +223,12 @@ EXCHANGE_BUDGET = {
     # shuffle, double-printed — the RANGE frame adds no movement
     "z56_sql_frontend_q57_shape": 8,
     "z57_sql_frontend_rolling_30d_sum": 2,
+    # k94/k95: scan -> synth pandas_udf -> mapInPandas decode, row-parallel
+    # end to end; k96: split/sequence/slice/explode in one projection —
+    # all three are shuffle-FREE by construction and must stay that way
+    "k94_wav_float24_stats": 0,
+    "k95_bmp_pixel_stats": 0,
+    "k96_chunk_overlap": 0,
     # e13: AQE double-print of {the (user,bucket) local-row_number shuffle,
     # the totals partial-agg shuffle, the offsets window's user shuffle,
     # the offsets join, the (user, frame_q) median groupBy} — the K-way
