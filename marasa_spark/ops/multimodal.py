@@ -1440,8 +1440,13 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, "list[tuple[int, int, int]]"]
     height = -raw_h if top_down else raw_h
     palette: "list[tuple[int, int, int]]" = []
     if bpp == 8:
-        n_colors = struct.unpack("<I", b[46:50])[0] or 256
+        # biClrUsed is attacker-controlled; 8 bpp can index at most 256
+        # entries, so clamp BEFORE looping (a 2^32 claim would otherwise
+        # spin for minutes before the slice-unpack finally raises)
+        n_colors = min(struct.unpack("<I", b[46:50])[0] or 256, 256)
         pal_at = 14 + hdr_size
+        if pal_at + 4 * n_colors > len(b):
+            raise ValueError("BMP palette truncated")
         for i in range(n_colors):
             b_, g, r = b[pal_at + 4 * i : pal_at + 4 * i + 3]
             palette.append((r, g, b_))

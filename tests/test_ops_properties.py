@@ -1041,3 +1041,13 @@ def test_bmp_codec_rejects_compressed_and_malformed():
         decode_bmp_pixels(good[:40])  # truncated header
     with _pytest.raises(ValueError):
         decode_bmp_pixels(good[:-3])  # truncated pixel rows
+    # hostile biClrUsed (2^31 palette entries claimed): must raise fast
+    # via the 256-entry clamp + palette bounds check, not spin
+    pal8 = synthesize_bmp(
+        2, 2, [], bpp=8,
+        palette=[(p, p, p) for p in range(16)],
+        indices=[0, 1, 2, 3],
+    )
+    hostile = pal8[:46] + struct.pack("<I", 2**31) + pal8[50:]
+    with _pytest.raises(ValueError):
+        decode_bmp_pixels(hostile[: 14 + 40 + 8])
