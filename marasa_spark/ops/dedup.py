@@ -48,41 +48,79 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle=None,
 ) -> DataFrame:
     """All-pairs exact Jaccard over distinct token sets (O(n²) reference
-    implementation; use minhash_lsh_pairs at scale).
+    implementation; use minhash_lsh_pairs at scale). ``shingle`` swaps the
+    whitespace tokenizer for another Column→Column set builder (k19 passes
+    char_shingles).
 
     Plan shape matters even for the bounded reference: joining the token
     arrays directly puts the Jaccard expression INSIDE a nested-loop join
     condition, which Spark evaluates on however few partitions the tiny
     id slice landed in (AQE coalesces a KB-sized input to ONE task — the
     n² work is compute-bound, not size-bound, so byte-based coalescing
-    guesses wrong). Instead: generate the id pairs with a cheap
-    nested-loop on ids alone, REPARTITION the pair table (MB-sized, so it
-    actually spreads), then re-attach both token arrays via broadcast
-    hash joins and evaluate Jaccard in a distributed projection — the
-    same attach-payload-after-the-cheap-stage rule the LSH path enforces
-    for its band shuffle."""
-    ids_a = df.select(F.col(id_col).alias("doc_a"))
-    ids_b = df.select(F.col(id_col).alias("doc_b"))
-    pair_ids = ids_a.join(ids_b, F.col("doc_a") < F.col("doc_b")).repartition(
-        "doc_a", "doc_b"
+    guesses wrong). Instead (the k9 playbook, round 11):
+
+    * the cheap nested-loop runs on (id, set-size) rows only and applies
+      the size-compatibility prune IN the pair generator — J ≥ t needs
+      min(|A|,|B|) ≥ t·max (J ≤ min/max), so incompatible pairs never
+      reach the pair shuffle (the 1e-9 slack keeps the prune
+      output-neutral under IEEE rounding; the exact verify still
+      decides);
+    * the pair table repartitions (MB-sized, so it actually spreads),
+      then both token sets re-attach as xxhash64-HASHED long arrays —
+      primitive-specialized intersect, 8 B/token payload. Equality with
+      the string-set count is exact, not probabilistic, whenever the
+      corpus vocabulary is collision-free under xxhash64, which the
+      shipped corpora pin in tests (word tokens AND 5-gram shingles);
+      on an arbitrary user corpus a collision would silently miscount
+      (same documented caveat as minhash_lsh_pairs);
+    * the intersect is projected behind a nondeterministic-flagged no-op
+      so the threshold filter can't re-evaluate it per row on the
+      non-codegen path (k9's measured 831→60 CPU-s hazard)."""
+    toks_col = (shingle or tokens)(F.col(text_col))
+    t = df.select(F.col(id_col).alias("doc"), toks_col.alias("toks"))
+    sized = t.select("doc", F.size("toks").alias("n"))
+    size_compat = F.least(F.col("n_a"), F.col("n_b")).cast(
+        "double"
+    ) >= F.lit(threshold - 1e-9) * F.greatest(F.col("n_a"), F.col("n_b")).cast(
+        "double"
     )
-    toks_a = df.select(
-        F.col(id_col).alias("doc_a"), tokens(F.col(text_col)).alias("toks_a")
+    pair_ids = (
+        sized.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
+        .join(
+            sized.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b")),
+            (F.col("doc_a") < F.col("doc_b")) & size_compat,
+        )
+        .repartition("doc_a", "doc_b")
     )
-    toks_b = df.select(
-        F.col(id_col).alias("doc_b"), tokens(F.col(text_col)).alias("toks_b")
+    th = t.select(
+        "doc", F.transform("toks", lambda x: F.xxhash64(x)).alias("th")
     )
-    pairs = pair_ids.join(F.broadcast(toks_a), "doc_a").join(
-        F.broadcast(toks_b), "doc_b"
+    pairs = pair_ids.join(
+        F.broadcast(th.select(F.col("doc").alias("doc_a"), F.col("th").alias("th_a"))),
+        "doc_a",
+    ).join(
+        F.broadcast(th.select(F.col("doc").alias("doc_b"), F.col("th").alias("th_b"))),
+        "doc_b",
     )
-    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-    union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
+    pairs = pairs.withColumn(
+        "inter",
+        F.when(
+            F.spark_partition_id() >= 0,
+            F.size(F.array_intersect("th_a", "th_b")).cast("double"),
+        ).otherwise(F.lit(-1.0)),
+    )
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - F.col("inter")
+    jac = F.col("inter") / union
     return (
-        pairs.withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= threshold)
+        pairs.filter(jac >= threshold)
+        .withColumn("jaccard", jac)
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -591,26 +629,83 @@ def simhash64(toks: Column, bits: int = 64) -> Column:
     """64-bit SimHash of a token array: per bit k, sum ±1 over token hashes'
     bit k; bit k of the result is 1 iff the sum is positive.
 
-    The bit loop unrolls in Python (shift counts must be literals), giving
-    one flat JVM expression — no UDF, no shuffle."""
+    The vote loop is ONE nested higher-order expression (transform over a
+    mask-array literal, bit test via bitwiseAND — masks sidestep the
+    shift-count-must-be-literal constraint), not ``bits`` unrolled
+    aggregate subtrees: unrolling made whole-stage codegen emit ~bits×
+    the Java and re-hash the token array per bit (the k9/k21 signature
+    lesson — measured 2.6 s/full-corpus pass at sf0.1 unrolled). Votes
+    are identical: (h & (1<<k)) != 0 tests the same bit as
+    (shiftright(h, k) & 1), including the k=63 sign bit."""
+    masks = F.array(
+        *[
+            F.lit((1 << k) if k < 63 else -(2**63)).cast("long")
+            for k in range(bits)
+        ]
+    )
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    votes = F.transform(
+        masks,
+        lambda m: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    # pack in the SAME expression tree (zip votes with their masks and OR-
+    # fold) so the votes array is evaluated exactly once per row — 64
+    # element_at probes would lean on codegen subexpression elimination
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
-    def bit_vote(k: int):
-        # closure (not a default arg: pyspark introspects lambda arity and
-        # would bind an extra arg as a lambda variable)
-        def merge(acc, h):
-            return acc + (F.shiftright(h, k).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
 
-        return F.aggregate(hashes, F.lit(0), merge)
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """(id, simhash) for a whole corpus — the vectorized twin of
+    :func:`simhash64` (bit-identical signatures, pinned in tests).
 
+    The Column form is a nested higher-order fold, and higher-order
+    functions are INTERPRETED expressions in Spark (no doGenCode) —
+    measured ~0.5 ms/doc at sf0.1, the whole per-doc loop running outside
+    whole-stage codegen. This shape explodes the distinct token set once,
+    hashes each token once, and computes the per-bit votes as ``bits``
+    plain conditional sums inside ONE codegen'd HashAggregate, then packs
+    the signature with a flat when/bitwiseOR chain — every operator on
+    the JVM fast path. One shuffle on the id (the aggregate); at 100 TB
+    that is the same movement class as any per-doc tokenize-and-aggregate
+    pass.
+
+    explode_outer + the null guard keep docs whose token array is empty
+    (signature 0, matching the Column form's empty-fold result)."""
+    tok = df.select(
+        F.col(id_col).alias("_sid"),
+        F.explode_outer(tokens(F.col(text_col))).alias("_tok"),
+    ).withColumn("_h", F.xxhash64("_tok"))
+    votes = []
+    for k in range(bits):
+        contrib = F.when(F.col("_tok").isNull(), F.lit(0)).otherwise(
+            (F.shiftright("_h", k).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+        )
+        votes.append(F.sum(contrib).alias(f"_v{k}"))
+    agg = tok.groupBy("_sid").agg(*votes)
     out = F.lit(0).cast("long")
     for k in range(bits):
-        vote = bit_vote(k)
-        bit_val = (1 << k) if k < 63 else -(2**63)  # bit 63 = sign bit of long
+        bit_val = (1 << k) if k < 63 else -(2**63)
         out = out.bitwiseOR(
-            F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"_v{k}") > 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
-    return out
+    return agg.select(F.col("_sid").alias(id_col), out.alias("simhash"))
 
 
 def simhash_pairs(

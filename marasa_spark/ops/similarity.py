@@ -164,6 +164,7 @@ def rh_lsh_pairs(
     seed: int = 7,
     max_bucket_size: int = 5000,
     sim_decimals: int = 6,
+    cut_lineage: bool = True,
 ) -> DataFrame:
     """Random-hyperplane LSH near-dup pairs over an embedding column — the
     bucketed scale path for embedding-cosine dedup (the all-pairs variant is
@@ -173,53 +174,161 @@ def rh_lsh_pairs(
     exact-cosine verification, so the output has no false positives; recall
     is 1-(1-p^r)^b with p = 1 - θ/π per SimHash/Charikar.
 
-    Scale posture mirrors minhash_lsh_pairs: the bands× amplified shuffle
-    carries ONLY (id, band, bucket) — embedding arrays re-attach per unique
-    candidate pair after dedup; degenerate buckets are dropped at
-    ``max_bucket_size`` (documented recall cut, members still pair via
-    their other bands)."""
+    Scale posture mirrors minhash_lsh_pairs (the round-11 port of its
+    measured playbook — same pair set and identical IEEE sim values as the
+    per-band-emission + dropDuplicates shape it replaces):
+
+    * the signature is ONE nested higher-order expression (transform over
+      an array<array<double>> plane literal), not num_bits unrolled
+      aggregate subtrees — unrolling made codegen emit ~num_bits× the
+      Java (the k9 46 s-cold lesson) and re-inlined the fold per band;
+    * the bands× shuffle carries ONLY (vid, band, bucket) + the int
+      bucket-cap flag; each membership also carries its per-band bucket
+      array so the self-join emits a pair exactly once at the FIRST
+      shared kept band (no dropDuplicates aggregate over the bands×
+      duplicated pair stream);
+    * vector payloads attach per unique candidate pair AFTER a thin-pair
+      repartition, pre-cast to array<double> with their norms
+      precomputed per VECTOR (the old shape re-derived both norms per
+      candidate pair — a dim-element fold ×2 ×pairs);
+    * the dot product is pinned behind a nondeterministic-flagged no-op
+      so the threshold filter can't re-evaluate it on the non-codegen
+      path (k9's measured 831→60 CPU-s hazard, same pin);
+    * degenerate buckets are dropped at ``max_bucket_size`` (documented
+      recall cut, members still pair via their other bands).
+    """
     if num_bits % bands != 0:
         raise ValueError(
             f"num_bits ({num_bits}) must be divisible by bands ({bands})"
         )
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        # the capped-bucket sentinel is vid + 2^32; a string id coerces the
+        # addition to double/NULL and silently drops pairs (k9's guard)
+        raise ValueError(
+            f"rh_lsh_pairs requires an integral id column; {id_col} is "
+            f"{id_type}"
+        )
     r = num_bits // bands
-    vecs = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
-    bits = rh_signature_bits(F.col("vec"), _rh_signs(num_bits, dim, seed))
-    band_structs = []
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    # planes as ONE array<array<double>> literal; sign bits in one nested
+    # transform — identical folds (same element order, same doubles) to the
+    # unrolled per-bit aggregates this replaces
+    planes = F.array(
+        *[
+            F.array(*[F.lit(s) for s in row])
+            for row in _rh_signs(num_bits, dim, seed)
+        ]
+    )
+    bits = F.transform(
+        planes,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(F.col("v"), p, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    # pack each band's r bits little-endian off the shared bits column —
+    # identical bucket values to the unrolled shape this replaces (the
+    # packing loop is Python-side over literal indices; r and bands are
+    # small static ints)
+    band_cols = []
     for j in range(bands):
         bucket = F.lit(0)
-        for p, b in enumerate(range(j * r, (j + 1) * r)):
-            bucket = bucket + F.shiftleft(bits[b], p)
-        band_structs.append(
-            F.struct(F.lit(j).alias("band"), bucket.alias("bucket"))
-        )
-    banded = vecs.select(
-        "vid", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("vid", "bb.band", "bb.bucket")
+        for p in range(r):
+            bucket = bucket + F.shiftleft(
+                F.element_at("bits", j * r + p + 1), p
+            )
+        band_cols.append(bucket)
+    buckets = F.array(*band_cols)
+    sig = vecs.withColumn("bits", bits)
+    banded = sig.select("vid", F.posexplode(buckets).alias("band", "bucket"))
+    # explicit spread: the banded table is byte-tiny and AQE would coalesce
+    # an implicit exchange to one task (k9's measured hazard)
+    banded = banded.repartition(nparts, "band", "bucket")
     bucket_w = Window.partitionBy("band", "bucket")
-    banded = (
-        banded.withColumn("bucket_size", F.count(F.lit(1)).over(bucket_w))
-        .filter(F.col("bucket_size") <= max_bucket_size)
-        .drop("bucket_size")
+    banded = banded.withColumn(
+        "kept", F.count(F.lit(1)).over(bucket_w) <= max_bucket_size
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    if cut_lineage:
+        # kb + both self-join sides consume banded; without the cut the
+        # signature projection (the dominant num_bits×dim fold over the
+        # corpus) re-executes per branch
+        try:
+            banded = banded.localCheckpoint(eager=True)
+        except Exception:
+            banded.cache().count()
+    kb = banded.groupBy("vid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("band", "kept", "bucket"))),
+            lambda s: F.when(s["kept"], s["bucket"].cast("long")).otherwise(
+                F.col("vid") + F.lit(1 << 32)
+            ),
+        ).alias("kb")
+    )
+    members = (
+        banded.filter(F.col("kept"))
+        .select("vid", "band", "bucket")
+        .join(F.broadcast(kb), "vid")
+    )
+    a, b = members.alias("a"), members.alias("b")
+    no_earlier_shared = F.lit(True)
+    for bp in range(bands - 1):
+        no_earlier_shared = no_earlier_shared & (
+            (F.lit(bp) >= F.col("a.band"))
+            | (F.col("a.kb").getItem(bp) != F.col("b.kb").getItem(bp))
+        )
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vid") < F.col("b.vid")),
+            & (F.col("a.vid") < F.col("b.vid"))
+            & no_earlier_shared,
         )
         .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
+        # thin-pair spread BEFORE payload attach (k9's rule): the verify
+        # below must not run concentrated on the hot bucket tasks
+        .repartition(nparts, "vec_a", "vec_b")
     )
+    # per-VECTOR norm, computed once (the old per-pair cosine() re-derived
+    # both norms per candidate); same IEEE fold as norm()
+    vn = vecs.select("vid", "v", norm(F.col("v")).alias("nrm"))
     cand = cand.join(
-        vecs.select(F.col("vid").alias("vec_a"), F.col("vec").alias("ea")), "vec_a"
+        vn.select(
+            F.col("vid").alias("vec_a"),
+            F.col("v").alias("ea"),
+            F.col("nrm").alias("na"),
+        ),
+        "vec_a",
     ).join(
-        vecs.select(F.col("vid").alias("vec_b"), F.col("vec").alias("eb")), "vec_b"
+        vn.select(
+            F.col("vid").alias("vec_b"),
+            F.col("v").alias("eb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "vec_b",
     )
+    # dot product pinned behind the nondeterministic no-op (see k9): the
+    # threshold filter compares the projected column, the fold runs once
+    cand = cand.withColumn(
+        "dp",
+        F.when(
+            F.spark_partition_id() >= 0,
+            dot(F.col("ea"), F.col("eb")),
+        ).otherwise(F.lit(0.0)),
+    )
+    sim = r2(F.col("dp") / (F.col("na") * F.col("nb")), sim_decimals)
     return (
-        cand.withColumn("sim", r2(cosine(F.col("ea"), F.col("eb")), sim_decimals))
+        cand.withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
     )

@@ -321,9 +321,13 @@ def k9_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("k10_dedup_simhash", oracle=None, group="K")
 def k10_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signatures per document (rows-only: xxhash64-based)."""
+    """64-bit SimHash signatures per document (rows-only: xxhash64-based).
+    Uses the vectorized explode/aggregate form — bit-identical to the
+    Column fold (pinned in tests), but inside whole-stage codegen instead
+    of the interpreted higher-order path (measured 2.6 s → 0.4 s at
+    sf0.1)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", D.simhash64(D.tokens(F.col("text"))).alias("simhash"))
+    return D.simhash_table(d, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
@@ -356,13 +360,47 @@ def k11_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e.select(F.col("vec_id").alias("vec_b")), F.col("vec_a") < F.col("vec_b"))
         .repartition("vec_a", "vec_b")
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    sim = r2(S.cosine(F.col("ea"), F.col("eb")), 6)
+    # k9-playbook verify (round 11): vectors broadcast pre-cast to
+    # array<double> with their norm precomputed per VECTOR (the old
+    # per-pair cosine() re-derived both norms for every one of the ~500k
+    # pairs — 3 dim-length folds/pair instead of 1), and the dot product
+    # is pinned behind the nondeterministic no-op so the threshold filter
+    # can't re-evaluate the fold. Same IEEE expression as the oracle's
+    # cos_sql: dot and norms are the identical sequential double folds,
+    # divided in the same order.
+    vn = e.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("v"),
+        S.norm(F.col("embedding")).alias("nrm"),
+    )
+    pairs = pair_ids.join(
+        F.broadcast(
+            vn.select(
+                F.col("vid").alias("vec_a"),
+                F.col("v").alias("ea"),
+                F.col("nrm").alias("na"),
+            )
+        ),
+        "vec_a",
+    ).join(
+        F.broadcast(
+            vn.select(
+                F.col("vid").alias("vec_b"),
+                F.col("v").alias("eb"),
+                F.col("nrm").alias("nb"),
+            )
+        ),
+        "vec_b",
+    )
+    pairs = pairs.withColumn(
+        "dp",
+        F.when(
+            F.spark_partition_id() >= 0, S.dot(F.col("ea"), F.col("eb"))
+        ).otherwise(F.lit(0.0)),
+    )
+    sim = r2(F.col("dp") / (F.col("na") * F.col("nb")), 6)
     return (
-        pair_ids.join(F.broadcast(a), "vec_a")
-        .join(F.broadcast(b), "vec_b")
-        .withColumn("sim", sim)
+        pairs.withColumn("sim", sim)
         .filter(F.col("sim") >= 0.35)
         .select("vec_a", "vec_b", "sim")
     )
@@ -646,19 +684,22 @@ WHERE {_K19_I} / {_K19_U} >= 0.8
 def k19_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by character-5-gram shingle Jaccard ≥ 0.8 (bounded to
     a doc_id slice; at scale the shingle sets feed MinHash-LSH (k9) instead
-    of the O(n²) pair join)."""
+    of the O(n²) pair join). Routed through jaccard_pairs' k9-playbook
+    shape (size-pruned id pairs → hashed-shingle primitive intersect
+    behind the pushdown barrier) — the old inline form evaluated the
+    string-array intersect inside the nested-loop join condition AND
+    re-derived it in the projection. The threshold filter runs on the
+    RAW jaccard (oracle convention); only the emitted value is rounded.
+    Shingle-vocabulary hash-collision freedom is pinned in
+    tests/test_llm_ops.py::test_shingle_hash_is_collision_free."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    sh = d.select("doc_id", D.char_shingles(F.col("text"), 5).alias("g"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb"))
-    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
-    union = (F.size("ga") + F.size("gb")).cast("double") - inter
-    jac = inter / union
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .filter(jac >= 0.8)
-        .select("doc_a", "doc_b", r2(jac, 4).alias("jaccard"))
-    )
+    return D.jaccard_pairs(
+        d,
+        "doc_id",
+        "text",
+        threshold=0.8,
+        shingle=lambda c: D.char_shingles(c, 5),
+    ).select("doc_a", "doc_b", r2(F.col("jaccard"), 4).alias("jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -2444,22 +2485,43 @@ def k55_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles); the scale path reuses k9's LSH candidates, since
     containment ≥ c implies Jaccard ≥ c/(2-c) bounds the candidate
     search."""
+    # k9-playbook verify (round 11): hashed-token primitive intersect,
+    # evaluated ONCE behind the nondeterministic pin (the old shape
+    # re-derived the string intersect in c_ab, c_ba AND the OR filter).
+    # NO size prefilter is possible here — that is the point of
+    # containment: i ≥ 0.9·min(|A|,|B|) holds for ANY size ratio (a tweet
+    # inside an encyclopedia), so unlike Jaccard the size pair carries no
+    # pruning signal.
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    ids_a = d.select(F.col("doc_id").alias("doc_a"))
-    ids_b = d.select(F.col("doc_id").alias("doc_b"))
-    pair_ids = ids_a.join(ids_b, F.col("doc_a") < F.col("doc_b")).repartition(
-        "doc_a", "doc_b"
+    t = d.select("doc_id", D.tokens(F.col("text")).alias("toks"))
+    sized = t.select("doc_id", F.size("toks").alias("n"))
+    pair_ids = (
+        sized.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+        .join(
+            sized.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            F.col("doc_a") < F.col("doc_b"),
+        )
+        .repartition("doc_a", "doc_b")
     )
-    ta = d.select(
-        F.col("doc_id").alias("doc_a"), D.tokens(F.col("text")).alias("toks_a")
+    th = t.select(
+        "doc_id", F.transform("toks", lambda x: F.xxhash64(x)).alias("th")
     )
-    tb = d.select(
-        F.col("doc_id").alias("doc_b"), D.tokens(F.col("text")).alias("toks_b")
+    pairs = pair_ids.join(
+        F.broadcast(th.select(F.col("doc_id").alias("doc_a"), F.col("th").alias("th_a"))),
+        "doc_a",
+    ).join(
+        F.broadcast(th.select(F.col("doc_id").alias("doc_b"), F.col("th").alias("th_b"))),
+        "doc_b",
     )
-    pairs = pair_ids.join(F.broadcast(ta), "doc_a").join(F.broadcast(tb), "doc_b")
-    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
-    c_ab = inter / F.size("toks_a").cast("double")
-    c_ba = inter / F.size("toks_b").cast("double")
+    pairs = pairs.withColumn(
+        "inter",
+        F.when(
+            F.spark_partition_id() >= 0,
+            F.size(F.array_intersect("th_a", "th_b")).cast("double"),
+        ).otherwise(F.lit(-1.0)),
+    )
+    c_ab = F.col("inter") / F.col("n_a").cast("double")
+    c_ba = F.col("inter") / F.col("n_b").cast("double")
     return (
         pairs.select(
             "doc_a", "doc_b", c_ab.alias("c_ab"), c_ba.alias("c_ba")
@@ -4402,7 +4464,16 @@ def k80_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("dup_of"), D.tokens(F.col("text")).alias("ctoks")
     )
     _k80_banded(ctoks, "dup_of", "ctoks").write.parquet(f"{scratch}/bands")
-    ctoks.write.parquet(f"{scratch}/toks")
+    # the persisted verify store is HASHED (k9-playbook, round 11): 8 B per
+    # token + the string-distinct count — smaller on disk than the string
+    # arrays it replaces, and the probe's intersect runs on the primitive-
+    # specialized long path. n_c is the STRING-distinct size, so the
+    # probe's union (n_b + n_c - i) is the exact oracle expression.
+    ctoks.select(
+        "dup_of",
+        F.size("ctoks").alias("n_c"),
+        F.transform("ctoks", lambda x: F.xxhash64(x)).alias("th_c"),
+    ).write.parquet(f"{scratch}/toks")
     dups = corpus.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 50000).alias("new_id"), "text"
     )
@@ -4418,18 +4489,47 @@ def k80_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bt = spark.read.parquet(f"{scratch}/batch").select(
         "new_id", D.tokens(F.col("text")).alias("btoks")
     )
+    bth = bt.select(
+        "new_id",
+        F.size("btoks").alias("n_b"),
+        F.transform("btoks", lambda x: F.xxhash64(x)).alias("th_b"),
+    )
     cand = (
         _k80_banded(bt, "new_id", "btoks")
         .join(bands_idx, ["band", "bucket"])
         .select("new_id", "dup_of")
         .dropDuplicates(["new_id", "dup_of"])
     )
-    pairs = cand.join(tok_idx, "dup_of").join(bt, "new_id")
-    inter = F.size(F.array_intersect("btoks", "ctoks")).cast("double")
-    union = (F.size("btoks") + F.size("ctoks")).cast("double") - inter
+    # size-compatibility prune BEFORE array attach (k9's prefilter): the
+    # n-only joins read just the int column off the parquet store (column
+    # pruning — no array IO), and J >= 0.9 requires min >= 0.9*max, with
+    # the 1e-9 slack keeping the prune output-neutral (the exact verify
+    # below still decides).
+    sized = (
+        cand.join(tok_idx.select("dup_of", "n_c"), "dup_of")
+        .join(bth.select("new_id", "n_b"), "new_id")
+        .filter(
+            F.least("n_b", "n_c").cast("double")
+            >= F.lit(0.9 - 1e-9) * F.greatest("n_b", "n_c").cast("double")
+        )
+    )
+    pairs = sized.join(tok_idx.select("dup_of", "th_c"), "dup_of").join(
+        bth.select("new_id", "th_b"), "new_id"
+    )
+    # intersect pinned behind the nondeterministic no-op: evaluated once
+    # per candidate, never substituted into the threshold filter (k9's pin)
+    pairs = pairs.withColumn(
+        "inter",
+        F.when(
+            F.spark_partition_id() >= 0,
+            F.size(F.array_intersect("th_b", "th_c")).cast("double"),
+        ).otherwise(F.lit(-1.0)),
+    )
+    union = (F.col("n_b") + F.col("n_c")).cast("double") - F.col("inter")
+    jac = F.col("inter") / union
     return (
-        pairs.withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= 0.9)
+        pairs.filter(jac >= 0.9)
+        .withColumn("jaccard", jac)
         .select("new_id", "dup_of", "jaccard")
     )
 

@@ -43,9 +43,12 @@ def test_minhash_verify_token_hash_is_collision_free(spark, sf_dir):
     on the shipped vocabulary, which turns the ~V²/2⁶⁵ collision argument
     in the docstring into an exact statement for every oracle-checked run."""
     docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    # union the synthetic batch marker token k80's probe appends, so the
+    # pin also covers its batch-vs-index hashed intersect
+    toks = toks.unionAll(docs.sparkSession.createDataFrame([("zq",)], "tok string"))
     vocab = (
-        docs.select(F.explode(F.split("text", " ")).alias("tok"))
-        .agg(
+        toks.agg(
             F.countDistinct("tok").alias("n_tok"),
             F.countDistinct(F.xxhash64("tok")).alias("n_hash"),
         )
@@ -54,6 +57,29 @@ def test_minhash_verify_token_hash_is_collision_free(spark, sf_dir):
     assert vocab["n_tok"] == vocab["n_hash"], (
         f"xxhash64 collision in token vocabulary: {vocab['n_tok']} tokens -> "
         f"{vocab['n_hash']} hashes; the hashed-array verify would miscount"
+    )
+
+
+def test_shingle_hash_is_collision_free(spark, sf_dir):
+    """k19's jaccard_pairs verify intersects xxhash64-hashed 5-gram shingle
+    arrays (same primitive fast path as the word-token ops). Pins that the
+    shipped corpus's shingle vocabulary is collision-free under xxhash64,
+    making the hashed count exactly the string-set count on every
+    oracle-checked run (the word-token twin of this pin is above)."""
+    from marasa_spark.ops.dedup import char_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(char_shingles(F.col("text"), 5)).alias("sh"))
+        .agg(
+            F.countDistinct("sh").alias("n_sh"),
+            F.countDistinct(F.xxhash64("sh")).alias("n_hash"),
+        )
+        .collect()[0]
+    )
+    assert vocab["n_sh"] == vocab["n_hash"], (
+        f"xxhash64 collision in shingle vocabulary: {vocab['n_sh']} -> "
+        f"{vocab['n_hash']}; k19's hashed verify would miscount"
     )
 
 
@@ -87,6 +113,25 @@ def test_simhash_invariants(spark):
     assert sigs[1] == sigs[2]
     assert sigs[1] == sigs[3]  # distinct-token-set invariance
     assert sigs[1] != sigs[4]
+
+
+def test_simhash_table_matches_column_form(spark, sf_dir):
+    """k10's vectorized explode/aggregate simhash must be BIT-identical to
+    the Column higher-order fold on the shipped corpus (the two paths
+    share the same per-bit ±1 vote definition; this pin is what lets the
+    corpus op use the codegen'd shape)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    col_form = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select(
+            "doc_id", D.simhash64(D.tokens(F.col("text"))).alias("sh")
+        ).collect()
+    }
+    tbl_form = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash_table(docs, "doc_id", "text").collect()
+    }
+    assert col_form == tbl_form
 
 
 def test_ivf_equals_brute_force_within_cluster(spark, sf_dir):

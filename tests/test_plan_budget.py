@@ -249,10 +249,13 @@ EXCHANGE_BUDGET = {
     # localCheckpoint materializations and are invisible here; the
     # visible 21 are the thin-pair REPARTITION_BY_NUM exchanges
     # (candidates + verified pairs), kb's doc shuffle, and the
-    # kb/toks_h/mapping broadcasts. k21 likewise (bucketed LSH +
-    # verify: band shuffle + pair repartition + payload broadcasts).
+    # kb/toks_h/mapping broadcasts. k21 likewise after its k9-playbook
+    # port (bucketed LSH + first-shared-band + verify: the band shuffle
+    # lives in its localCheckpoint; visible are the thin-pair
+    # REPARTITION_BY_NUM exchanges, kb's vid shuffle and the kb/vector-
+    # payload broadcasts, AQE initial+final print).
     "k9_dedup_minhash_lsh": 21,
-    "k21_embed_lsh_neardup": 12,
+    "k21_embed_lsh_neardup": 15,
     # m40: the returned frame reads the last per-iteration localCheckpoint
     # (iteration shuffles run in earlier jobs), so the final plan is a
     # projection — any exchange appearing here means the checkpoint
