@@ -302,9 +302,26 @@ class MarasaLog:
         by another tool — vacuum refuses and raises rather than guessing.
         Bounded work: one metadata-scale aggregate (one row per file that
         contains orphans). Returns the number of rows removed."""
+        n_removed = 0
+        for path, n in self._orphan_file_stats(hw):
+            try:
+                os.unlink(path)
+                n_removed += n
+            except FileNotFoundError:
+                pass  # another recovery already removed it
+        return n_removed
+
+    def _orphan_file_stats(self, hw: int) -> list[tuple[str, int]]:
+        """(local path, row count) per whole-orphan data file above the
+        committed high-water — the unit vacuum may unlink. Raises on a
+        mixed file (committed + orphan rows in one file: impossible under
+        this writer, so foreign data — refuse rather than rewrite
+        committed bytes). Shared by the base vacuum and backends that
+        must journal a remove action before unlinking (the Delta
+        backend's protocol requirement)."""
         raw = self._read_dir(self.log_dir)
         if raw is None:
-            return 0
+            return []
         stats = (
             raw.withColumn("_f", F.input_file_name())
             .groupBy("_f")
@@ -324,15 +341,7 @@ class MarasaLog:
             )
         from urllib.parse import unquote, urlparse
 
-        n_removed = 0
-        for r in stats:
-            path = unquote(urlparse(r["_f"]).path)
-            try:
-                os.unlink(path)
-                n_removed += int(r["n"])
-            except FileNotFoundError:
-                pass  # another recovery already removed it
-        return n_removed
+        return [(unquote(urlparse(r["_f"]).path), int(r["n"])) for r in stats]
 
     # -- storage seam --------------------------------------------------------
     # Every physical read/write goes through these three methods and nothing

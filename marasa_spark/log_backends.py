@@ -245,3 +245,434 @@ class ManifestMarasaLog(MarasaLog):
                     raise
                 time.sleep(0.05 * (attempt + 1))
         raise AssertionError("unreachable")  # pragma: no cover
+
+
+class DeltaMarasaLog(MarasaLog):
+    """MarasaLog whose tables speak the OPEN Delta Lake transaction-log
+    protocol on disk (the public spec: delta-io PROTOCOL.md, format
+    version 1 tables) — the north star's physical layer implemented
+    directly, since the `delta-spark` package is not installable here.
+
+    Each table directory carries::
+
+        <table>/_delta_log/00000000000000000000.json   # numbered commits
+        <table>/_delta_log/0000000000000000000N.checkpoint.parquet
+        <table>/_delta_log/_last_checkpoint            # {"version": N, ...}
+        <table>/ns=a/segment=0/part-*.parquet          # data files
+
+    Commits are newline-delimited JSON action lists: the first commit
+    writes ``protocol`` (minReaderVersion 1 / minWriterVersion 2) and
+    ``metaData`` (table id, parquet format, Spark schemaString, partition
+    columns); every data write commits ``add`` actions (relative path,
+    partitionValues, size, modificationTime, dataChange) and logical
+    deletes commit ``remove`` actions. Commit atomicity and conflict
+    detection use put-if-absent via ``os.link`` (EEXIST = a concurrent
+    writer won that version — the same primitive Delta requires of its
+    LogStore); a checkpoint parquet (one row per live action) plus
+    ``_last_checkpoint`` is written every ``CHECKPOINT_INTERVAL`` commits,
+    and readers reconstruct state as latest-checkpoint + tail-JSON replay
+    — never by listing the data directory.
+
+    Mapping onto the 3-method seam:
+
+    * the log dir is ONE Delta table; ``_write_log_batch`` = parquet
+      append job + one add-actions commit (Delta blind append — version
+      conflicts rebase by just taking the next number);
+    * each ``upto=N`` snapshot dir is its own Delta table; a re-compact
+      at the same high-water is a real OVERWRITE transaction (remove all
+      live files + add the new ones in one commit), with the replaced
+      files retained on disk for time travel per the protocol;
+    * ``_read_dir`` resolves the active file set from the log (checkpoint
+      + tail) and reads exactly those parquet files.
+
+    Crash windows (property-tested beside the manifest backend): data
+    files written but not committed are invisible (no add action) and are
+    swept by recovery; a torn commit attempt is a hidden ``.tmp`` file
+    the reader never parses; vacuum journals ``remove`` actions BEFORE
+    unlinking orphan files, so no reader window ever sees an add pointing
+    at a vanished file. Tombstone bookkeeping: checkpoints materialize
+    live adds only (equivalent state; our retention for replaced snapshot
+    files is infinite, so expired-tombstone GC never applies).
+    """
+
+    CHECKPOINT_INTERVAL = 10
+    _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+    # ---------------- Delta log primitives ----------------
+
+    @staticmethod
+    def _dlog(table: str) -> str:
+        return f"{table}/_delta_log"
+
+    @staticmethod
+    def _commit_name(version: int) -> str:
+        return f"{version:020d}.json"
+
+    def _versions(self, table: str) -> list[int]:
+        d = self._dlog(table)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if name.endswith(".json") and not name.startswith(("_", ".")):
+                stem = name[: -len(".json")]
+                if stem.isdigit():
+                    out.append(int(stem))
+        return sorted(out)
+
+    def _commit(self, table: str, actions: list[dict]) -> int:
+        """Write one commit via tmp-file + hard-link put-if-absent; on
+        EEXIST (a concurrent writer claimed the version) retry at the next
+        number — sound here because every commit this backend produces is
+        a blind append / self-contained overwrite (Delta's append-only
+        conflict rule). Returns the committed version."""
+        d = self._dlog(table)
+        os.makedirs(d, exist_ok=True)
+        payload = "".join(json.dumps(a, sort_keys=True) + "\n" for a in actions)
+        while True:
+            version = (self._versions(table) or [-1])[-1] + 1
+            final = f"{d}/{self._commit_name(version)}"
+            tmp = f"{d}/.{self._commit_name(version)}.{os.getpid()}.{os.urandom(4).hex()}.tmp"
+            with open(tmp, "w") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, final)  # put-if-absent: fails if version taken
+                os.unlink(tmp)
+            except FileExistsError:
+                os.unlink(tmp)
+                continue
+            self._maybe_checkpoint(table, version)
+            return version
+
+    def _table_state(self, table: str) -> dict[str, dict] | None:
+        """path → add action for the LIVE files, from latest checkpoint +
+        tail replay. None when the table has no transaction log at all."""
+        d = self._dlog(table)
+        if not os.path.isdir(d):
+            return None
+        active: dict[str, dict] = {}
+        start = 0
+        cp = self._read_last_checkpoint(table)
+        if cp is not None:
+            cp_version, rows = cp
+            for a in rows:
+                if a.get("add"):
+                    active[a["add"]["path"]] = a["add"]
+            start = cp_version + 1
+        for v in self._versions(table):
+            if v < start:
+                continue
+            with open(f"{d}/{self._commit_name(v)}") as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "add" in a:
+                        active[a["add"]["path"]] = a["add"]
+                    elif "remove" in a:
+                        active.pop(a["remove"]["path"], None)
+        return active
+
+    def _maybe_checkpoint(self, table: str, version: int) -> None:
+        if version == 0 or version % self.CHECKPOINT_INTERVAL != 0:
+            return
+        self._write_checkpoint(table, version)
+
+    def _write_checkpoint(self, table: str, version: int) -> None:
+        """Materialize the state at ``version`` as the spec's checkpoint
+        parquet (one row per action: protocol, metaData, live adds) +
+        ``_last_checkpoint``. Metadata-scale, written driver-side with
+        pyarrow — exactly what a Delta writer does."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        state = self._table_state(table) or {}
+        meta = self._read_meta(table)
+        rows: list[dict] = [
+            {"protocol": self._PROTOCOL, "metaData": meta, "add": None},
+        ]
+        for add in state.values():
+            rows.append({"protocol": None, "metaData": None, "add": add})
+        schema = pa.schema(
+            [
+                pa.field(
+                    "protocol",
+                    pa.struct(
+                        [
+                            pa.field("minReaderVersion", pa.int32()),
+                            pa.field("minWriterVersion", pa.int32()),
+                        ]
+                    ),
+                ),
+                pa.field(
+                    "metaData",
+                    pa.struct(
+                        [
+                            pa.field("id", pa.string()),
+                            pa.field("schemaString", pa.string()),
+                            pa.field("partitionColumns", pa.list_(pa.string())),
+                        ]
+                    ),
+                ),
+                pa.field(
+                    "add",
+                    pa.struct(
+                        [
+                            pa.field("path", pa.string()),
+                            pa.field(
+                                "partitionValues",
+                                pa.map_(pa.string(), pa.string()),
+                            ),
+                            pa.field("size", pa.int64()),
+                            pa.field("modificationTime", pa.int64()),
+                            pa.field("dataChange", pa.bool_()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+
+        def _conv(r):
+            out = dict(r)
+            if out["add"] is not None:
+                a = dict(out["add"])
+                a["partitionValues"] = sorted(a["partitionValues"].items())
+                out["add"] = a
+            if out["metaData"] is not None:
+                out["metaData"] = {
+                    k: out["metaData"].get(k)
+                    for k in ("id", "schemaString", "partitionColumns")
+                }
+            return out
+
+        tbl = pa.Table.from_pylist([_conv(r) for r in rows], schema=schema)
+        d = self._dlog(table)
+        pq.write_table(tbl, f"{d}/{version:020d}.checkpoint.parquet")
+        tmp = f"{d}/._last_checkpoint.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "size": len(rows)}, f)
+        os.rename(tmp, f"{d}/_last_checkpoint")
+
+    def _read_last_checkpoint(self, table: str):
+        d = self._dlog(table)
+        lc = f"{d}/_last_checkpoint"
+        if not os.path.exists(lc):
+            return None
+        with open(lc) as f:
+            version = json.load(f)["version"]
+        import pyarrow.parquet as pq
+
+        path = f"{d}/{version:020d}.checkpoint.parquet"
+        rows = pq.read_table(path).to_pylist()
+        for r in rows:
+            if r.get("add") and isinstance(r["add"].get("partitionValues"), list):
+                r["add"]["partitionValues"] = dict(r["add"]["partitionValues"])
+        return version, rows
+
+    def _read_meta(self, table: str) -> dict:
+        """metaData action of the table (checkpoint or commit 0)."""
+        cp = self._read_last_checkpoint(table)
+        if cp is not None:
+            for a in cp[1]:
+                if a.get("metaData"):
+                    return a["metaData"]
+        d = self._dlog(table)
+        for v in self._versions(table):
+            with open(f"{d}/{self._commit_name(v)}") as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "metaData" in a:
+                        return a["metaData"]
+        raise RuntimeError(f"Delta table {table} has no metaData action")
+
+    # ---------------- add-action construction ----------------
+
+    @staticmethod
+    def _partition_values(rel: str) -> dict[str, str]:
+        vals = {}
+        for seg in rel.split("/")[:-1]:
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                vals[k] = v
+        return vals
+
+    def _add_actions(self, table: str, files: list[str]) -> list[dict]:
+        out = []
+        for p in sorted(files):
+            rel = os.path.relpath(p, table)
+            st = os.stat(p)
+            out.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": self._partition_values(rel),
+                        "size": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+        return out
+
+    def _meta_actions(self, schema_json: str, partition_cols: list[str]) -> list[dict]:
+        import uuid
+
+        return [
+            {"protocol": dict(self._PROTOCOL)},
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_json,
+                    "partitionColumns": partition_cols,
+                    "configuration": {},
+                }
+            },
+        ]
+
+    def _list_parts(self, d: str) -> set[str]:
+        parts: set[str] = set()
+        for root, dirs, files in os.walk(d):
+            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    parts.add(os.path.join(root, f))
+        return parts
+
+    # ---------------- the three seam overrides ----------------
+
+    def _write_log_batch(self, batch: DataFrame) -> None:
+        first = not os.path.isdir(self._dlog(self.log_dir))
+        before = (
+            self._list_parts(self.log_dir) if os.path.isdir(self.log_dir) else set()
+        )
+        batch.write.mode("append").partitionBy("ns", "segment").parquet(self.log_dir)
+        new = self._list_parts(self.log_dir) - before
+        actions: list[dict] = []
+        if first:
+            actions += self._meta_actions(batch.schema.json(), ["ns", "segment"])
+        actions += self._add_actions(self.log_dir, sorted(new))
+        self._commit(self.log_dir, actions)
+
+    def _write_snapshot(self, state: DataFrame, upto: int) -> None:
+        table = f"{self.snap_dir}/upto={upto}"
+        existing = self._table_state(table)
+        before = self._list_parts(table) if os.path.isdir(table) else set()
+        state.write.mode("append").parquet(table)
+        new = self._list_parts(table) - before
+        actions: list[dict] = []
+        if existing is None:
+            actions += self._meta_actions(state.schema.json(), [])
+        else:
+            # re-compact at the same high-water: a real OVERWRITE commit —
+            # logical remove of every live file + add of the new ones,
+            # atomically in one version; replaced files stay on disk
+            # (time-travel retention)
+            for rel in sorted(existing):
+                actions.append(
+                    {"remove": {"path": rel, "dataChange": True}}
+                )
+        actions += self._add_actions(table, sorted(new))
+        self._commit(table, actions)
+
+    def _read_dir(self, d: str, schema: str = DISK_SCHEMA):
+        state = self._table_state(d)
+        if not state:
+            return None  # no table, or no live files — an empty store
+        files = [f"{d}/{rel}" for rel in sorted(state)]
+        return (
+            self.spark.read.option("basePath", d).schema(schema).parquet(*files)
+        )
+
+    # ---------------- vacuum & recovery (remove-journaled) ----------------
+
+    def _vacuum_uncommitted(self, hw: int) -> int:
+        """Orphan rows above the committed high-water: journal ``remove``
+        actions FIRST, then unlink — after the commit no reader resolves
+        the files, so the unlink can never strand an add pointing at a
+        missing file (the protocol invariant the manifest backend only
+        approximates by tolerating ghosts)."""
+        stats = self._orphan_file_stats(hw)
+        n_removed = 0
+        if stats:
+            self._commit(
+                self.log_dir,
+                [
+                    {
+                        "remove": {
+                            "path": os.path.relpath(p, self.log_dir),
+                            "dataChange": True,
+                        }
+                    }
+                    for p, _n in sorted(stats)
+                ],
+            )
+            for p, n in stats:
+                try:
+                    os.unlink(p)
+                    n_removed += n
+                except FileNotFoundError:
+                    pass
+        self._sweep_untracked()
+        return n_removed
+
+    def _sweep_untracked(self) -> int:
+        """Physical files no action ever tracked — the leftovers of a
+        writer that crashed between its parquet job and its commit (plus
+        torn hidden .tmp commit attempts). Invisible to every reader by
+        construction; removing them is disk hygiene, same contract as the
+        manifest backend's sweep (never run while a writer is in
+        flight). Files referenced by REMOVE actions are retained (time
+        travel)."""
+        n = 0
+        for table in self._tables():
+            state = self._table_state(table)
+            if state is None:
+                continue
+            tracked = {f"{table}/{rel}" for rel in self._all_tracked(table)}
+            for p in sorted(self._list_parts(table) - tracked):
+                os.unlink(p)
+                n += 1
+            d = self._dlog(table)
+            for name in os.listdir(d):
+                if name.startswith(".") and name.endswith(".tmp"):
+                    os.unlink(f"{d}/{name}")
+                    n += 1
+        return n
+
+    def _all_tracked(self, table: str) -> set[str]:
+        """Every path any add OR remove action ever referenced (removes
+        are retained files, not sweepable leftovers)."""
+        tracked: set[str] = set()
+        cp = self._read_last_checkpoint(table)
+        if cp is not None:
+            for a in cp[1]:
+                if a.get("add"):
+                    tracked.add(a["add"]["path"])
+        d = self._dlog(table)
+        for v in self._versions(table):
+            with open(f"{d}/{self._commit_name(v)}") as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "add" in a:
+                        tracked.add(a["add"]["path"])
+                    elif "remove" in a:
+                        tracked.add(a["remove"]["path"])
+        return tracked
+
+    def _tables(self) -> list[str]:
+        out = []
+        if os.path.isdir(self._dlog(self.log_dir)):
+            out.append(self.log_dir)
+        if os.path.isdir(self.snap_dir):
+            for name in sorted(os.listdir(self.snap_dir)):
+                t = f"{self.snap_dir}/{name}"
+                if name.startswith("upto=") and os.path.isdir(self._dlog(t)):
+                    out.append(t)
+        return out

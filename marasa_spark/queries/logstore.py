@@ -685,3 +685,37 @@ def j13_log_manifest_backend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rogue.write.mode("append").partitionBy("ns", "segment").parquet(store.log_dir)
     return store.latest().select("ns", "key", "value")
+
+
+# ---------------------------------------------------------------------------
+# j14 — the open-Delta-protocol backend as a driver-checked row
+# ---------------------------------------------------------------------------
+
+J14_ORACLE = J13_ORACLE
+
+
+@register("j14_log_delta_backend", oracle=J14_ORACLE, group="J")
+def j14_log_delta_backend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j13's contract row on DeltaMarasaLog — the backend that writes the
+    REAL open Delta transaction-log protocol (_delta_log/ numbered JSON
+    commits with protocol/metaData/add/remove actions, parquet checkpoint
+    + _last_checkpoint, put-if-absent commit files; log_backends.py). The
+    same events→log→compact→latest pipeline must hash-match the identical
+    plain-SQL oracle, and the same rogue-file probe as j13 proves readers
+    resolve data files from the transaction log, never the directory
+    listing. segment_size is set low so the run crosses a checkpoint
+    boundary and the read path exercises checkpoint + tail replay, not
+    just raw commit replay."""
+    from marasa_spark.log_backends import DeltaMarasaLog
+
+    store = DeltaMarasaLog(spark, fresh_scratch("j14_log", sf_dir))
+    store.append(_events_as_log(spark, sf_dir))
+    store.compact()
+    import datetime
+
+    rogue = spark.createDataFrame(
+        [("click", "7", 1, datetime.datetime(2030, 1, 1), "ROGUE", 0)],
+        "ns string, key string, seqno long, ts timestamp, value string, segment long",
+    )
+    rogue.write.mode("append").partitionBy("ns", "segment").parquet(store.log_dir)
+    return store.latest().select("ns", "key", "value")

@@ -200,3 +200,160 @@ def test_manifest_recover_sweeps_unmanifested(spark, tmp_path):
     vals = {r["key"]: r["value"] for r in store.latest("a").collect()}
     assert vals == {"k1": "v1", "k2": "v2"}
     assert store.max_seqno() == 2
+
+
+def test_delta_backend_full_surface(spark, tmp_path):
+    from marasa_spark.log_backends import DeltaMarasaLog
+
+    store = DeltaMarasaLog(spark, str(tmp_path / "dstore"), segment_size=3)
+
+    assert store.append(_batch(spark, [("a", "k1", "v1"), ("a", "k2", "v2")], 0)) == 2
+    assert store.append(_batch(spark, [("a", "k1", "v3"), ("b", "k9", "v4")], 10)) == 4
+    latest = {(r["ns"], r["key"]): r["value"] for r in store.latest().collect()}
+    assert latest == {("a", "k1"): "v3", ("a", "k2"): "v2", ("b", "k9"): "v4"}
+    asof2 = {(r["ns"], r["key"]): r["value"] for r in store.asof(2).collect()}
+    assert asof2 == {("a", "k1"): "v1", ("a", "k2"): "v2"}
+    assert [r["value"] for r in store.history("a", "k1").collect()] == ["v1", "v3"]
+    assert store.compact() == 4
+    assert store.append(_batch(spark, [("a", "k2", "v5")], 20)) == 5
+    latest2 = {(r["ns"], r["key"]): r["value"] for r in store.latest().collect()}
+    assert latest2[("a", "k2")] == "v5" and latest2[("a", "k1")] == "v3"
+    # re-compact at the same high-water = a real OVERWRITE transaction
+    assert store.compact() == 5
+    assert {
+        (r["ns"], r["key"]): r["value"] for r in store.latest().collect()
+    } == latest2
+
+
+def test_delta_protocol_layout_is_independently_parseable(spark, tmp_path):
+    """The on-disk layout must be the OPEN protocol, checkable without any
+    of the backend's own reader code: numbered ndjson commits under
+    _delta_log/, version 0 carrying protocol (reader 1 / writer 2) and
+    metaData (id, parquet format, Spark schemaString, partitionColumns),
+    every add a relative path that exists with correct partitionValues,
+    and an overwrite commit containing remove actions for the replaced
+    files."""
+    import json
+    import os
+
+    from marasa_spark.log_backends import DeltaMarasaLog
+
+    store = DeltaMarasaLog(spark, str(tmp_path / "proto"), segment_size=3)
+    store.append(_batch(spark, [("a", "k1", "v1"), ("b", "k2", "v2")], 0))
+    store.compact()
+    store.append(_batch(spark, [("a", "k1", "v3")], 10))
+    store.compact()  # same-high-water? no — high-water moved; new upto dir
+    store.compact()  # SAME high-water: the overwrite commit
+
+    dlog = f"{store.log_dir}/_delta_log"
+    names = sorted(
+        n for n in os.listdir(dlog) if n.endswith(".json") and n[0].isdigit()
+    )
+    assert names[0] == "00000000000000000000.json"
+    actions0 = [
+        json.loads(line) for line in open(f"{dlog}/{names[0]}") if line.strip()
+    ]
+    protocols = [a["protocol"] for a in actions0 if "protocol" in a]
+    metas = [a["metaData"] for a in actions0 if "metaData" in a]
+    assert protocols == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    assert len(metas) == 1
+    meta = metas[0]
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    assert meta["partitionColumns"] == ["ns", "segment"]
+    assert "seqno" in meta["schemaString"] and meta["id"]
+    # every add in every commit: relative existing path + partitionValues
+    for name in names:
+        for a in (json.loads(l) for l in open(f"{dlog}/{name}") if l.strip()):
+            if "add" not in a:
+                continue
+            add = a["add"]
+            assert not add["path"].startswith("/")
+            assert os.path.exists(f"{store.log_dir}/{add['path']}")
+            assert add["partitionValues"].get("ns") in {"a", "b"}
+            assert add["dataChange"] is True and add["size"] > 0
+    # the re-compacted snapshot table holds an overwrite commit (removes)
+    snaps = sorted(os.listdir(store.snap_dir))
+    last_snap = f"{store.snap_dir}/{snaps[-1]}"
+    sdlog = f"{last_snap}/_delta_log"
+    sn = sorted(n for n in os.listdir(sdlog) if n.endswith(".json"))
+    assert len(sn) == 2, "re-compact must be a second VERSION, not a wipe"
+    v1 = [json.loads(l) for l in open(f"{sdlog}/{sn[1]}") if l.strip()]
+    assert any("remove" in a for a in v1) and any("add" in a for a in v1)
+    # replaced files are retained on disk (time-travel retention)
+    for a in v1:
+        if "remove" in a:
+            assert os.path.exists(f"{last_snap}/{a['remove']['path']}")
+
+
+def test_delta_checkpoint_replaces_commit_prefix(spark, tmp_path):
+    """After a checkpoint lands, the JSON commits at or below its version
+    are REDUNDANT: delete them (Delta's log-retention cleanup) and a fresh
+    reader must still reconstruct the exact state from checkpoint + tail —
+    the property that bounds metadata replay on a long-lived table."""
+    import os
+
+    from marasa_spark.log_backends import DeltaMarasaLog
+
+    store = DeltaMarasaLog(spark, str(tmp_path / "cp"), segment_size=100)
+    want = {}
+    for i in range(12):  # crosses CHECKPOINT_INTERVAL=10
+        store.append(_batch(spark, [("n", f"k{i}", f"v{i}")], i * 5))
+        want[("n", f"k{i}")] = f"v{i}"
+    dlog = f"{store.log_dir}/_delta_log"
+    assert os.path.exists(f"{dlog}/_last_checkpoint")
+    import json
+
+    cp_v = json.load(open(f"{dlog}/_last_checkpoint"))["version"]
+    removed = 0
+    for name in list(os.listdir(dlog)):
+        if name.endswith(".json") and name[0].isdigit() and int(name[:-5]) <= cp_v:
+            os.unlink(f"{dlog}/{name}")
+            removed += 1
+    assert removed > 0
+    reader = DeltaMarasaLog(spark, str(tmp_path / "cp"))
+    got = {(r["ns"], r["key"]): r["value"] for r in reader.latest().collect()}
+    assert got == want
+    assert reader.max_seqno() == 12
+
+
+def test_delta_vacuum_journals_removes_before_unlink(spark, tmp_path):
+    """A crashed writer's orphan files must leave the table with NO add
+    action pointing at a missing file after recovery: vacuum commits
+    remove actions, then unlinks — verified by replaying the log
+    independently and checking every live add's file exists."""
+    import json
+    import os
+
+    from marasa_spark.log import MarasaLog
+    from marasa_spark.log_backends import DeltaMarasaLog
+
+    store = DeltaMarasaLog(spark, str(tmp_path / "vac"), segment_size=3)
+    store.append(_batch(spark, [("a", "k1", "v1")], 0))
+    # crash injection: claim + data + DELTA COMMIT, but no MarasaLog
+    # commit marker (the window between _write_log_batch and _commit_base)
+    base = store.max_seqno()
+    store._claim_base(base)
+    orphan = store._number_batch(_batch(spark, [("a", "k1", "TORN")], 30), base)
+    orphan = orphan.withColumn("segment", F.lit(0).cast("long"))
+    store._write_log_batch(orphan)
+    assert store.get("a", "k1") == "v1", "uncommitted row leaked"
+    assert store.recover_claims() == 1
+    assert store.get("a", "k1") == "v1"
+    # independent replay: live adds must all exist on disk
+    dlog = f"{store.log_dir}/_delta_log"
+    active = {}
+    for name in sorted(os.listdir(dlog)):
+        if not (name.endswith(".json") and name[0].isdigit()):
+            continue
+        for a in (json.loads(l) for l in open(f"{dlog}/{name}") if l.strip()):
+            if "add" in a:
+                active[a["add"]["path"]] = True
+            elif "remove" in a:
+                active.pop(a["remove"]["path"], None)
+    assert active, "no live files left?"
+    for rel in active:
+        assert os.path.exists(f"{store.log_dir}/{rel}"), (
+            f"live add points at vacuumed file {rel}"
+        )
+    # and the store still appends cleanly from the recovered base
+    assert store.append(_batch(spark, [("a", "k2", "v2")], 40)) == 2

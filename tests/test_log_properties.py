@@ -18,7 +18,11 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from marasa_spark.log import MarasaLog
-from marasa_spark.log_backends import JsonMarasaLog, ManifestMarasaLog
+from marasa_spark.log_backends import (
+    DeltaMarasaLog,
+    JsonMarasaLog,
+    ManifestMarasaLog,
+)
 
 NS = ["alpha", "beta"]
 KEYS = ["k0", "k1", "k2"]
@@ -42,8 +46,8 @@ def tmp_base(tmp_path_factory):
 
 @pytest.fixture(
     scope="module",
-    params=[MarasaLog, JsonMarasaLog, ManifestMarasaLog],
-    ids=["parquet", "json", "manifest"],
+    params=[MarasaLog, JsonMarasaLog, ManifestMarasaLog, DeltaMarasaLog],
+    ids=["parquet", "json", "manifest", "delta"],
 )
 def backend(request):
     """Every property in this file must hold for EVERY physical backend —
@@ -857,3 +861,99 @@ def test_manifest_torn_commit_states_are_invisible(
     # and every surviving manifest entry points at a real file
     for fp in store._manifested_files(store.log_dir) or []:
         assert os.path.exists(fp)
+
+
+_DELTA_TORN = [
+    # crash between the parquet data job and the Delta commit: files on
+    # disk, no add action (the log-side window)
+    "data_no_commit",
+    # crash inside _commit's tmp write: a torn hidden .tmp commit attempt
+    # (final commit files are hard-linked whole, so only tmp can tear)
+    "torn_tmp_commit",
+    # a staged snapshot table whose data landed but whose _delta_log never
+    # materialized: selected by directory NAME, must read as empty and
+    # fall back to full-log replay
+    "snapshot_no_log",
+]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    injections=st.lists(
+        st.sampled_from(_DELTA_TORN), min_size=1, max_size=3, unique=True
+    ),
+    n_pre=st.integers(1, 3),
+)
+def test_delta_torn_commit_states_are_invisible(spark, tmp_base, injections, n_pre):
+    """Every Delta-protocol crash window leaves the table readable at
+    exactly the committed prefix (the manifest backend's torn-commit
+    property, re-proven for the real protocol's windows)."""
+    import os
+    import uuid
+
+    path = str(tmp_base / f"dtorn_{uuid.uuid4().hex}")
+    store = DeltaMarasaLog(spark, path)
+    committed = []
+    for i in range(n_pre):
+        committed.append(("n", f"k{i}", f"v{i}"))
+        assert (
+            store.append(
+                spark.createDataFrame(
+                    [committed[-1]], "ns string, key string, value string"
+                )
+            )
+            == i + 1
+        )
+    want = {k: v for _ns, k, v in committed}
+
+    crashed_claim = False
+    for kind in injections:
+        if kind == "data_no_commit":
+            store._claim_base(n_pre)
+            crashed_claim = True
+            orphan = store._number_batch(
+                spark.createDataFrame(
+                    [("n", "k0", "TORN")], "ns string, key string, value string"
+                ),
+                base=n_pre,
+            ).withColumn(
+                "segment",
+                (
+                    F.floor(F.col("seqno") / store.segment_size)
+                    * store.segment_size
+                ).cast("long"),
+            )
+            # the data job WITHOUT the Delta commit
+            MarasaLog._write_log_batch(store, orphan)
+        elif kind == "torn_tmp_commit":
+            dlog = f"{store.log_dir}/_delta_log"
+            os.makedirs(dlog, exist_ok=True)
+            with open(f"{dlog}/.00000000000000000099.json.dead.tmp", "w") as f:
+                f.write('{"add": {"path": "truncat')  # torn mid-write
+        elif kind == "snapshot_no_log":
+            staged = f"{store.snap_dir}/upto={n_pre}"
+            os.makedirs(staged, exist_ok=True)
+            with open(f"{staged}/part-00000.parquet", "wb") as f:
+                f.write(b"PAR1 not really parquet")
+
+    reader = DeltaMarasaLog(spark, path)
+    assert {r["key"]: r["value"] for r in reader.latest().collect()} == want
+    assert reader.max_seqno() == n_pre
+    if crashed_claim:
+        assert reader.recover_claims() >= 1
+        # post-recovery: orphans vacuumed via journaled removes, store
+        # appends cleanly from the committed base
+        assert (
+            reader.append(
+                spark.createDataFrame(
+                    [("n", "knew", "vnew")], "ns string, key string, value string"
+                )
+            )
+            == n_pre + 1
+        )
+        got = {r["key"]: r["value"] for r in reader.latest().collect()}
+        assert got == {**want, "knew": "vnew"}
