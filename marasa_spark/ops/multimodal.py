@@ -1360,14 +1360,20 @@ def synthesize_bmp(
     palette: "list[tuple[int, int, int]] | None" = None,
     indices: "list[int] | None" = None,
     top_down: bool = False,
+    rle8: bool = False,
 ) -> bytes:
-    """A valid Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB):
-    24-bit direct color from ``pixels`` (row-major top-to-bottom (r, g, b)
-    tuples) or 8-bit paletted from ``palette`` + ``indices``. Rows are
-    stored bottom-up unless ``top_down`` (negative biHeight — both
-    orientations exist in the wild). Encoder counterpart of
-    :func:`decode_bmp_pixels`."""
+    """A valid Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER): 24-bit
+    direct color from ``pixels`` (row-major top-to-bottom (r, g, b)
+    tuples) or 8-bit paletted from ``palette`` + ``indices`` — BI_RGB, or
+    BI_RLE8 with ``rle8`` (8 bpp only, bottom-up only per the spec; the
+    encoder emits encoded runs for repeats and absolute mode for literal
+    stretches, so a decoder must handle both plus the end-of-line /
+    end-of-bitmap escapes). Rows are stored bottom-up unless ``top_down``
+    (negative biHeight — both orientations exist in the wild). Encoder
+    counterpart of :func:`decode_bmp_pixels`."""
     if bpp == 24:
+        if rle8:
+            raise ValueError("BI_RLE8 is 8 bpp only")
         row_bytes = width * 3
         pal = b""
     elif bpp == 8:
@@ -1376,21 +1382,26 @@ def synthesize_bmp(
         row_bytes = width
         pal = b"".join(bytes((b_, g, r, 0)) for (r, g, b_) in palette)
     else:
-        raise ValueError("BMP synthesis supports 24-bit and 8-bit BI_RGB")
-    pad = (-row_bytes) % 4
-    rows = []
-    for y in range(height):
-        if bpp == 24:
-            row = b"".join(
-                bytes((b_, g, r))  # stored blue-green-red
-                for (r, g, b_) in pixels[y * width : (y + 1) * width]
-            )
-        else:
-            row = bytes(indices[y * width : (y + 1) * width])
-        rows.append(row + b"\x00" * pad)
-    if not top_down:
-        rows.reverse()  # positive biHeight = bottom-up storage
-    data = b"".join(rows)
+        raise ValueError("BMP synthesis supports 24-bit and 8-bit")
+    if rle8:
+        if top_down:
+            raise ValueError("top-down BMP cannot be RLE-compressed")
+        data = _encode_rle8(width, height, indices)
+    else:
+        pad = (-row_bytes) % 4
+        rows = []
+        for y in range(height):
+            if bpp == 24:
+                row = b"".join(
+                    bytes((b_, g, r))  # stored blue-green-red
+                    for (r, g, b_) in pixels[y * width : (y + 1) * width]
+                )
+            else:
+                row = bytes(indices[y * width : (y + 1) * width])
+            rows.append(row + b"\x00" * pad)
+        if not top_down:
+            rows.reverse()  # positive biHeight = bottom-up storage
+        data = b"".join(rows)
     offset = 14 + 40 + len(pal)
     file_header = b"BM" + struct.pack("<IHHI", offset + len(data), 0, 0, offset)
     info = struct.pack(
@@ -1400,7 +1411,7 @@ def synthesize_bmp(
         -height if top_down else height,
         1,  # planes
         bpp,
-        0,  # BI_RGB
+        1 if rle8 else 0,  # BI_RLE8 / BI_RGB
         len(data),
         2835,
         2835,
@@ -1410,14 +1421,106 @@ def synthesize_bmp(
     return file_header + info + pal + data
 
 
+def _encode_rle8(width: int, height: int, indices: "list[int]") -> bytes:
+    """BI_RLE8 encoder: per storage row (bottom-up), consecutive equal
+    indices become encoded runs (count ≤ 255); stretches of non-repeating
+    indices (run length 1, ≥ 3 in a row) become absolute-mode literals
+    with their 16-bit padding; each row ends with the end-of-line escape
+    and the stream with end-of-bitmap — together the fixture exercises
+    every non-delta opcode a real encoder emits."""
+    out = bytearray()
+    for y in range(height - 1, -1, -1):  # storage order = bottom-up
+        row = indices[y * width : (y + 1) * width]
+        runs: "list[tuple[int, int]]" = []  # (count, value)
+        for v in row:
+            if runs and runs[-1][1] == v and runs[-1][0] < 255:
+                runs[-1] = (runs[-1][0] + 1, v)
+            else:
+                runs.append((1, v))
+        i = 0
+        while i < len(runs):
+            # collect a literal stretch of ≥3 single-count runs
+            j = i
+            while j < len(runs) and runs[j][0] == 1 and j - i < 255:
+                j += 1
+            if j - i >= 3:
+                lits = [v for _c, v in runs[i:j]]
+                out += bytes((0, len(lits))) + bytes(lits)
+                if len(lits) & 1:
+                    out += b"\x00"  # word alignment
+                i = j
+            else:
+                c, v = runs[i]
+                out += bytes((c, v))
+                i += 1
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    return bytes(out)
+
+
+def _decode_rle8(
+    b: bytes, offset: int, width: int, height: int
+) -> "list[list[int]]":
+    """BI_RLE8 run expansion → per-row palette-index lists in STORAGE
+    order (row 0 = bottom row of the image). The public encoding
+    (Windows BMP spec): ``(count, index)`` pairs repeat ``index`` count
+    times; ``count == 0`` escapes to end-of-line (0), end-of-bitmap (1),
+    delta (2: advance the cursor ``dx`` right / ``dy`` rows UP in storage
+    order), or absolute mode (n ≥ 3: n literal indices, padded to a
+    16-bit boundary). Pixels the stream never writes (delta skips, early
+    end-of-bitmap, short lines) are index 0 — the Windows fill
+    convention. Hostile streams (runs past the row end, cursor past the
+    bitmap, truncated escapes) raise ValueError rather than clamping:
+    malformed input must never silently decode to something."""
+    rows = [[0] * width for _ in range(height)]
+    x, y = 0, 0
+    at = offset
+    n = len(b)
+    while True:
+        if at + 2 > n:
+            raise ValueError("RLE8 stream truncated")
+        count, val = b[at], b[at + 1]
+        at += 2
+        if count > 0:  # encoded run
+            if y >= height or x + count > width:
+                raise ValueError("RLE8 run overflows the bitmap")
+            rows[y][x : x + count] = [val] * count
+            x += count
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+            if y > height:
+                raise ValueError("RLE8 end-of-line past the last row")
+        elif val == 1:  # end of bitmap
+            return rows
+        elif val == 2:  # delta
+            if at + 2 > n:
+                raise ValueError("RLE8 delta truncated")
+            dx, dy = b[at], b[at + 1]
+            at += 2
+            x, y = x + dx, y + dy
+            if x > width or y > height:
+                raise ValueError("RLE8 delta moves past the bitmap")
+        else:  # absolute mode: val literal indices, word-aligned
+            if y >= height or x + val > width:
+                raise ValueError("RLE8 absolute run overflows the bitmap")
+            end = at + val
+            if end + (val & 1) > n:
+                raise ValueError("RLE8 absolute run truncated")
+            rows[y][x : x + val] = list(b[at:end])
+            x += val
+            at = end + (val & 1)  # pad to 16-bit boundary
+
+
 def decode_bmp_pixels(b: bytes) -> tuple[int, int, "list[tuple[int, int, int]]"]:
     """Pure-stdlib BMP decoder: BITMAPFILEHEADER + BITMAPINFOHEADER,
     uncompressed BI_RGB at 24 bpp (direct BGR) or 8 bpp (palette lookup),
     either row order (positive biHeight = bottom-up, negative =
-    top-down). Returns ``(width, height, pixels)`` with pixels row-major
-    top-to-bottom as (r, g, b) tuples. RLE-compressed and 16/32-bit
-    bitfield BMPs raise NotImplementedError (the same declared boundary
-    the other codecs use); malformed headers raise ValueError."""
+    top-down), plus BI_RLE8 run-length 8 bpp (runs, absolute mode, delta
+    and end-of-line/bitmap escapes — see :func:`_decode_rle8`). Returns
+    ``(width, height, pixels)`` with pixels row-major top-to-bottom as
+    (r, g, b) tuples. RLE4 and 16/32-bit bitfield BMPs raise
+    NotImplementedError (the same declared boundary the other codecs
+    use); malformed headers raise ValueError."""
     if b[:2] != b"BM":
         raise ValueError("not a BMP payload")
     if len(b) < 54:
@@ -1429,15 +1532,22 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, "list[tuple[int, int, int]]"]
     width, raw_h = struct.unpack("<ii", b[18:26])
     planes, bpp = struct.unpack("<HH", b[26:30])
     compression = struct.unpack("<I", b[30:34])[0]
-    if compression != 0 or bpp not in (8, 24):
+    if not (
+        (compression == 0 and bpp in (8, 24))
+        or (compression == 1 and bpp == 8)  # BI_RLE8
+    ):
         raise NotImplementedError(
-            "reference decoder handles uncompressed BI_RGB at 8/24 bpp; "
-            "RLE and bitfield BMPs are the external-codec slot"
+            "reference decoder handles uncompressed BI_RGB at 8/24 bpp and "
+            "RLE8; RLE4 and bitfield BMPs are the external-codec slot"
         )
     if width <= 0 or raw_h == 0 or planes != 1:
         raise ValueError("BMP dimensions out of range")
     top_down = raw_h < 0
     height = -raw_h if top_down else raw_h
+    if compression == 1 and top_down:
+        # the spec forbids compressed top-down bitmaps (biHeight must be
+        # positive for BI_RLE8)
+        raise ValueError("top-down BMP cannot be RLE-compressed")
     palette: "list[tuple[int, int, int]]" = []
     if bpp == 8:
         # biClrUsed is attacker-controlled; 8 bpp can index at most 256
@@ -1450,6 +1560,15 @@ def decode_bmp_pixels(b: bytes) -> tuple[int, int, "list[tuple[int, int, int]]"]
         for i in range(n_colors):
             b_, g, r = b[pal_at + 4 * i : pal_at + 4 * i + 3]
             palette.append((r, g, b_))
+    if compression == 1:
+        idx_rows = _decode_rle8(b, offset, width, height)
+        pixels_rle: "list[tuple[int, int, int]]" = []
+        for y in range(height - 1, -1, -1):  # bottom-up → top-to-bottom
+            for idx in idx_rows[y]:
+                if idx >= len(palette):
+                    raise ValueError("BMP palette index out of range")
+                pixels_rle.append(palette[idx])
+        return width, height, pixels_rle
     row_bytes = width * (3 if bpp == 24 else 1)
     stride = row_bytes + ((-row_bytes) % 4)
     if offset + stride * height > len(b):

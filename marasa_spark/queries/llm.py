@@ -5828,26 +5828,32 @@ def k94_wav_float24_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k95 — BMP decode (24-bit direct + 8-bit paletted, both row orders): the
 # one common uncompressed raster format the PNG/JPEG/GIF matrix didn't
 # cover; pure struct arithmetic, so it joins the REAL-decode set and the
-# external slot stays RLE/bitfield BMPs only.
+# external slot stays RLE4/bitfield BMPs only (RLE8 decoded since round 11).
 # ---------------------------------------------------------------------------
 
 K95_ORACLE = """
 WITH dims AS (
   SELECT doc_id,
          3 + doc_id % 17 AS w, 2 + doc_id % 11 AS h,
-         CAST(doc_id % 3 AS INT) AS mode
+         CAST(doc_id % 4 AS INT) AS mode
   FROM documents WHERE doc_id < 300
-), px AS (
-  SELECT doc_id, w, h, mode,
-    CASE WHEN mode < 2 THEN (doc_id*31 + y*17 + x*7) % 256
-         ELSE (7 * ((x + 3*y + doc_id) % 16) + doc_id) % 256 END AS r,
-    CASE WHEN mode < 2 THEN (doc_id*13 + y*5 + x*11) % 256
-         ELSE (11 * ((x + 3*y + doc_id) % 16) + 3) % 256 END AS g,
-    CASE WHEN mode < 2 THEN (doc_id*7 + y*3 + x*13) % 256
-         ELSE (13 * ((x + 3*y + doc_id) % 16) + 7) % 256 END AS b
+), pidx AS (
+  SELECT doc_id, w, h, mode, x, y,
+    CASE WHEN mode = 2 THEN (x + 3*y + doc_id) % 16
+         WHEN mode = 3 THEN ((x // 3) + 3*y + doc_id) % 16
+         ELSE 0 END AS p
   FROM dims,
        LATERAL (SELECT unnest(range(0, h)) AS y) t1,
        LATERAL (SELECT unnest(range(0, w)) AS x) t2
+), px AS (
+  SELECT doc_id, w, h, mode,
+    CASE WHEN mode < 2 THEN (doc_id*31 + y*17 + x*7) % 256
+         ELSE (7 * p + doc_id) % 256 END AS r,
+    CASE WHEN mode < 2 THEN (doc_id*13 + y*5 + x*11) % 256
+         ELSE (11 * p + 3) % 256 END AS g,
+    CASE WHEN mode < 2 THEN (doc_id*7 + y*3 + x*13) % 256
+         ELSE (13 * p + 7) % 256 END AS b
+  FROM pidx
 )
 SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height, mode,
        CAST(count(*) AS BIGINT) AS n_px,
@@ -5866,13 +5872,17 @@ def k95_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     24-bit direct color stored bottom-up (mode 0), 24-bit top-down via
     negative biHeight (mode 1 — same pixels, opposite row order, so the
     orientation branch is actually exercised against one closed form), or
-    8-bit paletted (mode 2, BGRX palette lookup); pixels follow closed
-    forms in (doc_id, x, y); per-image channel sums hash-match DuckDB
-    evaluating the forms directly. Row padding to 4-byte boundaries and
-    the BGR byte order are the decode hazards the fixture widths
-    deliberately sweep (w % 4 covers every pad). Scale posture matches
-    k81: Arrow-batched per-row codec work inside mapInPandas, payloads
-    never on the driver, no extra shuffle."""
+    8-bit paletted (mode 2, BGRX palette lookup), or 8-bit BI_RLE8
+    run-length compressed (mode 3, round 11 — encoded runs, absolute-mode
+    literals with 16-bit padding, end-of-line/bitmap escapes; its index
+    pattern repeats in x so both run AND literal opcodes appear in every
+    fixture); pixels follow closed forms in (doc_id, x, y); per-image
+    channel sums hash-match DuckDB evaluating the forms directly. Row
+    padding to 4-byte boundaries and the BGR byte order are the decode
+    hazards the fixture widths deliberately sweep (w % 4 covers every
+    pad). Scale posture matches k81: Arrow-batched per-row codec work
+    inside mapInPandas, payloads never on the driver, no extra
+    shuffle."""
     from pyspark.sql.types import (
         BinaryType,
         IntegerType,
@@ -5890,7 +5900,7 @@ def k95_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = []
         for doc_id in doc_ids:
             i = int(doc_id)
-            w, h, mode = 3 + i % 17, 2 + i % 11, i % 3
+            w, h, mode = 3 + i % 17, 2 + i % 11, i % 4
             if mode < 2:
                 pixels = [
                     (
@@ -5909,12 +5919,20 @@ def k95_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((7 * p + i) % 256, (11 * p + 3) % 256, (13 * p + 7) % 256)
                     for p in range(16)
                 ]
-                indices = [
-                    (x + 3 * y + i) % 16 for y in range(h) for x in range(w)
-                ]
+                if mode == 2:
+                    indices = [
+                        (x + 3 * y + i) % 16 for y in range(h) for x in range(w)
+                    ]
+                else:  # mode 3: x-repeating pattern → real RLE runs
+                    indices = [
+                        (x // 3 + 3 * y + i) % 16
+                        for y in range(h)
+                        for x in range(w)
+                    ]
                 out.append(
                     synthesize_bmp(
-                        w, h, [], bpp=8, palette=palette, indices=indices
+                        w, h, [], bpp=8, palette=palette, indices=indices,
+                        rle8=(mode == 3),
                     )
                 )
         return pd.Series(out)
@@ -5944,7 +5962,7 @@ def k95_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         i,
                         w,
                         h,
-                        i % 3,
+                        i % 4,
                         len(pixels),
                         sum(p[0] for p in pixels),
                         sum(p[1] for p in pixels),

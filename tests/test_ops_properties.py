@@ -1023,8 +1023,10 @@ def test_bmp_codec_roundtrip_identity(w, h, mode, seed):
 
 
 def test_bmp_codec_rejects_compressed_and_malformed():
-    """The declared BMP boundary: RLE/bitfield compression raises
-    NotImplementedError; malformed headers raise ValueError."""
+    """The declared BMP boundary: RLE4/bitfield compression (and RLE8 at
+    a non-8 bpp) raises NotImplementedError; malformed headers raise
+    ValueError. (BI_RLE8 at 8 bpp is DECODED since round 11 — see the
+    rle8 tests below.)"""
     import struct
 
     import pytest as _pytest
@@ -1051,3 +1053,108 @@ def test_bmp_codec_rejects_compressed_and_malformed():
     hostile = pal8[:46] + struct.pack("<I", 2**31) + pal8[50:]
     with _pytest.raises(ValueError):
         decode_bmp_pixels(hostile[: 14 + 40 + 8])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 12),
+    runs=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_rle8_roundtrip_matches_uncompressed(w, h, runs, seed):
+    """BI_RLE8 decode (k95 mode 3) is exact: the same indices encoded
+    RLE8 and uncompressed must decode to identical pixels — across run-
+    heavy and literal-heavy (absolute-mode) index patterns, every width
+    residue, and palette sizes below 256."""
+    from marasa_spark.ops.multimodal import decode_bmp_pixels, synthesize_bmp
+
+    npal = 2 + seed % 200
+    palette = [
+        ((seed + 7 * p) % 256, (3 * p + 1) % 256, (5 * p + 2) % 256)
+        for p in range(npal)
+    ]
+    if runs:  # repeat-heavy: encoded runs dominate
+        indices = [(seed + j // 4) % npal for j in range(w * h)]
+    else:  # churn-heavy: absolute-mode literals dominate
+        indices = [(seed + 11 * j) % npal for j in range(w * h)]
+    rle = synthesize_bmp(
+        w, h, [], bpp=8, palette=palette, indices=indices, rle8=True
+    )
+    raw = synthesize_bmp(w, h, [], bpp=8, palette=palette, indices=indices)
+    assert decode_bmp_pixels(rle) == decode_bmp_pixels(raw)
+
+
+def test_bmp_rle8_delta_skip_and_early_eob():
+    """The two opcodes a natural encoder rarely emits, hand-built: a
+    delta escape skips the cursor (skipped pixels = palette index 0, the
+    Windows fill convention) and an early end-of-bitmap leaves the rest
+    of the image index 0."""
+    import struct
+
+    from marasa_spark.ops.multimodal import decode_bmp_pixels
+
+    pal = [(10, 10, 10), (20, 20, 20), (30, 30, 30), (40, 40, 40)]
+    palbytes = b"".join(bytes((b, g, r, 0)) for (r, g, b) in pal)
+
+    def bmp(stream: bytes, w: int = 4, h: int = 3) -> bytes:
+        offset = 14 + 40 + len(palbytes)
+        fh = b"BM" + struct.pack("<IHHI", offset + len(stream), 0, 0, offset)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(stream), 0, 0, len(pal), 0
+        )
+        return fh + info + palbytes + stream
+
+    # run 2×idx1 | delta(+1,+1) | run 1×idx2 | EOL | run 4×idx3 | EOB
+    stream = bytes([2, 1, 0, 2, 1, 1, 1, 2, 0, 0, 4, 3, 0, 1])
+    w, h, px = decode_bmp_pixels(bmp(stream))
+    got = [[pal.index(p) for p in px[y * 4 : (y + 1) * 4]] for y in range(h)]
+    # storage is bottom-up: image top row = last storage row
+    assert got == [[3, 3, 3, 3], [0, 0, 0, 2], [1, 1, 0, 0]]
+
+    # early EOB after one run: everything else is index 0
+    w, h, px = decode_bmp_pixels(bmp(bytes([2, 1, 0, 1])))
+    got = [[pal.index(p) for p in px[y * 4 : (y + 1) * 4]] for y in range(h)]
+    assert got == [[0, 0, 0, 0], [0, 0, 0, 0], [1, 1, 0, 0]]
+
+
+def test_bmp_rle8_hostile_streams_raise():
+    """Hostile RLE8 rejections (the k95 fixture family's adversarial
+    side): run/absolute/delta overflows, truncation mid-stream and
+    mid-escape, palette index out of range, and the spec's top-down ban —
+    all ValueError, never a silent partial decode or a spin."""
+    import struct
+
+    import pytest as _pytest
+
+    from marasa_spark.ops.multimodal import decode_bmp_pixels
+
+    pal = [(p, p, p) for p in range(4)]
+    palbytes = b"".join(bytes((b, g, r, 0)) for (r, g, b) in pal)
+
+    def bmp(stream: bytes, w: int = 4, h: int = 3, raw_h: int | None = None) -> bytes:
+        offset = 14 + 40 + len(palbytes)
+        fh = b"BM" + struct.pack("<IHHI", offset + len(stream), 0, 0, offset)
+        info = struct.pack(
+            "<IiiHHIIiiII",
+            40, w, raw_h if raw_h is not None else h,
+            1, 8, 1, len(stream), 0, 0, len(pal), 0,
+        )
+        return fh + info + palbytes + stream
+
+    cases = [
+        bytes([5, 1, 0, 1]),                   # run overflows the 4-wide row
+        bytes([0, 5, 1, 2, 3, 4, 5, 0, 0, 1]), # absolute run overflows row
+        bytes([2, 1]),                          # truncated: no EOB
+        bytes([0, 2, 200]),                     # delta truncated mid-escape
+        bytes([0, 2, 200, 0, 0, 1]),            # delta moves past the row
+        bytes([0, 0, 0, 0, 0, 0, 0, 0, 2, 1, 0, 1]),  # EOLs past last row + run
+        bytes([1, 200, 0, 1]),                  # palette index out of range
+        bytes([0, 3, 1, 2, 3]),                 # absolute literals truncated (no pad)
+    ]
+    for stream in cases:
+        with _pytest.raises(ValueError):
+            decode_bmp_pixels(bmp(stream))
+    # top-down + RLE8 is forbidden by the spec
+    with _pytest.raises(ValueError):
+        decode_bmp_pixels(bmp(bytes([2, 1, 0, 1]), raw_h=-3))
