@@ -111,9 +111,18 @@ def main() -> None:
     spark = get_spark(app_name="marasa_spark_bench")
     # bench-box tuning: at sf0.1 the default 64 MB advisory coalesces
     # post-shuffle stages to 1 partition, serializing e.g. the session-window
-    # merge on a 32-core machine; 8 MB keeps cores busy (measured ~20% on
-    # q_session). A real cluster at real scale wants the default or larger.
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    # merge on a 32-core machine — compute-bound stages must be spread even
+    # when byte-tiny (the k9 lesson; optimization guide §2.5). Round 8
+    # measured 8 MB (~20% on q_session); round 11 re-measured the sweep
+    # 64m/8m/1m/256k on the window/session/percentile headliners: 1 MB is
+    # another 10-15% on e3/i3/d8 (orders/events shuffles are 4-25 MB, so
+    # 8 MB still coalesced them to 1-3 tasks) and 256 KB adds nothing.
+    # Parameterised for other box shapes; a real cluster at real data scale
+    # wants the 64 MB default or larger (OPTIMIZATION_r11.md §bench-confs).
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "1m"),
+    )
     qmap = queries_map()
 
     for attempt in range(1, PROBE_GATE_ATTEMPTS + 1):

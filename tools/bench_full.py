@@ -160,7 +160,10 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark(app_name="marasa_spark_bench_full")
     # same bench-box advisory tuning as bench.py (see its comment)
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "1m"),
+    )
 
     # box-speed calibration (round-5 verdict #1): raw times on a VM whose
     # speed swings 1.3-1.7x between rounds defeat raw-time flags, so every

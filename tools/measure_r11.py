@@ -45,7 +45,10 @@ def main() -> None:
     )
     os.makedirs(plans_dir, exist_ok=True)
     spark = get_spark(app_name="measure_r11")
-    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "1m"),
+    )
     qmap = queries_map()
 
     out: dict[str, dict] = {}
