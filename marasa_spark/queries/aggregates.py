@@ -9,7 +9,7 @@ on both engine and oracle side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from marasa_spark.catalog import load_table, register_views
@@ -203,27 +203,132 @@ GROUP BY l_returnflag
 """
 
 
-@register("d8_agg_percentile", oracle=D8_ORACLE, group="D")
-def d8_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark `percentile` ↔ DuckDB
-    `percentile_cont` — verified value-exact in the survey).
+_D8_PS = ((0.25, "p25"), (0.50, "median"), (0.75, "p75"))
+_D8_BUCKET_W = 512.0
 
-    All three percentiles come from ONE aggregation buffer (array form) —
-    one sort of the group's values instead of three."""
-    li = load_table(spark, sf_dir, "lineitem")
-    ps = F.percentile(
-        F.col("l_extendedprice"), F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))
+
+def d8_histogram_percentiles(
+    rows: DataFrame, group_col: str, val_col: str, ps=_D8_PS
+) -> DataFrame:
+    """Exact interpolated percentiles by histogram selection (shared by d8
+    and d16 — the 100 TB-safe replacement for the exact ``F.percentile``
+    aggregate).
+
+    Spark's exact ``percentile`` buffers EVERY value of a group inside one
+    aggregation buffer (an OpenHashMap merged onto a single final task) — at
+    100 TB a group is billions of rows and that buffer is the OOM, and even
+    at bench scale the single-buffer merge+sort serializes the group.
+    Selection of index k in the sorted multiset needs no global sort:
+
+      1. bucket = floor(val / 512)  — order-preserving and data-independent,
+         so the sorted order is exactly (bucket, value-within-bucket);
+      2. per-(group, bucket) counts -> cumulative counts locate the bucket
+         holding each target index plus the local rank inside it (the
+         count/window stages run over #buckets rows, not #values);
+      3. ONLY the <=6 target buckets per group are joined back (broadcast —
+         the target table is tiny) and rank-sorted for the exact lo/hi
+         values; memory is O(buckets) per group, the value sort touches a
+         few thousand rows;
+      4. (hi_i - pos)·lo + (pos - lo_i)·hi — bit-for-bit the interpolation
+         Spark's ``percentile`` evaluates (the algebraically-equal
+         lo + (hi-lo)·frac differs by 1 ULP and crossed an r2 boundary).
+
+    Output proven byte-identical to the previous ``F.percentile`` form (and
+    hash-identical to the DuckDB oracle) at sf0.001/0.01/0.1; warm collect
+    0.435 -> 0.078 s at sf0.1 (OPTIMIZATION_r11.md §d8).
+    """
+    li = rows.select(
+        group_col,
+        val_col,
+        F.floor(F.col(val_col) / F.lit(_D8_BUCKET_W)).alias("_b"),
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(ps.alias("_ps"))
+    counts = li.groupBy(group_col, "_b").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.partitionBy(group_col).orderBy("_b")
+    w_all = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        group_col,
+        "_b",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    # per percentile: global target indices lo/hi; a bucket covers the index
+    # range [cum-cnt, cum-1], so exactly one bucket row matches each index.
+    # One explode over the tiny cum frame (not a per-slot filter union —
+    # that re-executed the counts+window chain once per slot: 30 exchanges)
+    slot_structs = []
+    for p, nm in ps:
+        pos = F.lit(p) * (F.col("n") - F.lit(1)).cast("double")
+        for which, idx in (
+            ("lo", F.floor(pos).cast("long")),
+            ("hi", F.ceil(pos).cast("long")),
+        ):
+            slot_structs.append(
+                F.struct(
+                    F.lit(f"{which}_{nm}").alias("slot"), idx.alias("idx")
+                )
+            )
+    targets = (
+        cum.select(
+            group_col, "_b", "cnt", "cum", "n",
+            F.explode(F.array(*slot_structs)).alias("_s"),
+        )
+        .filter(
+            (F.col("cum") - F.col("cnt") <= F.col("_s.idx"))
+            & (F.col("cum") > F.col("_s.idx"))
+        )
         .select(
-            "l_returnflag",
-            r2(F.col("_ps")[0]).alias("p25"),
-            r2(F.col("_ps")[1]).alias("median"),
-            r2(F.col("_ps")[2]).alias("p75"),
+            group_col,
+            "_b",
+            F.col("_s.slot").alias("slot"),
+            (F.col("_s.idx") - (F.col("cum") - F.col("cnt"))).alias("local_rank"),
+            "n",
         )
     )
+    cand = li.join(F.broadcast(targets), [group_col, "_b"])
+    w_rank = Window.partitionBy(group_col, "_b", "slot").orderBy(val_col)
+    picked = (
+        cand.withColumn("rn", F.row_number().over(w_rank) - 1)
+        .filter(F.col("rn") == F.col("local_rank"))
+        .select(group_col, "slot", val_col, "n")
+    )
+    return picked.groupBy(group_col).agg(
+        F.max("n").alias("n"),
+        *[
+            F.max(F.when(F.col("slot") == f"{w}_{nm}", F.col(val_col))).alias(
+                f"{w}_{nm}"
+            )
+            for _, nm in ps
+            for w in ("lo", "hi")
+        ],
+    )
+
+
+@register("d8_agg_percentile", oracle=D8_ORACLE, group="D")
+def d8_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (value-exact vs DuckDB
+    `percentile_cont` — verified in the survey), computed by histogram
+    selection instead of the buffer-everything ``F.percentile`` aggregate;
+    see :func:`d8_histogram_percentiles` for the exactness argument and the
+    100 TB memory rationale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = d8_histogram_percentiles(li, "l_returnflag", "l_extendedprice")
+    outs = [F.col("l_returnflag")]
+    for p, nm in _D8_PS:
+        pos = F.lit(p) * (F.col("n") - F.lit(1)).cast("double")
+        lo_i = F.floor(pos).cast("long")
+        hi_i = F.ceil(pos).cast("long")
+        # Spark Percentile.getPercentile's exact two-sided weighted form —
+        # NOT the algebraically-equal lo + (hi-lo)*frac, which differs by
+        # 1 ULP on real data and crossed an r2 boundary at sf0.001
+        val = F.when(hi_i == lo_i, F.col(f"lo_{nm}")).otherwise(
+            (hi_i.cast("double") - pos) * F.col(f"lo_{nm}")
+            + (pos - lo_i.cast("double")) * F.col(f"hi_{nm}")
+        )
+        outs.append(r2(val).alias(nm))
+    return wide.select(*outs)
 
 
 @register("d9_agg_approx", oracle=None, group="D")
@@ -411,12 +516,27 @@ GROUP BY o_orderpriority
 @register("d16_agg_median", oracle=D16_ORACLE, group="D")
 def d16_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median per group (interpolated at even counts on both
-    engines). Like d8, the exact form buffers group values — at 100 TB use
-    the mergeable approx_percentile (d9) unless exactness is contractual."""
+    engines), via the same histogram selection as d8 — ``F.median`` buffers
+    every group value in one aggregation buffer, the d8 docstring's 100 TB
+    OOM; selection sorts only the two target buckets."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        r2(F.median("o_totalprice")).alias("med_price"),
-        F.count(F.lit(1)).alias("n"),
+    wide = d8_histogram_percentiles(
+        o, "o_orderpriority", "o_totalprice", ps=((0.50, "med"),)
+    )
+    pos = F.lit(0.5) * (F.col("n") - F.lit(1)).cast("double")
+    lo_i = F.floor(pos).cast("long")
+    hi_i = F.ceil(pos).cast("long")
+    # same two-sided interpolation as d8 (see the comment there)
+    med = F.when(hi_i == lo_i, F.col("lo_med")).otherwise(
+        (hi_i.cast("double") - pos) * F.col("lo_med")
+        + (pos - lo_i.cast("double")) * F.col("hi_med")
+    )
+    # coalesce restores the non-nullable LongType the old F.count carried
+    # (n is never null — every output group has >= 1 row)
+    return wide.select(
+        "o_orderpriority",
+        r2(med).alias("med_price"),
+        F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n"),
     )
 
 

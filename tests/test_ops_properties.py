@@ -1158,3 +1158,58 @@ def test_bmp_rle8_hostile_streams_raise():
     # top-down + RLE8 is forbidden by the spec
     with _pytest.raises(ValueError):
         decode_bmp_pixels(bmp(bytes([2, 1, 0, 1]), raw_h=-3))
+
+
+# -- histogram-selection exact percentiles (d8/d16 internals) ---------------
+
+pct_values = st.lists(
+    st.one_of(
+        st.floats(
+            min_value=-1e12, max_value=1e12,
+            allow_nan=False, allow_infinity=False,
+        ),
+        # heavy-tie generator: a tiny alphabet forces duplicated values so
+        # target lo/hi indices land inside one run of equal values
+        st.sampled_from([0.0, -512.0, 511.999, 512.0, 1.5, 1.5, 1e6]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(groups=st.lists(pct_values, min_size=1, max_size=3))
+def test_histogram_percentiles_match_builtin_exactly(spark, groups):
+    """d8's histogram selection must be bit-identical (pre-rounding) to the
+    buffer-everything ``F.percentile`` aggregate it replaced — including
+    negative values, bucket-boundary values, ties, and 1-element groups."""
+    from marasa_spark.queries.aggregates import _D8_PS, d8_histogram_percentiles
+
+    rows = [(f"g{gi}", v) for gi, vs in enumerate(groups) for v in vs]
+    df = spark.createDataFrame(rows, "grp string, val double")
+
+    ref = {
+        r["grp"]: list(r["ps"])
+        for r in df.groupBy("grp")
+        .agg(
+            F.percentile(
+                F.col("val"), F.array(*[F.lit(p) for p, _ in _D8_PS])
+            ).alias("ps")
+        )
+        .collect()
+    }
+
+    wide = d8_histogram_percentiles(df, "grp", "val")
+    outs = [F.col("grp")]
+    for p, nm in _D8_PS:
+        pos = F.lit(p) * (F.col("n") - F.lit(1)).cast("double")
+        lo_i = F.floor(pos).cast("long")
+        hi_i = F.ceil(pos).cast("long")
+        val = F.when(hi_i == lo_i, F.col(f"lo_{nm}")).otherwise(
+            (hi_i.cast("double") - pos) * F.col(f"lo_{nm}")
+            + (pos - lo_i.cast("double")) * F.col(f"hi_{nm}")
+        )
+        outs.append(val.alias(nm))
+    got = {r["grp"]: [r[nm] for _, nm in _D8_PS] for r in wide.select(*outs).collect()}
+
+    assert got == ref

@@ -34,7 +34,13 @@ EXCHANGE_BUDGET = {
     "d3_agg_rollup": 2,
     "d2_agg_distinct": 4,
     "d7_agg_stats": 2,
-    "d8_agg_percentile": 2,
+    # d8/d16 (round-11 histogram-selection restructure): the data-sized
+    # movements are the per-(group,bucket) counts shuffle and the target-
+    # bucket rank window's shuffle; the rest are bucket-count-sized window
+    # exchanges and the tiny broadcast of the target table (measured 10 at
+    # sf0.01, AQE initial+final double-print)
+    "d8_agg_percentile": 10,
+    "d16_agg_median": 10,
     "g1_union_all": 0,
     "g3_intersect": 4,
     "g4_except": 6,
