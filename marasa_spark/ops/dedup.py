@@ -156,11 +156,12 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + LSH banding + exact-Jaccard verification.
 
-    ``cut_lineage=False`` disables the two localCheckpoint materializations
-    (shared-prefix and banded) — the output is identical; use it where
-    lineage-based recovery matters more than the duplicate-branch
-    recompute (the checkpoints trade executor-loss recoverability for not
-    re-running the tset window per consuming branch), or to inspect the
+    ``cut_lineage=False`` disables the three localCheckpoint
+    materializations (shared set-level prefix, banded, verified rep pairs)
+    — the output is identical; use it where lineage-based recovery matters
+    more than the duplicate-branch/per-action recompute (the checkpoints
+    trade executor-loss recoverability for not re-running the set grouping
+    per consuming branch and the verify per action), or to inspect the
     full uncut plan (tests/test_plan_audit.py does).
 
     shingle→minhash→band→bucket-join: candidates are only pairs sharing at
@@ -214,29 +215,50 @@ def minhash_lsh_pairs(
     # identical kb arrays), and a same-group pair's jaccard is n/n = 1.0,
     # the identical IEEE double the verify expression produces. The
     # bucket cap counts DOCS (sum of group sizes), exactly as uncollapsed.
-    grp_w = W.partitionBy("tset")
-    keyed = (
+    # One row per distinct set via groupBy, not a per-doc window (round 11):
+    # the window formulation shuffled AND sorted 600k rows keyed by the raw
+    # array<string>, then carried every doc's token array through the
+    # checkpoint; the aggregate shuffles the same bytes but skips the
+    # array-keyed sort — the xxhash64 prefix key makes the grouping
+    # comparisons long-first (the array only breaks hash ties, so groups
+    # are exactly the tset groups and the output is identical
+    # unconditionally — the array stays IN the key, no collision hazard) —
+    # and the checkpoint shrinks to per-SET rows. The hashed token array
+    # (th) is computed HERE, once, into the checkpoint: the two verify
+    # attach joins below used to re-run transform(toks, xxhash64) over the
+    # whole corpus per branch per collect (~12M hashes x2 each run).
+    # toks is stored SORTED (tset): every consumer is order-insensitive
+    # (minhash = min over elements, nt = size, verify = intersection SIZE).
+    grp = (
         all_toks.withColumn("tset", F.array_sort("toks"))
-        .withColumn("gid", F.min("doc").over(grp_w))
-        .withColumn("gn", F.count(F.lit(1)).over(grp_w))
-        .select("doc", "gid", "gn", "toks")
+        .withColumn("_tkey", F.xxhash64("tset"))
+        .groupBy("_tkey", "tset")
+        .agg(
+            F.min("doc").alias("gid"),
+            F.count(F.lit(1)).alias("gn"),
+            F.collect_list("doc").alias("docs"),
+        )
+        .select(
+            "gid",
+            "gn",
+            "docs",
+            F.col("tset").alias("toks"),
+            F.transform("tset", lambda t: F.xxhash64(t)).alias("th"),
+        )
     )
     # materialize the shared prefix ONCE (the connected_components
-    # pattern): this scan+sort-window lineage is consumed by ~6 branches
-    # (mapping ×4 broadcasts, toks_df→sig, toks_h ×2) and AQE plans each
-    # broadcast subquery independently, so without the cut the window
+    # pattern): this scan+shuffle lineage is consumed by several branches
+    # (sets ×2 broadcasts, toks_df→sig, toks_h ×2) and AQE plans each
+    # broadcast subquery independently, so without the cut the grouping
     # re-executes per branch — measured 9 duplicate prefix jobs / ~4 s of
     # a 16 s sf0.1 cold build. Lineage-cut tradeoff documented in
     # connected_components; disk-backed at scale like any shuffle.
     if cut_lineage:
         try:
-            keyed = keyed.localCheckpoint(eager=True)
+            grp = grp.localCheckpoint(eager=True)
         except Exception:
-            keyed.cache().count()
-    mapping = keyed.select("doc", "gid")
-    toks_df = keyed.filter(F.col("doc") == F.col("gid")).select(
-        F.col("gid").alias("doc"), "toks", "gn"
-    )
+            grp.cache().count()
+    toks_df = grp.select(F.col("gid").alias("doc"), "toks", "gn")
     sig = toks_df.withColumn("sig", minhash_signature(F.col("toks"), num_hashes))
     buckets = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -381,10 +403,9 @@ def minhash_lsh_pairs(
     # already carries), and tests assert countDistinct(token) ==
     # countDistinct(xxhash64(token)) on the shipped corpora, which makes
     # the equality exact, not probabilistic, on every oracle-checked run.
-    toks_h = toks_df.select(
-        "doc",
-        F.transform("toks", lambda t: F.xxhash64(t)).alias("th"),
-    )
+    # hashed token arrays come straight off the set-level checkpoint (see
+    # grp above) — no per-collect re-hash pass per attach branch
+    toks_h = grp.select(F.col("gid").alias("doc"), "th")
     cand = cand.join(
         toks_h.select(F.col("doc").alias("doc_a"), F.col("th").alias("th_a")),
         "doc_a",
@@ -430,9 +451,9 @@ def minhash_lsh_pairs(
         .repartition(nparts, "doc_a", "doc_b")
     )
     # Same-set pairs enter as thin SELF rep-pairs (gid, gid, 1.0) BEFORE
-    # the expansion joins, so they ride the same two mapping broadcasts as
-    # the cross pairs instead of a separate 2-join union branch (which
-    # materialized its own copies of the mapping broadcast plus a
+    # the expansion joins, so they ride the same two member-array
+    # broadcasts as the cross pairs instead of a separate 2-join union
+    # branch (which materialized its own broadcast copies plus a
     # dedicated max(kept) aggregate — 3 extra AQE stages). Emitted iff the
     # group has at least one KEPT band bucket — the uncollapsed pipeline's
     # condition (all members share the rep's kept flags), preserving the
@@ -449,24 +470,53 @@ def minhash_lsh_pairs(
             )
         )
         rep_pairs = rep_pairs.unionAll(self_pairs)
-    # Expand rep-level pairs back to doc pairs. mapping is (doc, gid) —
-    # corpus-sized, so at scale these are plain shuffled joins on gid
-    # (output-sized left side); at test SFs Spark auto-broadcasts it.
-    # A hot gid (one giant duplicate family) expands to output-sized rows,
-    # which is inherent: those pairs ARE the answer. A self rep-pair
-    # expands to all ordered member combos; the da < db guard (applied to
-    # self rows only) keeps each unordered same-set pair exactly once —
-    # cross-group rows keep both orientations collapsed via
-    # least/greatest exactly as before (groups are disjoint, da ≠ db).
+    # third lineage cut (round 11): the verified rep-level pair set is the
+    # pipeline's most expensive product (candidate join + intersect verify)
+    # and, like the two cuts above, it re-executed on EVERY action on the
+    # returned frame — each warm collect paid the full verify again.
+    # Materializing it makes the verify run once per invocation; the
+    # checkpoint is rep-pair-sized (thin doc_a/doc_b/jaccard rows), far
+    # below the expanded output. Same recoverability tradeoff as above.
+    if cut_lineage:
+        try:
+            rep_pairs = rep_pairs.localCheckpoint(eager=True)
+        except Exception:
+            rep_pairs.cache().count()
+    # Expand rep-level pairs back to doc pairs by attaching each side's
+    # member-doc ARRAY off the set-level checkpoint and exploding (round
+    # 11): the previous per-doc mapping join broadcast a corpus-sized
+    # (doc, gid) table TWICE per action (~600k rows each at sf0.1, rebuilt
+    # every warm run — most of the post-checkpoint warm cost); the
+    # set-level docs table is one row per distinct set (~0.7% of the
+    # corpus here), so the broadcast build is negligible and the join
+    # output stays thin until the final explode. Rows are identical: each
+    # rep pair matches exactly one sets row per side, and
+    # explode(docs_a) x explode(docs_b) is the same cross product the
+    # mapping joins produced. At 100 TB with few exact dups the sets
+    # table is corpus-sized again — drop F.broadcast and these become the
+    # same shuffled-on-gid joins as before, with the array payload
+    # bounded by the largest duplicate family (the degenerate-family cap
+    # discussion above applies). A self rep-pair expands to all ordered
+    # member combos; the da < db guard (applied to self rows only) keeps
+    # each unordered same-set pair exactly once — cross-group rows keep
+    # both orientations collapsed via least/greatest exactly as before
+    # (groups are disjoint, da ≠ db).
+    sets = grp.select("gid", "docs")
     cross = (
         rep_pairs.join(
-            mapping.select(F.col("gid").alias("doc_a"), F.col("doc").alias("da")),
+            F.broadcast(
+                sets.select(F.col("gid").alias("doc_a"), F.col("docs").alias("_da"))
+            ),
             "doc_a",
         )
         .join(
-            mapping.select(F.col("gid").alias("doc_b"), F.col("doc").alias("db")),
+            F.broadcast(
+                sets.select(F.col("gid").alias("doc_b"), F.col("docs").alias("_db"))
+            ),
             "doc_b",
         )
+        .select("doc_a", "doc_b", "jaccard", F.explode("_da").alias("da"), "_db")
+        .select("doc_a", "doc_b", "jaccard", "da", F.explode("_db").alias("db"))
         .filter((F.col("doc_a") != F.col("doc_b")) | (F.col("da") < F.col("db")))
         .select(
             F.least("da", "db").alias("doc_a"),

@@ -538,16 +538,33 @@ def test_k9_intersect_evaluated_exactly_once(spark, sf_dir):
     the attach join's condition, re-evaluating it 2-3x per row on the
     non-codegen slow path (measured 831-1,059 CPU-s vs ~60 at sf0.1).
     This pin fails if a Spark upgrade starts pushing through the wrapper
-    (final executed plan would then show the intersect >1x) or if a
-    restructure drops the barrier (SPARK_PARTITION_ID gone)."""
-    from marasa_spark.registry import REGISTRY
+    (executed plan would then show the intersect >1x) or if a
+    restructure drops the barrier (SPARK_PARTITION_ID gone).
 
-    df = REGISTRY["k9_dedup_minhash_lsh"].fn(spark, sf_dir)
+    Since the round-11 third lineage cut, the registered k9's FINAL plan
+    only expands the already-checkpointed rep pairs — the verify executes
+    inside minhash_lsh_pairs. So this pin inspects the same pipeline
+    UNCUT (cut_lineage=False, like the band-payload audit): the verify
+    subtree there is the identical optimized/codegen'd plan the
+    checkpoint materialization runs."""
+    from marasa_spark.catalog import load_table
+    from marasa_spark.ops.dedup import minhash_lsh_pairs
+
+    df = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=32,
+        bands=16,
+        threshold=0.9,
+        max_bucket_size=10_000,
+        cut_lineage=False,
+    )
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     n = final.count("array_intersect")
-    assert n == 1, f"array_intersect appears {n}x in k9's final plan"
+    assert n == 1, f"array_intersect appears {n}x in k9's uncut plan"
     assert "SPARK_PARTITION_ID() >= 0" in final, (
         "k9's pushdown barrier (nondeterministic wrapper) is gone"
     )
