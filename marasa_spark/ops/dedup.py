@@ -177,6 +177,15 @@ def minhash_lsh_pairs(
     ``max_bucket_size`` docs — a documented recall cut on pathological keys
     instead of an O(bucket²) blowup; members of a dropped bucket still pair
     through their other bands.
+
+    Exactness assumption (ADVICE r10, library API note): the verify stage
+    intersects xxhash64-HASHED token arrays. On a corpus whose distinct
+    token vocabulary is collision-free under xxhash64 the emitted jaccard
+    is exactly the string-set value (the shipped corpora pin this in
+    tests); on an arbitrary user corpus a 64-bit collision would silently
+    miscount one pair's intersection (probability ~V²/2⁶⁵ for V distinct
+    tokens — orders of magnitude below the banding miss mass), with no
+    runtime signal.
     """
     if num_hashes % bands != 0:
         raise ValueError(

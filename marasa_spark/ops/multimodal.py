@@ -884,7 +884,7 @@ def synthesize_wav_g711(
     )
 
 
-def decode_wav_samples(b: bytes) -> tuple[int, int, int, "list[int]"]:
+def decode_wav_samples(b: bytes) -> "tuple[int, int, int, list[int] | list[float]]":
     """Pure-stdlib reference WAV decoder: walks the RIFF chunk list, reads
     the ``fmt `` descriptor, and unpacks the ``data`` payload into
     per-sample integers — signed little-endian at 16 bits, the raw unsigned
@@ -1346,7 +1346,14 @@ def parse_mp4_boxes(b: bytes) -> dict:
                 walk(data, body_at, i + size, depth + 1)
             i += size
 
-    walk(b, 0, len(b))
+    try:
+        walk(b, 0, len(b))
+    except struct.error as exc:
+        # A box whose declared version implies fields past its actual body
+        # (e.g. a v1 tkhd/mdhd with body < 24 bytes) reaches struct.unpack
+        # with a short slice; keep the documented malformed-input contract
+        # (ValueError) instead of leaking struct.error (ADVICE r10).
+        raise ValueError(f"ISO-BMFF box body truncated: {exc}") from exc
     if out["brand"] is None or out["timescale"] is None:
         raise ValueError("ISO-BMFF without ftyp/mvhd")
     return out

@@ -719,14 +719,48 @@ WHERE a.doc_id < 50 AND b.doc_id < 50
 def k20_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level near-dup pairs by Levenshtein distance (bounded doc
     slice — edit distance is O(len²) per pair; at scale it's the verify
-    step AFTER an LSH/fingerprint candidate pass (k9/k15), never all-pairs)."""
+    step AFTER an LSH/fingerprint candidate pass (k9/k15), never all-pairs).
+
+    Round-11 shape (the jaccard_pairs playbook + banding):
+
+    * the nested-loop pair generator sees (id, length) rows only and
+      applies the EXACT length prune in the join condition — an edit
+      script must cover the length gap, so dist ≤ 100 needs
+      |len_a − len_b| ≤ 100 (1225 → 480 pairs at the shipped corpus);
+    * surviving id pairs repartition (spreading the per-pair O(len·k)
+      DP off the one task AQE coalesces a KB-sized input to), then texts
+      re-attach by broadcast;
+    * the distance itself is the BANDED levenshtein(l, r, 100): the DP
+      evaluates a 2k+1-wide diagonal band instead of the full len×len
+      matrix and returns −1 past the threshold — identical values for
+      every emitted row (d ≤ 100 ⟹ band exact), and the −1 filter is
+      exactly the old dist ≤ 100 predicate."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    a = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
-    b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
-    dist = F.levenshtein("ta", "tb")
+    sized = d.select("doc_id", F.length("text").alias("n"))
+    pair_ids = (
+        sized.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+        .join(
+            sized.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("n_a") - F.col("n_b")) <= 100),
+        )
+        .repartition("doc_a", "doc_b")
+    )
+    texts = d.select("doc_id", "text")
+    pairs = pair_ids.join(
+        F.broadcast(
+            texts.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+        ),
+        "doc_a",
+    ).join(
+        F.broadcast(
+            texts.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+        ),
+        "doc_b",
+    )
+    dist = F.levenshtein("ta", "tb", 100)
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .filter(dist <= 100)
+        pairs.filter(dist >= 0)
         .select("doc_a", "doc_b", dist.cast("int").alias("edit_dist"))
     )
 

@@ -607,3 +607,30 @@ def test_real_codec_dispatches_all_three_formats(spark, sf_dir):
         else:
             assert r["media_type"] == "audio/wav"
             assert r["n_frames"] == 10 + did % 5
+
+
+def test_k20_banded_levenshtein_equals_full(spark, sf_dir):
+    """k20's round-11 rewrite computes levenshtein with the threshold-100
+    band plus an exact |len_a-len_b| <= 100 prune. Pin the equivalence on
+    the shipped slice: the banded pipeline's (pair -> distance) map must
+    equal the full unbanded all-pairs filter, including pairs near the
+    threshold boundary."""
+    from marasa_spark.registry import queries_map
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    full = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.levenshtein("ta", "tb").cast("int").alias("edit_dist")
+        )
+        .filter(F.col("edit_dist") <= 100)
+        .collect()
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in queries_map()["k20_edit_distance"](spark, sf_dir).collect()
+    }
+    assert banded == full

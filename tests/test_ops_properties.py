@@ -1213,3 +1213,24 @@ def test_histogram_percentiles_match_builtin_exactly(spark, groups):
     got = {r["grp"]: [r[nm] for _, nm in _D8_PS] for r in wide.select(*outs).collect()}
 
     assert got == ref
+
+
+def test_mp4_short_v1_box_body_raises_valueerror():
+    """A v1 tkhd/mdhd whose body is shorter than the v1 field offsets must
+    surface as the documented malformed-input ValueError, not a leaked
+    struct.error (ADVICE r10)."""
+    import struct
+
+    import pytest
+
+    from marasa_spark.ops.multimodal import parse_mp4_boxes
+
+    def box(t, body):
+        return struct.pack(">I", 8 + len(body)) + t + body
+
+    ftyp = box(b"ftyp", b"isom" + b"\x00" * 8)
+    mvhd = box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1000, 5000) + b"\x00" * 80)
+    short_v1_tkhd = box(b"tkhd", b"\x01" + b"\x00" * 10)  # body 11 < offset 20+4
+    moov = box(b"moov", mvhd + box(b"trak", short_v1_tkhd))
+    with pytest.raises(ValueError):
+        parse_mp4_boxes(ftyp + moov)

@@ -20,11 +20,24 @@ IGNORED = {"PROGRESS.jsonl"}
 
 def git_state(repo: str) -> dict:
     """Return {"sha": <HEAD>, "dirty": bool, "dirty_files": [...]}."""
+    # check=True (ADVICE r10): outside a worktree / on git failure a ''
+    # sha with dirty=False would stamp vacuous-but-clean provenance on an
+    # artifact; fail the sweep instead.
     sha = subprocess.run(
-        ["git", "rev-parse", "HEAD"], cwd=repo, capture_output=True, text=True
+        ["git", "rev-parse", "HEAD"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        check=True,
     ).stdout.strip()
+    if not sha:
+        raise RuntimeError(f"git rev-parse returned no sha for {repo}")
     status = subprocess.run(
-        ["git", "status", "--porcelain"], cwd=repo, capture_output=True, text=True
+        ["git", "status", "--porcelain"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        check=True,
     ).stdout.splitlines()
     dirty_files = sorted(
         {
