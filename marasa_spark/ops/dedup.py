@@ -170,9 +170,10 @@ def minhash_lsh_pairs(
     (bands, rows-per-band)).
 
     Scale posture (100 TB): the band explode and the bucket self-join carry
-    ONLY (doc, band, bucket) — token arrays are re-attached per candidate
-    pair after dedup, so the bands× shuffle amplification applies to ~20
-    bytes/row, not the document payload. Degenerate buckets (e.g. millions
+    ONLY (doc, nt, kb, band, bucket) — the fixed-width per-set metadata
+    (~(8·bands + 28) B/row) — token arrays are re-attached per candidate
+    pair after dedup, so the bands× shuffle amplification never touches
+    the document payload. Degenerate buckets (e.g. millions
     of near-empty docs hashing identically) are dropped at
     ``max_bucket_size`` docs — a documented recall cut on pathological keys
     instead of an O(bucket²) blowup; members of a dropped bucket still pair
@@ -204,7 +205,6 @@ def minhash_lsh_pairs(
             f"{id_type}"
         )
     rows_per_band = num_hashes // bands
-    from pyspark.sql import Window as W
 
     all_toks = df.select(
         F.col(id_col).alias("doc"),
@@ -268,46 +268,73 @@ def minhash_lsh_pairs(
         except Exception:
             grp.cache().count()
     toks_df = grp.select(F.col("gid").alias("doc"), "toks", "gn")
-    sig = toks_df.withColumn("sig", minhash_signature(F.col("toks"), num_hashes))
+    # The signature is wrapped in the nondeterministic no-op barrier (the
+    # `inter` pattern below) so CollapseProject must keep it a materialized
+    # attribute: the per-band bucket transform references `sig` inside a
+    # lambda, and once the projection collapses, the inlined signature
+    # subtree re-evaluates PER BAND ELEMENT — bands× the whole
+    # 32-hash × tokens interpreted fold (measured 0.7 → 4.9 s on the
+    # sf0.1 distinct sets when the round-11 per-set projection first
+    # exposed this; the old exploded shape dodged it only because the
+    # analyzer's generator extraction happened to pin sig in its own
+    # Project).
+    sig = toks_df.withColumn(
+        "sig",
+        F.when(
+            F.spark_partition_id() >= 0,
+            minhash_signature(F.col("toks"), num_hashes),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
     buckets = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
     )
-    # nt (token count) rides the band rows (+8 B/row on a ~20 B/row table)
-    # so the kb aggregate can re-expose it per doc WITHOUT a second lineage
-    # branch off toks_df — a separate sizes join re-executed the whole tset
-    # window (measured +13 s build at sf0.1).
-    banded = sig.select(
-        "doc",
-        "gn",
-        F.size("toks").alias("nt"),
-        F.posexplode(buckets).alias("band", "bucket"),
+    # ONE row per distinct set carrying the full bucket array (round 11
+    # restructure): the previous shape exploded to per-(set, band) rows,
+    # windowed the cap flag per (band, bucket), re-GROUPED those rows into
+    # a per-doc kb array and broadcast it back onto the memberships —
+    # three data-sized movements (window shuffle+sort, kb aggregate
+    # shuffle, broadcast build/probe) spent re-deriving per-set
+    # information that exists per-set BEFORE the explode. Now the only
+    # cross-set information — which (band, bucket) cells exceed the doc
+    # cap — is computed as a map-side-partial groupBy over thin exploded
+    # (band, bucket, gn) rows and reduced to the usually-EMPTY capped
+    # list; everything per-set (nt, the kb array) is projected directly.
+    per_set = sig.select(
+        "doc", "gn", F.size("toks").alias("nt"), buckets.alias("bks")
     )
-    # EXPLICIT repartition on (band, bucket), not ENSURE_REQUIREMENTS: the
-    # banded table is byte-tiny (~20 B/row), so AQE coalesces an implicit
-    # exchange to ONE partition — and every downstream map-side operator
-    # (the pair-expanding self-join AND dropDuplicates' partial aggregate,
-    # which both run inside this stage) then grinds bands x family^2 rows
-    # on one task (measured 37 s of a 45 s sf0.1 run; the jaccard_pairs
-    # anatomy: compute-bound stages must be spread by key, byte-based
-    # coalescing guesses wrong). A user-numbered repartition is exempt
-    # from AQE coalescing; the window and the self-join both reuse it.
-    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    banded = banded.repartition(nparts, "band", "bucket")
-    bucket_w = W.partitionBy("band", "bucket")
-    # Cap on the DOC count (sum of collapsed group sizes), byte-identical
-    # to the uncollapsed per-doc count(*).
-    banded = banded.withColumn(
-        "kept", F.sum("gn").over(bucket_w) <= max_bucket_size
-    )
-    # second lineage cut: kb, members (self-join a AND b) and kept_reps
-    # all consume banded — without it the sig+explode+cap-window chain
-    # runs twice (once under the kb broadcast subquery, once streamed).
+    # second lineage cut (was the banded checkpoint): capped, withkb →
+    # members (self-join a AND b, exchange-reused) and the self-pairs
+    # branch all consume this — without the cut the minhash signature
+    # pass re-executes per branch. One row per SET (~(8·bands+28) B), a
+    # bands× smaller checkpoint than the exploded predecessor.
     if cut_lineage:
         try:
-            banded = banded.localCheckpoint(eager=True)
+            per_set = per_set.localCheckpoint(eager=True)
         except Exception:
-            banded.cache().count()
+            per_set.cache().count()
+    # Cap on the DOC count (sum of collapsed group sizes), byte-identical
+    # to the uncollapsed per-doc count(*): a (band, bucket) cell is capped
+    # iff its doc total exceeds max_bucket_size. The groupBy partial-
+    # aggregates map-side (the window form shipped every membership row),
+    # and the surviving cells collapse into ONE row holding the capped
+    # cells as a primitive array<long> ((band << 32) | bucket-low-bits —
+    # exact, no hashing), crossJoin-broadcast to the per-set table. On a
+    # healthy corpus the array is EMPTY; its size is bounded by
+    # total_docs / max_bucket_size on pathological ones (replacing the
+    # old per-set kb broadcast whose ~5e9-set ceiling applied to EVERY
+    # corpus — past that bound, swap the crossJoin for an anti-join of
+    # the exploded memberships against the capped cells).
+    enc = lambda band, bucket: F.shiftleft(band.cast("long"), 32).bitwiseOR(  # noqa: E731
+        bucket.cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    )
+    capped = (
+        per_set.select("gn", F.posexplode("bks").alias("band", "bucket"))
+        .groupBy("band", "bucket")
+        .agg(F.sum("gn").alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_size)
+        .agg(F.collect_list(enc(F.col("band"), F.col("bucket"))).alias("capped"))
+    )
     # Each membership carries the doc's full per-band bucket array so the
     # self-join emits a pair exactly ONCE — at the FIRST band where both
     # docs share a kept bucket — instead of once per shared band followed
@@ -324,29 +351,38 @@ def minhash_lsh_pairs(
     #    comparisons, not zip_with/array_position — higher-order functions
     #    in a join condition knock SortMergeJoin out of whole-stage
     #    codegen and allocate per joined row (measured 300+ s at sf0.1).
-    kb = banded.groupBy("doc").agg(
+    withkb = per_set.crossJoin(F.broadcast(capped)).select(
+        "doc",
+        "gn",
+        "nt",
+        "bks",
         F.transform(
-            F.array_sort(F.collect_list(F.struct("band", "kept", "bucket"))),
-            lambda s: F.when(s["kept"], s["bucket"].cast("long")).otherwise(
-                F.col("doc") + F.lit(1 << 32)
-            ),
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.when(
+                ~F.array_contains(
+                    F.col("capped"), enc(b, F.element_at(F.col("bks"), b + 1))
+                ),
+                F.element_at(F.col("bks"), b + 1).cast("long"),
+            ).otherwise(F.col("doc") + F.lit(1 << 32)),
         ).alias("kb"),
-        F.first("nt").alias("nt"),
     )
-    # kb is one short row per distinct set — broadcast so the attach
-    # preserves the repartition and the self-join reuses that exchange
-    # (an SMJ on doc here re-shuffles and loses the spread). The token
-    # COUNT rides along on the same broadcast (nt), feeding the
-    # size-compatibility prune in the self-join condition below. CEILING
-    # (ADVICE r9): kb is ~(8*bands + 16) B per distinct set, so this
-    # broadcast stops fitting around ~5e9 sets at 16 bands (~8 GB); past
-    # that, drop F.broadcast and let this attach run as a co-partitioned
-    # shuffled join on doc — the membership side is already spread by the
-    # explicit repartition, and nothing else in the shape changes.
+    # EXPLICIT repartition on (band, bucket), not ENSURE_REQUIREMENTS: the
+    # membership table is byte-tiny, so AQE coalesces an implicit exchange
+    # to ONE partition — and the pair-expanding self-join that runs inside
+    # this stage then grinds bands x family^2 rows on one task (measured
+    # 37 s of a 45 s sf0.1 run; the jaccard_pairs anatomy: compute-bound
+    # stages must be spread by key, byte-based coalescing guesses wrong).
+    # A user-numbered repartition is exempt from AQE coalescing; both
+    # self-join sides reuse the one exchange. Each row carries
+    # (doc, nt, kb, band, bucket) ≈ (8·bands + 28) B — the kb array rides
+    # the band shuffle INSTEAD of a per-set broadcast attach (the
+    # test_plan_audit band-payload pin allows it; token arrays still
+    # never enter any band-keyed exchange).
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     members = (
-        banded.filter(F.col("kept"))
-        .select("doc", "band", "bucket")
-        .join(F.broadcast(kb), "doc")
+        withkb.select("doc", "nt", "kb", F.posexplode("bks").alias("band", "bucket"))
+        .filter(F.element_at("kb", F.col("band") + 1) < F.lit(1 << 32))
+        .repartition(nparts, "band", "bucket")
     )
     a = members.alias("a")
     b = members.alias("b")
@@ -468,10 +504,10 @@ def minhash_lsh_pairs(
     # condition (all members share the rep's kept flags), preserving the
     # cap's degenerate-family guard; kept-ness is read off kb (a sentinel
     # entry is doc + 2^32 ≥ 2^32, a kept bucket hash is int32-range), so
-    # the probe reuses kb's existing shuffle instead of re-aggregating.
+    # the probe is a per-row array scan off the per-set checkpoint.
     if threshold <= 1.0:
         self_pairs = (
-            kb.filter(F.exists("kb", lambda x: x < F.lit(1 << 32)))
+            withkb.filter(F.exists("kb", lambda x: x < F.lit(1 << 32)))
             .select(
                 F.col("doc").alias("doc_a"),
                 F.col("doc").alias("doc_b"),

@@ -109,10 +109,12 @@ def test_bucketed_join_is_exchange_free(spark):
 
 def test_lsh_band_shuffle_carries_no_token_payload(spark):
     """minhash_lsh_pairs' bands× amplified shuffles (the (band, bucket)
-    exchange feeding the bucket self-join) must carry only (doc, band,
-    bucket) — token arrays re-attach per candidate AFTER dedup. A `toks`
-    attribute inside any band-keyed exchange is the 100 TB payload-
-    amplification bug the design forbids."""
+    exchange feeding the bucket self-join) must carry only the fixed-width
+    per-set metadata — (doc, nt, kb, band, bucket) since the round-11
+    restructure put the kb array on the membership rows instead of a
+    per-set broadcast — token arrays re-attach per candidate AFTER dedup.
+    A `toks` attribute inside any band-keyed exchange is the 100 TB
+    payload-amplification bug the design forbids."""
     from marasa_spark.catalog import load_table
     from marasa_spark.ops.dedup import minhash_lsh_pairs
 
