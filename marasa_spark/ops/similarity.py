@@ -182,11 +182,12 @@ def rh_lsh_pairs(
       an array<array<double>> plane literal), not num_bits unrolled
       aggregate subtrees — unrolling made codegen emit ~num_bits× the
       Java (the k9 46 s-cold lesson) and re-inlined the fold per band;
-    * the bands× shuffle carries ONLY (vid, band, bucket) + the int
-      bucket-cap flag; each membership also carries its per-band bucket
-      array so the self-join emits a pair exactly once at the FIRST
-      shared kept band (no dropDuplicates aggregate over the bands×
-      duplicated pair stream);
+    * the bands× shuffle carries ONLY the fixed-width per-vector metadata
+      (vid, kb, band, bucket); each membership carries its per-band
+      bucket array so the self-join emits a pair exactly once at the
+      FIRST shared kept band (no dropDuplicates aggregate over the
+      bands× duplicated pair stream), and the bucket cap arrives as a
+      usually-empty broadcast array instead of a window flag;
     * vector payloads attach per unique candidate pair AFTER a thin-pair
       repartition, pre-cast to array<double> with their norms
       precomputed per VECTOR (the old shape re-derived both norms per
@@ -249,35 +250,64 @@ def rh_lsh_pairs(
             )
         band_cols.append(bucket)
     buckets = F.array(*band_cols)
-    sig = vecs.withColumn("bits", bits)
-    banded = sig.select("vid", F.posexplode(buckets).alias("band", "bucket"))
-    # explicit spread: the banded table is byte-tiny and AQE would coalesce
-    # an implicit exchange to one task (k9's measured hazard)
-    banded = banded.repartition(nparts, "band", "bucket")
-    bucket_w = Window.partitionBy("band", "bucket")
-    banded = banded.withColumn(
-        "kept", F.count(F.lit(1)).over(bucket_w) <= max_bucket_size
+    # bits behind the nondeterministic no-op barrier (the k9 sig lesson):
+    # the bucket packing references `bits` num_bits times, and once
+    # CollapseProject inlines the projection the whole num_bits×dim plane
+    # fold re-evaluates per reference.
+    sig = vecs.withColumn(
+        "bits",
+        F.when(F.spark_partition_id() >= 0, bits).otherwise(
+            F.array().cast("array<int>")
+        ),
     )
+    # ONE row per vector with the full bucket array (k9's round-11
+    # restructure, ported): the only cross-vector fact — which
+    # (band, bucket) cells exceed the cap — reduces via a map-side-partial
+    # groupBy to a usually-empty array<long> of (band<<32|bucket-low-bits)
+    # cells broadcast as ONE row; the kb array projects directly. Removes
+    # the cap window shuffle+sort, the per-vid kb aggregate shuffle and
+    # the kb broadcast build/probe (and that broadcast's per-corpus size
+    # ceiling — the new array is bounded by n_vecs/max_bucket_size, empty
+    # on healthy corpora).
+    per_vec = sig.select("vid", buckets.alias("bks"))
     if cut_lineage:
-        # kb + both self-join sides consume banded; without the cut the
-        # signature projection (the dominant num_bits×dim fold over the
-        # corpus) re-executes per branch
+        # capped + withkb (both self-join sides, exchange-reused) consume
+        # this; without the cut the signature projection (the dominant
+        # num_bits×dim fold over the corpus) re-executes per branch
         try:
-            banded = banded.localCheckpoint(eager=True)
+            per_vec = per_vec.localCheckpoint(eager=True)
         except Exception:
-            banded.cache().count()
-    kb = banded.groupBy("vid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("band", "kept", "bucket"))),
-            lambda s: F.when(s["kept"], s["bucket"].cast("long")).otherwise(
-                F.col("vid") + F.lit(1 << 32)
-            ),
-        ).alias("kb")
+            per_vec.cache().count()
+    enc = lambda band, bucket: F.shiftleft(band.cast("long"), 32).bitwiseOR(  # noqa: E731
+        bucket.cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
     )
+    capped = (
+        per_vec.select(F.posexplode("bks").alias("band", "bucket"))
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .filter(F.col("n_vecs") > max_bucket_size)
+        .agg(F.collect_list(enc(F.col("band"), F.col("bucket"))).alias("capped"))
+    )
+    withkb = per_vec.crossJoin(F.broadcast(capped)).select(
+        "vid",
+        "bks",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.when(
+                ~F.array_contains(
+                    F.col("capped"), enc(b, F.element_at(F.col("bks"), b + 1))
+                ),
+                F.element_at(F.col("bks"), b + 1).cast("long"),
+            ).otherwise(F.col("vid") + F.lit(1 << 32)),
+        ).alias("kb"),
+    )
+    # explicit spread: the membership table is byte-tiny and AQE would
+    # coalesce an implicit exchange to one task (k9's measured hazard);
+    # both self-join sides reuse the one exchange
     members = (
-        banded.filter(F.col("kept"))
-        .select("vid", "band", "bucket")
-        .join(F.broadcast(kb), "vid")
+        withkb.select("vid", "kb", F.posexplode("bks").alias("band", "bucket"))
+        .filter(F.element_at("kb", F.col("band") + 1) < F.lit(1 << 32))
+        .repartition(nparts, "band", "bucket")
     )
     a, b = members.alias("a"), members.alias("b")
     no_earlier_shared = F.lit(True)

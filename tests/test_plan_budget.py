@@ -261,7 +261,15 @@ EXCHANGE_BUDGET = {
     # REPARTITION_BY_NUM exchanges, kb's vid shuffle and the kb/vector-
     # payload broadcasts, AQE initial+final print).
     "k9_dedup_minhash_lsh": 21,
-    "k21_embed_lsh_neardup": 15,
+    # k21 after the round-11 kb-on-membership restructure: the lineage cut
+    # moved from the exploded banded table to the per-vector signature
+    # table, so the capped-cell aggregate (groupBy + single-row collect +
+    # its broadcast) and the membership repartition now execute after the
+    # checkpoint and count here (AQE initial+final double-print). Total
+    # pipeline movement went DOWN (the cap window shuffle+sort, kb
+    # aggregate shuffle and kb broadcast are gone); measured 21 at sf0.01
+    # on the reviewed plan.
+    "k21_embed_lsh_neardup": 21,
     # m40: the returned frame reads the last per-iteration localCheckpoint
     # (iteration shuffles run in earlier jobs), so the final plan is a
     # projection — any exchange appearing here means the checkpoint
