@@ -240,9 +240,27 @@ def calibration_probe(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         probe.collect()
         jtimes.append(time.perf_counter() - t0)
+    # Third probe (round 11, ADDITIVE — existing keys and the box_ratio
+    # normalization are untouched): a fixed pure-Python pickle round trip.
+    # The r11 sweep found the collect-protocol ops (py4j transfer, Python
+    # workers) uniformly +21-38% raw vs the r10 sweep on a box whose
+    # DuckDB probe was FASTER and whose Spark probe was flat — neither
+    # existing probe tracks the single-thread Python/pickle speed that
+    # governs every collect()-bound measurement. Recording it per sample
+    # lets future rounds separate "the Python path got slower on this VM"
+    # from a real engine regression (OPTIMIZATION_r11.md §calibration).
+    import pickle
+
+    pdata = [(i, float(i) * 0.5, "x" * 20, [i, i + 1]) for i in range(200_000)]
+    ptimes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pickle.loads(pickle.dumps(pdata, 4))
+        ptimes.append(time.perf_counter() - t0)
     return {
         "duckdb_lineitem_agg_sec": round(duck, 4),
         "spark_range_sum_sec": round(min(jtimes), 4),
+        "python_pickle_sec": round(min(ptimes), 4),
     }
 
 
