@@ -153,6 +153,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     max_bucket_size: int = 1000,
     cut_lineage: bool = True,
+    selfjoin_salt: int = 4,
 ) -> DataFrame:
     """MinHash + LSH banding + exact-Jaccard verification.
 
@@ -163,6 +164,24 @@ def minhash_lsh_pairs(
     trade executor-loss recoverability for not re-running the set grouping
     per consuming branch and the verify per action), or to inspect the
     full uncut plan (tests/test_plan_audit.py does).
+
+    ``selfjoin_salt`` (s ≥ 1) splits each (band, bucket) cell's pair work
+    s·(s+1)/2 ways (guide §2.5 hot-key split): a single dense near-dup
+    family collides in EVERY band, so the bucket self-join's parallelism
+    is otherwise capped at ``bands`` tasks no matter how many cores exist
+    — AQE skew split never fires because the hot partitions are KB-sized
+    (compute-bound, not byte-bound). Each doc gets a deterministic salt
+    group g = pmod(xxhash64(doc), s); side a replicates a membership over
+    sub-cells (g, q≥g), side b over (p≤g, g), so an unordered pair meets
+    in exactly ONE sub-cell: cross-group at (min g, max g), same-group at
+    (g, g) where the doc-order test still dedups. Output pair set is
+    IDENTICAL for every s (s=1 restores the unsalted plan, one copy per
+    side and the bare doc-order condition); the cost is (s−g)+(g+1) = s+1
+    copies per membership across the two sides — thin (doc, nt, kb, band,
+    bucket, salt) rows only, token arrays still never ride a band-keyed
+    exchange. Measured at
+    sf0.1 (one ~2,200-set family hot in all 16 bands, 32 cores): the
+    candidate join's warm noop 4.5–5.8 s → 1.3 s at s=4.
 
     shingle→minhash→band→bucket-join: candidates are only pairs sharing at
     least one band bucket; each candidate is verified with exact Jaccard so
@@ -379,13 +398,39 @@ def minhash_lsh_pairs(
     # test_plan_audit band-payload pin allows it; token arrays still
     # never enter any band-keyed exchange).
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    members = (
+    if selfjoin_salt < 1:
+        raise ValueError(f"selfjoin_salt must be >= 1, got {selfjoin_salt}")
+    base = (
         withkb.select("doc", "nt", "kb", F.posexplode("bks").alias("band", "bucket"))
         .filter(F.element_at("kb", F.col("band") + 1) < F.lit(1 << 32))
-        .repartition(nparts, "band", "bucket")
+        .withColumn(
+            "g", F.pmod(F.xxhash64("doc"), F.lit(selfjoin_salt)).cast("int")
+        )
     )
-    a = members.alias("a")
-    b = members.alias("b")
+    # Two sides with ASYMMETRIC salt replication (docstring): a covers
+    # sub-cells (g, q >= g), b covers (p <= g, g). The sides' plans differ,
+    # so each gets its own (band, bucket, sp, sq) exchange — the one-
+    # exchange reuse of the unsalted shape is traded for the s·(s+1)/2-way
+    # split of every hot cell (exchange pin re-measured in
+    # tests/test_plan_budget.py).
+    a = (
+        base.select(
+            "doc", "nt", "kb", "band", "bucket",
+            F.col("g").alias("sp"),
+            F.explode(F.sequence(F.col("g"), F.lit(selfjoin_salt - 1))).alias("sq"),
+        )
+        .repartition(nparts, "band", "bucket", "sp", "sq")
+        .alias("a")
+    )
+    b = (
+        base.select(
+            "doc", "nt", "kb", "band", "bucket",
+            F.explode(F.sequence(F.lit(0), F.col("g"))).alias("sp"),
+            F.col("g").alias("sq"),
+        )
+        .repartition(nparts, "band", "bucket", "sp", "sq")
+        .alias("b")
+    )
     no_earlier_shared = F.lit(True)
     for bp in range(bands - 1):
         no_earlier_shared = no_earlier_shared & (
@@ -407,22 +452,37 @@ def minhash_lsh_pairs(
     ) >= F.lit(threshold - 1e-9) * F.greatest(F.col("a.nt"), F.col("b.nt")).cast(
         "double"
     )
+    # Pair-once condition under salting: in a cross-group sub-cell
+    # (sp < sq) the a/b replication rules make the swapped orientation
+    # structurally impossible (a's sp is its own group, b's sq is its
+    # own group, and sp < sq excludes a.g = b.g), so every cross-group
+    # pair joins exactly once with arbitrary doc order; same-group
+    # sub-cells (sp = sq) keep the classic doc-order dedup. doc_a/doc_b
+    # are normalized with least/greatest, and n_a/n_b swap with the same
+    # test so they stay aligned (only their sum feeds the union size, so
+    # this is hygiene, not semantics).
+    swap = F.col("a.doc") > F.col("b.doc")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("a.sp") == F.col("b.sp"))
+            & (F.col("a.sq") == F.col("b.sq"))
+            & (
+                (F.col("a.sp") < F.col("a.sq"))
+                | (F.col("a.doc") < F.col("b.doc"))
+            )
             & size_compat
             & no_earlier_shared,
         )
         .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("doc_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("doc_b"),
             # the pair row carries both sizes (16 B) so the verify below
             # needs no separate size-attach joins
-            F.col("a.nt").alias("n_a"),
-            F.col("b.nt").alias("n_b"),
+            F.when(swap, F.col("b.nt")).otherwise(F.col("a.nt")).alias("n_a"),
+            F.when(swap, F.col("a.nt")).otherwise(F.col("b.nt")).alias("n_b"),
         )
         # jaccard_pairs rule: spread the pair table BEFORE attaching
         # payloads. Without this boundary the verify (two broadcast

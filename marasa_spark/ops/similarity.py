@@ -165,6 +165,7 @@ def rh_lsh_pairs(
     max_bucket_size: int = 5000,
     sim_decimals: int = 6,
     cut_lineage: bool = True,
+    selfjoin_salt: int = 4,
 ) -> DataFrame:
     """Random-hyperplane LSH near-dup pairs over an embedding column — the
     bucketed scale path for embedding-cosine dedup (the all-pairs variant is
@@ -196,7 +197,14 @@ def rh_lsh_pairs(
       so the threshold filter can't re-evaluate it on the non-codegen
       path (k9's measured 831→60 CPU-s hazard, same pin);
     * degenerate buckets are dropped at ``max_bucket_size`` (documented
-      recall cut, members still pair via their other bands).
+      recall cut, members still pair via their other bands);
+    * ``selfjoin_salt`` splits each (band, bucket) cell's pair work
+      s·(s+1)/2 ways exactly as minhash_lsh_pairs does (see its docstring
+      for the replication scheme and the pair-once proof): one dense
+      embedding family colliding in every band otherwise caps the bucket
+      self-join at ``bands`` tasks, and AQE skew split never fires on the
+      KB-sized compute-bound partitions. Output pair set identical for
+      every s; s=1 restores the unsalted single-exchange shape.
     """
     if num_bits % bands != 0:
         raise ValueError(
@@ -302,14 +310,38 @@ def rh_lsh_pairs(
         ).alias("kb"),
     )
     # explicit spread: the membership table is byte-tiny and AQE would
-    # coalesce an implicit exchange to one task (k9's measured hazard);
-    # both self-join sides reuse the one exchange
-    members = (
+    # coalesce an implicit exchange to one task (k9's measured hazard).
+    # Asymmetric salt replication per side (minhash_lsh_pairs' scheme):
+    # side a covers sub-cells (g, q >= g), side b covers (p <= g, g), so
+    # an unordered pair meets in exactly one sub-cell; the one-exchange
+    # reuse is traded for the hot-cell split.
+    if selfjoin_salt < 1:
+        raise ValueError(f"selfjoin_salt must be >= 1, got {selfjoin_salt}")
+    base = (
         withkb.select("vid", "kb", F.posexplode("bks").alias("band", "bucket"))
         .filter(F.element_at("kb", F.col("band") + 1) < F.lit(1 << 32))
-        .repartition(nparts, "band", "bucket")
+        .withColumn(
+            "g", F.pmod(F.xxhash64("vid"), F.lit(selfjoin_salt)).cast("int")
+        )
     )
-    a, b = members.alias("a"), members.alias("b")
+    a = (
+        base.select(
+            "vid", "kb", "band", "bucket",
+            F.col("g").alias("sp"),
+            F.explode(F.sequence(F.col("g"), F.lit(selfjoin_salt - 1))).alias("sq"),
+        )
+        .repartition(nparts, "band", "bucket", "sp", "sq")
+        .alias("a")
+    )
+    b = (
+        base.select(
+            "vid", "kb", "band", "bucket",
+            F.explode(F.sequence(F.lit(0), F.col("g"))).alias("sp"),
+            F.col("g").alias("sq"),
+        )
+        .repartition(nparts, "band", "bucket", "sp", "sq")
+        .alias("b")
+    )
     no_earlier_shared = F.lit(True)
     for bp in range(bands - 1):
         no_earlier_shared = no_earlier_shared & (
@@ -321,10 +353,18 @@ def rh_lsh_pairs(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vid") < F.col("b.vid"))
+            & (F.col("a.sp") == F.col("b.sp"))
+            & (F.col("a.sq") == F.col("b.sq"))
+            & (
+                (F.col("a.sp") < F.col("a.sq"))
+                | (F.col("a.vid") < F.col("b.vid"))
+            )
             & no_earlier_shared,
         )
-        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+        .select(
+            F.least(F.col("a.vid"), F.col("b.vid")).alias("vec_a"),
+            F.greatest(F.col("a.vid"), F.col("b.vid")).alias("vec_b"),
+        )
         # thin-pair spread BEFORE payload attach (k9's rule): the verify
         # below must not run concentrated on the hot bucket tasks
         .repartition(nparts, "vec_a", "vec_b")

@@ -102,6 +102,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
+        # STATIC conf (settable only at session build, so it cannot go in
+        # RUNTIME_CONFS): default-on PySpark "DataFrame debugging" wraps
+        # every DataFrame/Column API call in a Python stack walk plus two
+        # py4j origin round-trips purely to enrich error messages with the
+        # user call site. That is driver-side plan-construction overhead on
+        # EVERY op — measured (r11, 32-core box): k9's fn() driver residue
+        # 3.97 -> 2.49 s, whole-registry construction proportionally.
+        # Errors keep their full Python tracebacks; only the JVM-side
+        # DataFrameQueryContext enrichment is lost. The driver's own
+        # vanilla session (correctness verify, not timed) keeps the
+        # default.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)

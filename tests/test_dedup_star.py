@@ -198,3 +198,32 @@ def test_dense_family_soak_cap_engages_and_recall_cut_is_documented_shape(
     # within the family id range
     bad = uncapped.filter("doc_a >= 900 or doc_b >= 900").count()
     assert bad == 0
+
+
+@pytest.mark.parametrize("salt", [1, 3, 4])
+def test_selfjoin_salt_is_output_invariant(spark, salt):
+    """The round-11 hot-cell salt split (selfjoin_salt) must be a pure
+    parallelism knob: for ANY s the emitted (doc_a, doc_b, jaccard) set is
+    identical to the unsalted shape — a pair meets in exactly one salted
+    sub-cell (cross-group at (min g, max g), same-group deduped by doc
+    order). Runs on the dense-family corpus, the exact shape the salt
+    exists to spread (one family hot in every band)."""
+    docs = _dense_family_corpus(spark, n_family=300, n_noise=300)
+    kw = dict(
+        num_hashes=32, bands=16, threshold=0.8, max_bucket_size=100_000
+    )
+    ref = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", selfjoin_salt=1, **kw
+        ).collect()
+    )
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", selfjoin_salt=salt, **kw
+        ).collect()
+    )
+    assert got == ref
+    # the family is pairwise above threshold ⇒ the full quadratic pair set
+    assert len(ref) == 300 * 299 // 2

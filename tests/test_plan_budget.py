@@ -249,27 +249,24 @@ EXCHANGE_BUDGET = {
     # branch, + the window's (pid, group) co-partition) — the rest are
     # metadata-row aggs and the two broadcasts
     "d24_percentile_two_phase": 23,
-    # k9 (measured after the round-11 restructure, AQE initial+final
-    # print): the two DATA-sized movements — the (band, bucket) band
-    # shuffle and the tset window shuffle — run inside the two
-    # localCheckpoint materializations and are invisible here; the
-    # visible 21 are the thin-pair REPARTITION_BY_NUM exchanges
-    # (candidates + verified pairs), kb's doc shuffle, and the
-    # kb/toks_h/mapping broadcasts. k21 likewise after its k9-playbook
-    # port (bucketed LSH + first-shared-band + verify: the band shuffle
-    # lives in its localCheckpoint; visible are the thin-pair
-    # REPARTITION_BY_NUM exchanges, kb's vid shuffle and the kb/vector-
-    # payload broadcasts, AQE initial+final print).
-    "k9_dedup_minhash_lsh": 21,
-    # k21 after the round-11 kb-on-membership restructure: the lineage cut
-    # moved from the exploded banded table to the per-vector signature
-    # table, so the capped-cell aggregate (groupBy + single-row collect +
-    # its broadcast) and the membership repartition now execute after the
-    # checkpoint and count here (AQE initial+final double-print). Total
-    # pipeline movement went DOWN (the cap window shuffle+sort, kb
-    # aggregate shuffle and kb broadcast are gone); measured 21 at sf0.01
-    # on the reviewed plan.
-    "k21_embed_lsh_neardup": 21,
+    # k9 after the round-11 THIRD lineage cut (verified rep pairs): the
+    # whole candidate/verify machinery — band shuffles, thin-pair
+    # repartitions, kb/toks_h broadcasts — runs inside the three
+    # localCheckpoint materializations and is invisible here; the visible
+    # plan is the expansion only (the two member-array broadcasts +
+    # explodes, AQE initial+final print). Measured 4 at sf0.01, stable
+    # over 3 runs; any growth means an expansion-stage movement was added
+    # or a checkpoint stopped cutting.
+    "k9_dedup_minhash_lsh": 4,
+    # k21 keeps only the per-vector signature checkpoint, so the whole
+    # candidate/verify plan stays visible (AQE initial+final double-
+    # print): capped-cell aggregate + its broadcast, the TWO salted
+    # membership repartitions (round-11 hot-cell split — the a/b sides
+    # replicate asymmetrically so the old single reused exchange became
+    # two), the thin-pair repartitions and the vector-payload broadcasts.
+    # Measured 22 at sf0.01 (21 before the salt split), stable over 3
+    # runs.
+    "k21_embed_lsh_neardup": 22,
     # m40: the returned frame reads the last per-iteration localCheckpoint
     # (iteration shuffles run in earlier jobs), so the final plan is a
     # projection — any exchange appearing here means the checkpoint
