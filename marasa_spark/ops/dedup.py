@@ -176,12 +176,14 @@ def minhash_lsh_pairs(
     in exactly ONE sub-cell: cross-group at (min g, max g), same-group at
     (g, g) where the doc-order test still dedups. Output pair set is
     IDENTICAL for every s (s=1 restores the unsalted plan, one copy per
-    side and the bare doc-order condition); the cost is (s−g)+(g+1) = s+1
-    copies per membership across the two sides — thin (doc, nt, kb, band,
-    bucket, salt) rows only, token arrays still never ride a band-keyed
-    exchange. Measured at
-    sf0.1 (one ~2,200-set family hot in all 16 bands, 32 cores): the
-    candidate join's warm noop 4.5–5.8 s → 1.3 s at s=4.
+    side and the bare doc-order condition); the cost is s copies per
+    membership through the ONE shared (band, bucket, sp, sq) exchange —
+    thin (doc, nt, kb, band, bucket, salt) rows only, token arrays still
+    never ride a band-keyed exchange, and the two join sides are barrier-
+    pinned filters above the exchange so it stays reused exactly like the
+    unsalted self-join. Measured at sf0.1 (one ~2,200-set family hot in
+    all 16 bands, 32 cores): the candidate join's warm noop
+    4.5–5.8 s → 1.3 s at s=4.
 
     shingle→minhash→band→bucket-join: candidates are only pairs sharing at
     least one band bucket; each candidate is verified with exact Jaccard so
@@ -400,37 +402,51 @@ def minhash_lsh_pairs(
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     if selfjoin_salt < 1:
         raise ValueError(f"selfjoin_salt must be >= 1, got {selfjoin_salt}")
-    base = (
+    # ONE membership table carries every salt sub-cell copy a row serves —
+    # T(g) = {(g, q): q ≥ g} ∪ {(p, g): p ≤ g}, s copies after the (g, g)
+    # dedup (array_union on the struct pair) — through ONE
+    # (band, bucket, sp, sq) exchange; the two join sides are then FILTERS
+    # above it (a keeps a row's a-copies sp = g, b its b-copies sq = g),
+    # so the exchange is reused exactly like the unsalted self-join and
+    # the capped broadcast builds once. The filters sit behind the
+    # nondeterministic no-op barrier: pushed below the repartition they
+    # would make the two exchange subtrees differ and break the reuse
+    # (measured on k21: the two-exchange variant pays the capped
+    # broadcast + codegen twice, first collect 5.0 → 10.4-13.3 s).
+    g = F.pmod(F.xxhash64("doc"), F.lit(selfjoin_salt)).cast("int")
+    copies = F.array_union(
+        F.transform(
+            F.sequence(F.col("g"), F.lit(selfjoin_salt - 1)),
+            lambda q: F.struct(
+                F.col("g").cast("int").alias("sp"), q.cast("int").alias("sq")
+            ),
+        ),
+        F.transform(
+            F.sequence(F.lit(0), F.col("g")),
+            lambda p: F.struct(
+                p.cast("int").alias("sp"), F.col("g").cast("int").alias("sq")
+            ),
+        ),
+    )
+    members = (
         withkb.select("doc", "nt", "kb", F.posexplode("bks").alias("band", "bucket"))
         .filter(F.element_at("kb", F.col("band") + 1) < F.lit(1 << 32))
-        .withColumn(
-            "g", F.pmod(F.xxhash64("doc"), F.lit(selfjoin_salt)).cast("int")
+        .withColumn("g", g)
+        .select(
+            "doc", "nt", "kb", "band", "bucket", "g",
+            F.explode(copies).alias("cell"),
         )
-    )
-    # Two sides with ASYMMETRIC salt replication (docstring): a covers
-    # sub-cells (g, q >= g), b covers (p <= g, g). The sides' plans differ,
-    # so each gets its own (band, bucket, sp, sq) exchange — the one-
-    # exchange reuse of the unsalted shape is traded for the s·(s+1)/2-way
-    # split of every hot cell (exchange pin re-measured in
-    # tests/test_plan_budget.py).
-    a = (
-        base.select(
-            "doc", "nt", "kb", "band", "bucket",
-            F.col("g").alias("sp"),
-            F.explode(F.sequence(F.col("g"), F.lit(selfjoin_salt - 1))).alias("sq"),
+        .select(
+            "doc", "nt", "kb", "band", "bucket", "g",
+            F.col("cell.sp").alias("sp"), F.col("cell.sq").alias("sq"),
         )
         .repartition(nparts, "band", "bucket", "sp", "sq")
-        .alias("a")
     )
-    b = (
-        base.select(
-            "doc", "nt", "kb", "band", "bucket",
-            F.explode(F.sequence(F.lit(0), F.col("g"))).alias("sp"),
-            F.col("g").alias("sq"),
-        )
-        .repartition(nparts, "band", "bucket", "sp", "sq")
-        .alias("b")
-    )
+    barrier = lambda c: F.when(  # noqa: E731
+        F.spark_partition_id() >= 0, c
+    ).otherwise(F.lit(True))
+    a = members.filter(barrier(F.col("sp") == F.col("g"))).alias("a")
+    b = members.filter(barrier(F.col("sq") == F.col("g"))).alias("b")
     no_earlier_shared = F.lit(True)
     for bp in range(bands - 1):
         no_earlier_shared = no_earlier_shared & (

@@ -165,7 +165,7 @@ def rh_lsh_pairs(
     max_bucket_size: int = 5000,
     sim_decimals: int = 6,
     cut_lineage: bool = True,
-    selfjoin_salt: int = 4,
+    selfjoin_salt: int = 1,
 ) -> DataFrame:
     """Random-hyperplane LSH near-dup pairs over an embedding column — the
     bucketed scale path for embedding-cosine dedup (the all-pairs variant is
@@ -204,7 +204,13 @@ def rh_lsh_pairs(
       embedding family colliding in every band otherwise caps the bucket
       self-join at ``bands`` tasks, and AQE skew split never fires on the
       KB-sized compute-bound partitions. Output pair set identical for
-      every s; s=1 restores the unsalted single-exchange shape.
+      every s (pinned vs s=1 in tests/test_llm_ops.py); s=1 restores the
+      unsalted single-copy shape. Default 1 HERE (unlike
+      minhash_lsh_pairs): the shipped embedding corpus has no dense
+      family, so at bench scale the salt buys nothing and costs ~+4 s of
+      first-run codegen/JIT (measured interleaved at sf0.1: first
+      collect 5.0-5.4 s at s=1 vs 10.1 s at s=4, warm identical) — a
+      corpus with a giant near-dup family should pass s ≥ 4.
     """
     if num_bits % bands != 0:
         raise ValueError(
@@ -311,37 +317,46 @@ def rh_lsh_pairs(
     )
     # explicit spread: the membership table is byte-tiny and AQE would
     # coalesce an implicit exchange to one task (k9's measured hazard).
-    # Asymmetric salt replication per side (minhash_lsh_pairs' scheme):
-    # side a covers sub-cells (g, q >= g), side b covers (p <= g, g), so
-    # an unordered pair meets in exactly one sub-cell; the one-exchange
-    # reuse is traded for the hot-cell split.
+    # Salt replication through ONE shared exchange (minhash_lsh_pairs'
+    # scheme, see its docstring): each row carries every sub-cell copy it
+    # serves — T(g) = {(g, q≥g)} ∪ {(p≤g, g)}, s copies after the (g, g)
+    # dedup — and the two join sides are barrier-pinned filters above the
+    # exchange (a: sp = g, b: sq = g), so the exchange is reused and the
+    # capped broadcast builds once (the two-exchange variant measured
+    # first-collect 5.0 → 10.4-13.3 s on this op).
     if selfjoin_salt < 1:
         raise ValueError(f"selfjoin_salt must be >= 1, got {selfjoin_salt}")
-    base = (
+    g = F.pmod(F.xxhash64("vid"), F.lit(selfjoin_salt)).cast("int")
+    copies = F.array_union(
+        F.transform(
+            F.sequence(F.col("g"), F.lit(selfjoin_salt - 1)),
+            lambda q: F.struct(
+                F.col("g").cast("int").alias("sp"), q.cast("int").alias("sq")
+            ),
+        ),
+        F.transform(
+            F.sequence(F.lit(0), F.col("g")),
+            lambda p: F.struct(
+                p.cast("int").alias("sp"), F.col("g").cast("int").alias("sq")
+            ),
+        ),
+    )
+    members = (
         withkb.select("vid", "kb", F.posexplode("bks").alias("band", "bucket"))
         .filter(F.element_at("kb", F.col("band") + 1) < F.lit(1 << 32))
-        .withColumn(
-            "g", F.pmod(F.xxhash64("vid"), F.lit(selfjoin_salt)).cast("int")
-        )
-    )
-    a = (
-        base.select(
-            "vid", "kb", "band", "bucket",
-            F.col("g").alias("sp"),
-            F.explode(F.sequence(F.col("g"), F.lit(selfjoin_salt - 1))).alias("sq"),
+        .withColumn("g", g)
+        .select("vid", "kb", "band", "bucket", "g", F.explode(copies).alias("cell"))
+        .select(
+            "vid", "kb", "band", "bucket", "g",
+            F.col("cell.sp").alias("sp"), F.col("cell.sq").alias("sq"),
         )
         .repartition(nparts, "band", "bucket", "sp", "sq")
-        .alias("a")
     )
-    b = (
-        base.select(
-            "vid", "kb", "band", "bucket",
-            F.explode(F.sequence(F.lit(0), F.col("g"))).alias("sp"),
-            F.col("g").alias("sq"),
-        )
-        .repartition(nparts, "band", "bucket", "sp", "sq")
-        .alias("b")
-    )
+    barrier = lambda c: F.when(  # noqa: E731
+        F.spark_partition_id() >= 0, c
+    ).otherwise(F.lit(True))
+    a = members.filter(barrier(F.col("sp") == F.col("g"))).alias("a")
+    b = members.filter(barrier(F.col("sq") == F.col("g"))).alias("b")
     no_earlier_shared = F.lit(True)
     for bp in range(bands - 1):
         no_earlier_shared = no_earlier_shared & (

@@ -196,6 +196,23 @@ def test_rh_lsh_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.9, f"RH-LSH recall {recall:.3f} below banding-curve floor"
 
 
+def test_rh_lsh_selfjoin_salt_is_output_invariant(spark, sf_dir):
+    """rh_lsh_pairs' hot-cell salt split (round 11) must be a pure
+    parallelism knob: (vec_a, vec_b, sim) identical for any s (the
+    minhash twin of test_dedup_star's pin — same replication scheme)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    mk = lambda s: sorted(  # noqa: E731
+        (r["vec_a"], r["vec_b"], r["sim"])
+        for r in S.rh_lsh_pairs(
+            e, "vec_id", "embedding", dim=64, threshold=0.35,
+            num_bits=32, bands=16, selfjoin_salt=s,
+        ).collect()
+    )
+    ref = mk(1)
+    assert ref, "test needs a non-empty pair set"
+    assert mk(3) == ref
+
+
 def test_kmeans_ivf_in_cluster_exactness(spark, sf_dir):
     """k22: Lloyd's centroids must produce a valid partition (every vector
     assigned, k clusters at most) and the IVF probe must return exactly the

@@ -260,13 +260,13 @@ EXCHANGE_BUDGET = {
     "k9_dedup_minhash_lsh": 4,
     # k21 keeps only the per-vector signature checkpoint, so the whole
     # candidate/verify plan stays visible (AQE initial+final double-
-    # print): capped-cell aggregate + its broadcast, the TWO salted
-    # membership repartitions (round-11 hot-cell split — the a/b sides
-    # replicate asymmetrically so the old single reused exchange became
-    # two), the thin-pair repartitions and the vector-payload broadcasts.
-    # Measured 22 at sf0.01 (21 before the salt split), stable over 3
-    # runs.
-    "k21_embed_lsh_neardup": 22,
+    # print): capped-cell aggregate + its broadcast, the ONE shared
+    # salted membership repartition (round-11 hot-cell split — both join
+    # sides are barrier-pinned filters above it, so the exchange stays
+    # reused exactly like the unsalted shape), the thin-pair
+    # repartitions and the vector-payload broadcasts. Measured 21 at
+    # sf0.01, stable over 3 runs.
+    "k21_embed_lsh_neardup": 21,
     # m40: the returned frame reads the last per-iteration localCheckpoint
     # (iteration shuffles run in earlier jobs), so the final plan is a
     # projection — any exchange appearing here means the checkpoint
