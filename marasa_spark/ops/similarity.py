@@ -103,9 +103,37 @@ def ivf_assign(
     top-P cells trades scan cost (P/K of the corpus per probe) for recall —
     the boundary-vector misses that single-cell probing suffers (a query
     near a Voronoi edge has true neighbors just across it) are exactly what
-    multi-probe recovers. k48 measures the trade as a queryable table."""
+    multi-probe recovers. k48 measures the trade as a queryable table.
+
+    Round-12 shape notes (output bit-identical, pinned by the oracle
+    parity mirror and the in-cluster exactness tests):
+
+    * cosine factors the per-vector norms OUT of the per-(vector,
+      centroid) expression: ``dot(v, c) / (norm_v * norm_c)`` with each
+      norm computed once per corpus row / once per broadcast centroid is
+      the same IEEE expression as ``cosine(v, c)`` evaluated inline —
+      identical fold order, identical operands — but the K-way score loop
+      pays one dim-element fold instead of three (higher-order folds are
+      interpreted, guide §1.2: the per-task work was 3× what the math
+      needs). Requires ``c_id`` values to be unique (every caller's corpus
+      is keyed by its id column).
+    * ``nprobe=1`` (the common index-side path, also Lloyd's assignment
+      step inside kmeans_centroids) computes the argbest per vector as ONE
+      map-side-partial aggregate — ``max(struct(csim, -cent_id))`` /
+      ``min(struct(csim, cent_id))`` reproduces the (score, cent_id)
+      tiebreak exactly — instead of a row_number window: the window
+      shuffled AND sorted K rows per vector with the embedding array
+      riding the exchange (guide §2.3/§2.4); the aggregate reduces to one
+      row per vector map-side, so only corpus-count rows cross the wire.
+      ``nprobe>1`` keeps the window (a top-P per key needs the sort)."""
     if metric == "cosine":
-        score = r2(cosine(F.col(c_vec), F.col(cent_vec)), 6)
+        corpus = corpus.withColumn("_vnrm", norm(F.col(c_vec)))
+        centroids = centroids.withColumn("_cnrm", norm(F.col(cent_vec)))
+        score = r2(
+            dot(F.col(c_vec), F.col(cent_vec))
+            / (F.col("_vnrm") * F.col("_cnrm")),
+            6,
+        )
         order = F.col("csim").desc()
     elif metric == "l2":
         score = r2(l2sq(F.col(c_vec), F.col(cent_vec)), 6)
@@ -113,6 +141,28 @@ def ivf_assign(
     else:
         raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
     sims = corpus.join(F.broadcast(centroids)).withColumn("csim", score)
+    if nprobe == 1:
+        if metric == "cosine":
+            # max over (csim, -cent_id) = highest score, then LOWEST cent_id
+            best = F.max(
+                F.struct(
+                    F.col("csim").alias("s"), (-F.col(cent_id)).alias("nc")
+                )
+            )
+            cluster = (-F.col("_best.nc")).alias("cluster")
+        else:
+            # min over (csim, cent_id) = lowest distance, then lowest cent_id
+            best = F.min(
+                F.struct(F.col("csim").alias("s"), F.col(cent_id).alias("nc"))
+            )
+            cluster = F.col("_best.nc").alias("cluster")
+        return (
+            sims.groupBy(c_id)
+            # c_vec is functionally determined by the unique c_id, so
+            # first() is deterministic here (all group values identical)
+            .agg(best.alias("_best"), F.first(c_vec).alias(c_vec))
+            .select(c_id, c_vec, cluster)
+        )
     w = Window.partitionBy(c_id).orderBy(order, F.col(cent_id))
     return (
         sims.withColumn("crank", F.row_number().over(w))

@@ -2290,29 +2290,53 @@ def k52_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of points) — never an all-pairs join. τ=0.35 is tuned to this
     synthetic N(0,1) corpus (real text embeddings dedup at ~0.95+);
     cosines are 6-dp rounded on both engines (k11's discipline) so the
-    threshold can't flip on a fold-order ulp."""
+    threshold can't flip on a fold-order ulp.
+
+    Round-12 shape (output bit-identical, md5-harness-checked + 3-SF
+    parity): the assignment is localCheckpoint'ed once — it feeds BOTH
+    pair sides and the final keep projection, and without the cut the
+    whole assign plan re-executed per branch per action (the k9 lineage
+    lesson); each side carries its vector's norm computed ONCE per vector,
+    so the per-pair cosine is ``dot/(xn·yn)`` — the identical IEEE
+    expression as ``cosine(xv, yv)`` (same folds, same operand order) at
+    a third of the interpreted-fold work (guide §1.2; the rh_lsh_pairs
+    precedent); the y side is broadcast (cluster-local pair generation
+    never needs the corpus shuffled — at SemDeDup's real scale the
+    within-cluster join shuffles both sides by cluster id instead, which
+    is what the oracle's shape pins)."""
     e = load_table(spark, sf_dir, "embeddings")
     corpus = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     centroids = e.filter(F.col("vec_id") < 32).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
     )
     asg = S.ivf_assign(corpus, centroids)
-    x = asg.select(
-        F.col("c_id").alias("vec_id"), F.col("c_vec").alias("xv"), "cluster"
+    try:
+        asg = asg.localCheckpoint(eager=True)
+    except Exception:
+        asg.cache().count()
+    an = asg.withColumn("_nrm", S.norm(F.col("c_vec")))
+    x = an.select(
+        F.col("c_id").alias("vec_id"), F.col("c_vec").alias("xv"), "cluster",
+        F.col("_nrm").alias("xn"),
     )
-    y = asg.select(
+    y = an.select(
         F.col("c_id").alias("y_id"), F.col("c_vec").alias("yv"),
-        F.col("cluster").alias("y_cluster"),
+        F.col("cluster").alias("y_cluster"), F.col("_nrm").alias("yn"),
     )
+    pair_cos = S.dot(F.col("xv"), F.col("yv")) / (F.col("xn") * F.col("yn"))
     dropped = (
-        x.join(y, (F.col("cluster") == F.col("y_cluster")) & (F.col("y_id") < F.col("vec_id")))
-        .filter(r2(S.cosine(F.col("xv"), F.col("yv")), 6) >= 0.35)
+        x.join(
+            F.broadcast(y),
+            (F.col("cluster") == F.col("y_cluster")) & (F.col("y_id") < F.col("vec_id")),
+        )
+        .filter(r2(pair_cos, 6) >= 0.35)
         .select("vec_id")
         .distinct()
         .withColumn("is_dropped", F.lit(True))
     )
     return (
-        x.join(dropped, "vec_id", "left")
+        asg.select(F.col("c_id").alias("vec_id"), "cluster")
+        .join(dropped, "vec_id", "left")
         .select(
             "vec_id",
             "cluster",
@@ -2860,67 +2884,122 @@ def k60_containment_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same oracle as k55 (two plans, one semantics): prefix filtering is
     lossless for the ≥ t output, which the hash check proves. At 100 TB
     the all-pairs k55 shape is impossible; this shape is one token
-    shuffle + a rare-token join + per-candidate verification."""
+    shuffle + a rare-token join + per-candidate verification.
+
+    Round-12 restructure (output identical — md5-harness-checked at sf0.1
+    + 3-SF parity; the r11 shape paid 5 string-keyed exchanges and a
+    pair×token verify join):
+
+    * the per-doc distinct token SET comes from ``array_distinct`` per row
+      (no explode+distinct exchange), carried as an xxhash64-HASHED long
+      array — every downstream key is 8 B, never a UTF8String (guide
+      §2.3; the k9/k55 verify discipline, same documented collision
+      caveat: the shipped corpora pin vocabulary collision-freeness in
+      tests, and a candidate-side collision can only ADD a candidate,
+      which the exact verify then decides).
+    * the prefix is built per doc by sorting its (df, h) pairs INSIDE the
+      row (array_sort on a struct array) instead of a row_number window
+      over every token — the prefix-filter guarantee holds for ANY fixed
+      per-doc token order (if none of the first ⌊(1−t)·n⌋+1 tokens hits
+      B, more than (1−t)·n tokens miss B), so ordering by (df, hash)
+      instead of (df, token-string) changes only which lossless candidate
+      superset is generated, never the verified output.
+    * verification attaches both docs' hashed-set arrays per unique
+      candidate pair (array_intersect behind the nondeterministic no-op
+      pin, evaluated once) instead of re-joining the token table twice
+      and counting — the k9 playbook's thin-pair + payload-attach shape.
+      |A| is size(set) projected per row, so the old two count
+      aggregations and their joins are gone. At the contract's bounded
+      slice the attaches broadcast; at 100 TB they are shuffled-on-id
+      joins (k9's documented fallback)."""
     t = 0.9
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    tok = d.select(
-        F.col("doc_id"), F.explode(D.tokens(F.col("text"))).alias("w")
-    ).distinct()
-    cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    df_freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        tok.join(df_freq, "w")
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                W.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("w"))
-            ),
-        )
-        .join(cnt, "doc_id")
-    )
+    th = d.select(
+        "doc_id",
+        F.transform(D.tokens(F.col("text")), lambda x: F.xxhash64(x)).alias("th"),
+    ).withColumn("n", F.size("th"))
+    tokh = th.select("doc_id", F.explode("th").alias("h"))
+    vocab = tokh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     # prefix size = ⌊n·(den−num)/den⌋ + 1 computed with EXACT arithmetic:
     # the tempting float (1 − 0.9) is 0.0999…8, and 0.0999…8 × 10 floors
     # to 0 instead of 1 — one prefix token where one may be missing, i.e.
     # lost candidates. n × 1.0 / 10.0 is correctly rounded at integers.
     num, den = 9, 10  # t = num/den
-    max_missing = F.floor(F.col("n") * F.lit(float(den - num)) / F.lit(float(den)))
-    prefix = ranked.filter(F.col("pos") <= max_missing + 1).select("doc_id", "w")
+    n_pref = (
+        F.floor(F.col("n") * F.lit(float(den - num)) / F.lit(float(den))) + 1
+    ).cast("int")
+    prefix = (
+        tokh.join(vocab, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("df", "h")).alias("dfh"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "doc_id",
+            F.explode(F.slice(F.array_sort("dfh"), 1, n_pref)).alias("p"),
+        )
+        .select("doc_id", F.col("p.h").alias("h"))
+    )
 
     # candidates in each direction: smaller-side prefix ⋈ other side's FULL
-    # token set; normalize to doc_a < doc_b and dedup
-    full = tok
-    cand_ab = prefix.alias("p").join(
-        full.alias("f"),
-        (F.col("p.w") == F.col("f.w")) & (F.col("p.doc_id") != F.col("f.doc_id")),
-    ).select(
-        F.least("p.doc_id", "f.doc_id").alias("doc_a"),
-        F.greatest("p.doc_id", "f.doc_id").alias("doc_b"),
-    ).distinct()
-
-    inter = (
-        cand_ab.join(tok.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+    # token set; normalize to doc_a < doc_b and dedup, then spread the thin
+    # pair table off whatever few tasks the rare-token join landed on
+    # before the verify payloads attach (the k9 lesson: compute-bound
+    # stages must be spread by key, byte-based AQE coalescing guesses
+    # wrong on KB-sized pair tables)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cand_ab = (
+        prefix.alias("p")
         .join(
-            tok.alias("tb"),
-            (F.col("doc_b") == F.col("tb.doc_id"))
-            & (F.col("ta.w") == F.col("tb.w")),
+            tokh.alias("f"),
+            (F.col("p.h") == F.col("f.h")) & (F.col("p.doc_id") != F.col("f.doc_id")),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    na = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    out = (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
         .select(
+            F.least("p.doc_id", "f.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "f.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .repartition(nparts, "doc_a", "doc_b")
+    )
+
+    pairs = cand_ab.join(
+        F.broadcast(
+            th.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("th").alias("th_a"),
+                F.col("n").alias("n_a"),
+            )
+        ),
+        "doc_a",
+    ).join(
+        F.broadcast(
+            th.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("th").alias("th_b"),
+                F.col("n").alias("n_b"),
+            )
+        ),
+        "doc_b",
+    )
+    # the k9 nondeterministic no-op pin: array_intersect evaluated exactly
+    # once per pair, never substituted into the OR filter's two branches
+    pairs = pairs.withColumn(
+        "inter",
+        F.when(
+            F.spark_partition_id() >= 0,
+            F.size(F.array_intersect("th_a", "th_b")).cast("double"),
+        ).otherwise(F.lit(-1.0)),
+    )
+    return (
+        pairs.select(
             "doc_a",
             "doc_b",
-            (F.col("i").cast("double") / F.col("na").cast("double")).alias("c_ab"),
-            (F.col("i").cast("double") / F.col("nb").cast("double")).alias("c_ba"),
+            (F.col("inter") / F.col("n_a").cast("double")).alias("c_ab"),
+            (F.col("inter") / F.col("n_b").cast("double")).alias("c_ba"),
         )
         .filter((F.col("c_ab") >= t) | (F.col("c_ba") >= t))
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
