@@ -15,6 +15,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from marasa_spark.collect import collect_arrow
 from marasa_spark.registry import queries_map
 from marasa_spark.session import get_spark
 
@@ -105,6 +106,44 @@ def _measure_headline(
     return results, builds
 
 
+def _measure_headline_arrow(
+    spark, sf_dir: str, qmap
+) -> tuple[dict[str, float], dict[str, str]]:
+    """ADDITIVE second protocol (round 12, VERDICT r11 #1): the same
+    queries timed with the engine's Arrow collect path
+    (marasa_spark.collect.collect_arrow → DataFrame.toArrow) instead of
+    the row-pickle collect(). Runs AFTER the classic pass on the same
+    warmed session (plans/JIT already hot), same warm best-of-3-per-query
+    shape. The declared bench metric stays `value`/`queries` — this
+    column exists so the py4j-transfer share of every label is measured
+    in-band and the series can be re-based on evidence in a later round."""
+    import gc
+
+    results: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for label, qids in HEADLINE.items():
+        if not all(qid in qmap for qid in qids):
+            continue
+        total_t = 0.0
+        try:
+            for qid in qids:
+                df = qmap[qid](spark, sf_dir)
+                collect_arrow(df)  # warm the arrow path once
+                times = []
+                for _ in range(RUNS):
+                    t0 = time.perf_counter()
+                    tbl = collect_arrow(df)
+                    times.append(time.perf_counter() - t0)
+                    del tbl
+                gc.collect()
+                total_t += min(times)
+        except Exception as e:  # never fail the declared bench over the
+            errors[label] = f"{type(e).__name__}: {e}"  # additive column
+            continue
+        results[label] = round(total_t, 4)
+    return results, errors
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -128,6 +167,10 @@ def main() -> None:
     for attempt in range(1, PROBE_GATE_ATTEMPTS + 1):
         calib_start = calibration_probe(spark, sf_dir)
         results, builds = _measure_headline(spark, sf_dir, qmap)
+        # arrow pass INSIDE the gated window so both protocols share the
+        # contention evidence; classic pass first so its numbers are taken
+        # under exactly the r11 conditions
+        results_arrow, arrow_errors = _measure_headline_arrow(spark, sf_dir, qmap)
         calib_end = calibration_probe(spark, sf_dir)
         d0 = calib_start["duckdb_lineitem_agg_sec"]
         d1 = calib_end["duckdb_lineitem_agg_sec"]
@@ -162,6 +205,13 @@ def main() -> None:
                 # cold-start witness alongside the warm numbers; only the
                 # warm metric is normalized/compared across rounds
                 "build": builds,
+                # ADDITIVE Arrow-protocol column (round 12): same queries,
+                # same warm best-of-3, timed action = collect_arrow()
+                # (DataFrame.toArrow) instead of the row-pickle collect().
+                # `value`/`queries` above remain the declared metric.
+                "value_arrow": round(sum(results_arrow.values()), 4),
+                "queries_arrow": results_arrow,
+                **({"arrow_errors": arrow_errors} if arrow_errors else {}),
                 "sf": sf,
                 "calibration": {
                     **calib,
