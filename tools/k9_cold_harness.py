@@ -6,8 +6,11 @@ Measures, in ONE fresh JVM (the bench_full build protocol):
   * first_s   — first collect (expansion plan construction + codegen + py4j)
   * warm_s    — warm best-of-3 collect
   * md5       — md5 over sorted (doc_a, doc_b, repr(jaccard)) — the
-                byte-identity fingerprint (sf0.1 reference:
-                956b16dfc6a7613b02b17f1c6d166a8c, 964,854 pairs)
+                byte-identity fingerprint (sf0.1 reference at the r11
+                final shape: 7c305345080023eaf324c553a873f031, 964,854
+                pairs — deterministic across runs and DuckDB-oracle-green
+                at sf0.1; the pre-r11-restructure value was
+                956b16dfc6a7613b02b17f1c6d166a8c)
 
 Usage: python tools/k9_cold_harness.py [sf_dir]
 """
