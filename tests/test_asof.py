@@ -10,6 +10,12 @@ from pyspark.sql import functions as F
 from marasa_spark.catalog import load_table
 from marasa_spark.ops.asof import asof_join, asof_join_grouped, asof_join_union
 
+import pytest
+# round 12: heavy property/soak tier — deselected from the default
+# driver-stampable run (see conftest); MARASA_FULL_SUITE=1 restores it
+pytestmark = pytest.mark.slow
+
+
 
 def test_grouped_asof_matches_window_asof(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")

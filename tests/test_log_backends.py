@@ -7,6 +7,10 @@ from __future__ import annotations
 import datetime
 
 import pytest
+
+# round 12: heavy property/soak tier — deselected from the default
+# driver-stampable run (see conftest); MARASA_FULL_SUITE=1 restores it
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from marasa_spark.log import LogWriteConflict

@@ -12,6 +12,10 @@ import datetime
 import itertools
 
 import pytest
+
+# round 12: heavy property/soak tier — deselected from the default
+# driver-stampable run (see conftest); MARASA_FULL_SUITE=1 restores it
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -12,6 +12,12 @@ from pyspark.sql import functions as F
 from marasa_spark.ops.asof import asof_join, asof_join_union
 from marasa_spark.ops.dedup import char_shingles, jaccard_pairs
 
+import pytest
+# round 12: heavy property/soak tier — deselected from the default
+# driver-stampable run (see conftest); MARASA_FULL_SUITE=1 restores it
+pytestmark = pytest.mark.slow
+
+
 # -- as-of join ------------------------------------------------------------
 
 event = st.tuples(

@@ -11,6 +11,8 @@ latent scale bug — these tests pin the shapes we designed for:
 
 from __future__ import annotations
 
+import pytest
+
 from marasa_spark.registry import REGISTRY, queries_map
 
 queries_map()
@@ -498,6 +500,7 @@ def test_no_section2_plan_has_data_sized_single_partition_window(spark):
     assert not offenders, f"data-sized SinglePartition windows: {offenders}"
 
 
+@pytest.mark.slow  # ~2-3 min full-registry plan build — full-tier only (r12)
 def test_no_registry_plan_has_data_sized_single_partition_window(spark):
     """The same invariant swept over EVERY registered op (303 ids): no
     Exchange SinglePartition anywhere in the engine feeds a Window/Sort

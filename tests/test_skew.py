@@ -2,10 +2,16 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from marasa_spark.catalog import load_table
 from marasa_spark.ops.skew import salted_agg, salted_join_hot_keys
+
+# round 12: heavy property/soak tier — deselected from the default
+# driver-stampable run (see conftest); MARASA_FULL_SUITE=1 restores it
+pytestmark = pytest.mark.slow
+
 
 
 def test_salted_agg_matches_plain(spark, sf_dir):
@@ -63,7 +69,6 @@ def test_salted_join_matches_plain(spark, sf_dir):
 # to exact per-key semantics, if the hot key drags unrelated keys with it).
 # ---------------------------------------------------------------------------
 
-import pytest
 
 HOT_USER = 999_999
 N_REPLICAS = 10  # sf0.1 events x10 ~ sf1-equivalent (1M rows)

@@ -9,6 +9,10 @@ behind the I-group oracles.
 from __future__ import annotations
 
 import pytest
+
+# round 12: heavy property/soak tier — deselected from the default
+# driver-stampable run (see conftest); MARASA_FULL_SUITE=1 restores it
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
