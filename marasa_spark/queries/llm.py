@@ -597,11 +597,23 @@ def k16_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster").alias("q_cluster"),
         )
     )
-    members = assigned.select("c_id", "c_vec", "cluster")
+    # per-side norm factoring (round 12, the cosine_topk/k11 discipline):
+    # dot/(qn*mn) is the identical IEEE expression to cosine(q_vec, c_vec)
+    # at a third of the per-pair interpreted-fold work
+    members = assigned.select("c_id", "c_vec", "cluster").withColumn(
+        "_mnrm", S.norm(F.col("c_vec"))
+    )
     pairs = members.join(
-        F.broadcast(probes),
+        F.broadcast(probes.withColumn("_qnrm", S.norm(F.col("q_vec")))),
         (F.col("cluster") == F.col("q_cluster")) & (F.col("q_id") != F.col("c_id")),
-    ).withColumn("sim", r2(S.cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    ).withColumn(
+        "sim",
+        r2(
+            S.dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("_qnrm") * F.col("_mnrm")),
+            6,
+        ),
+    )
     from pyspark.sql import Window as W
 
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
@@ -995,11 +1007,23 @@ def k22_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_vec").alias("q_vec"),
         F.col("cluster").alias("q_cluster"),
     )
-    members = assigned.select("c_id", "c_vec", "cluster")
+    # per-side norm factoring (round 12, the cosine_topk/k11 discipline):
+    # dot/(qn*mn) is the identical IEEE expression to cosine(q_vec, c_vec)
+    # at a third of the per-pair interpreted-fold work
+    members = assigned.select("c_id", "c_vec", "cluster").withColumn(
+        "_mnrm", S.norm(F.col("c_vec"))
+    )
     pairs = members.join(
-        F.broadcast(probes),
+        F.broadcast(probes.withColumn("_qnrm", S.norm(F.col("q_vec")))),
         (F.col("cluster") == F.col("q_cluster")) & (F.col("q_id") != F.col("c_id")),
-    ).withColumn("sim", r2(S.cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    ).withColumn(
+        "sim",
+        r2(
+            S.dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("_qnrm") * F.col("_mnrm")),
+            6,
+        ),
+    )
     from pyspark.sql import Window as W
 
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
@@ -2096,11 +2120,23 @@ def k48_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_vec").alias("q_vec"),
         F.col("cluster").alias("q_cluster"),
     )
-    members = assigned.select("c_id", "c_vec", "cluster")
+    # per-side norm factoring (round 12, the cosine_topk/k11 discipline):
+    # dot/(qn*mn) is the identical IEEE expression to cosine(q_vec, c_vec)
+    # at a third of the per-pair interpreted-fold work
+    members = assigned.select("c_id", "c_vec", "cluster").withColumn(
+        "_mnrm", S.norm(F.col("c_vec"))
+    )
     pairs = members.join(
-        F.broadcast(probes),
+        F.broadcast(probes.withColumn("_qnrm", S.norm(F.col("q_vec")))),
         (F.col("cluster") == F.col("q_cluster")) & (F.col("q_id") != F.col("c_id")),
-    ).withColumn("sim", r2(S.cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    ).withColumn(
+        "sim",
+        r2(
+            S.dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("_qnrm") * F.col("_mnrm")),
+            6,
+        ),
+    )
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     ivf = (
         pairs.withColumn("rank", F.row_number().over(w))
