@@ -307,10 +307,30 @@ def calibration_probe(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         pickle.loads(pickle.dumps(pdata, 4))
         ptimes.append(time.perf_counter() - t0)
+    # Fourth probe (round 12, ADDITIVE): fixed pure-Python bytecode loop.
+    # The r12 sweep found a mapInPandas op (k91, pure-Python JPEG decode)
+    # drifting +42% raw on a box whose duckdb AND pickle probes both read
+    # FASTER than the prior's — Python interpreter compute speed is a
+    # distinct cost class from pickle serialization, and no existing probe
+    # tracks it. Recorded per sample so the next round's regression rule
+    # can include it once a prior carries it (bench_full's stable-probe
+    # intersection handles the bootstrap).
+    def _pyloop() -> int:
+        acc = 0
+        for i in range(3_000_000):
+            acc = (acc * 31 + i) & 0xFFFFFFFF
+        return acc
+
+    ctimes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _pyloop()
+        ctimes.append(time.perf_counter() - t0)
     return {
         "duckdb_lineitem_agg_sec": round(duck, 4),
         "spark_range_sum_sec": round(min(jtimes), 4),
         "python_pickle_sec": round(min(ptimes), 4),
+        "python_compute_sec": round(min(ctimes), 4),
     }
 
 

@@ -299,7 +299,13 @@ def main() -> None:
     # Drifts are clamped to [1/1.5, 1.5] — a probe moving further than that
     # is contention evidence (the gate's job), not a normalization license.
     # The 0.5 s floor stays on the duckdb-normalized time for continuity.
-    stable_probes = ("duckdb_lineitem_agg_sec", "python_pickle_sec")
+    # python_compute joins the stable set as priors start carrying it (the
+    # r12 bootstrap: the intersection below skips probes the prior lacks)
+    stable_probes = (
+        "duckdb_lineitem_agg_sec",
+        "python_pickle_sec",
+        "python_compute_sec",
+    )
     probe_drifts = {
         p: min(1.5, max(1 / 1.5, best[p] / prior_probes[p]))
         for p in stable_probes
