@@ -326,11 +326,30 @@ def calibration_probe(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         _pyloop()
         ctimes.append(time.perf_counter() - t0)
+    # Fifth probe (round 12, ADDITIVE): a fixed py4j row-collect — 150k
+    # (long, double, 20-char string) rows through the classic collect()
+    # protocol on the same warmed session. This is the DIRECT yardstick
+    # for the transfer-bound cost class (the JVM-side single-thread row
+    # pickling + socket + Python unpickle that dominates i7/k50/m6/h5/
+    # q_string_date warm numbers): the r12 sweeps saw that class drift
+    # +15-40% raw on a box whose duckdb, pickle and python-compute probes
+    # ALL read faster — none of them times the JVM's single-thread
+    # serialization path. Bootstrap story as python_compute_sec.
+    probe_rows = spark.range(150_000).selectExpr(
+        "id", "cast(id as double) AS d", "repeat('x', 20) AS s"
+    )
+    probe_rows.collect()  # warm
+    rtimes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        probe_rows.collect()
+        rtimes.append(time.perf_counter() - t0)
     return {
         "duckdb_lineitem_agg_sec": round(duck, 4),
         "spark_range_sum_sec": round(min(jtimes), 4),
         "python_pickle_sec": round(min(ptimes), 4),
         "python_compute_sec": round(min(ctimes), 4),
+        "py4j_collect_sec": round(min(rtimes), 4),
     }
 
 

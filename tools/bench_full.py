@@ -305,6 +305,7 @@ def main() -> None:
         "duckdb_lineitem_agg_sec",
         "python_pickle_sec",
         "python_compute_sec",
+        "py4j_collect_sec",
     )
     probe_drifts = {
         p: min(1.5, max(1 / 1.5, best[p] / prior_probes[p]))
