@@ -272,6 +272,19 @@ EXCHANGE_BUDGET = {
     # projection — any exchange appearing here means the checkpoint
     # discipline broke
     "m40_pagerank": 0,
+    # k52 after the round-12 restructure: the assignment runs inside the
+    # localCheckpoint, so the visible plan is the within-cluster pair join
+    # (y side broadcast), the dropped-distinct aggregate and the final
+    # left join (AQE initial+final double-print). Measured 7 at sf0.01,
+    # stable over 3 runs; growth means the checkpoint stopped cutting or
+    # the pair join regrew a shuffle side.
+    "k52_semdedup": 7,
+    # k60 after the round-12 restructure (no checkpoint — the whole plan
+    # is visible, AQE double-print): the hashed-token df aggregate, the
+    # prefix regroup, the candidate distinct + thin-pair repartition, and
+    # the two verify broadcasts. Measured 14 at sf0.01, stable over 3
+    # runs; the r11 shape measured ~2x this with string-keyed exchanges.
+    "k60_containment_prefix_join": 14,
 }
 
 
