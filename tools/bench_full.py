@@ -358,6 +358,16 @@ def main() -> None:
     # meaningful at the baseline SF (budgets are sf0.1 numbers).
     from bench_margin import BASELINE as HEADLINE_BUDGET
 
+    # Multiprobe margin (round 12, same principle as the regression rule —
+    # BASELINE.md): a label only flags when it exceeds 90% of budget under
+    # BOTH the duckdb normalization AND the pickle normalization. On this
+    # VM family the duckdb probe alone reads 0.69-0.83 of r5 while the
+    # Python path is r5-like, inflating every duckdb-normalized margin
+    # 20-45% — the r12 contended sweep flagged q_asof at "103%" whose raw
+    # time matched r11 exactly. The driver's own check is RAW vs the 2x
+    # targets, so the single-divergent-probe flag was strictly noise.
+    PICKLE_REF = 0.450  # r11 final sweep at box_ratio 1.003 (BASELINE.md)
+    pickle_ratio = best.get("python_pickle_sec", PICKLE_REF) / PICKLE_REF
     headline_margin: dict[str, dict] = {}
     margin_flagged: list[str] = []
     if abs(sf - 0.1) < 1e-12 and not args.only:
@@ -367,19 +377,24 @@ def main() -> None:
             if not all("sec_norm" in ops.get(q, {}) for q in qids):
                 continue
             t = sum(ops[q]["sec_norm"] for q in qids)
+            t_raw = sum(ops[q]["sec"] for q in qids)
             budget = 2 * HEADLINE_BUDGET[label]
             pct = round(100 * t / budget, 1)
+            pct_pickle = round(100 * (t_raw / pickle_ratio) / budget, 1)
             headline_margin[label] = {
                 "sec_norm": round(t, 4),
                 "budget_2x": budget,
                 "pct_of_budget": pct,
+                "pct_of_budget_pickle_norm": pct_pickle,
             }
-            if pct > 90.0:
+            if pct > 90.0 and pct_pickle > 90.0:
                 margin_flagged.append(label)
         for label in margin_flagged:
             print(
                 f"MARGIN: {label} at {headline_margin[label]['pct_of_budget']}% "
-                f"of its 2x budget (>90%)",
+                f"(duckdb-norm) / "
+                f"{headline_margin[label]['pct_of_budget_pickle_norm']}% "
+                f"(pickle-norm) of its 2x budget (>90% under both)",
                 file=sys.stderr,
             )
 
